@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Ctx, QueryDef, T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -10,32 +11,40 @@ import org.apache.spark.sql.types.DecimalType
   * driver's TPC-H-ish tables, all expressed declaratively so Catalyst does
   * pushdown / pruning / partial aggregation / join selection.
   *
-  * Oracle-parity convention: every floating-point aggregate is computed as
-  * an EXACT decimal sum (associative → partition-order independent) and only
-  * cast to double at the end. Spark and DuckDB then produce bit-identical
-  * doubles. Every query output carries a deterministic total ORDER BY.
+  * Oracle-parity conventions:
+  *  - every floating-point aggregate is computed as an EXACT decimal sum
+  *    (associative → partition-order independent) and cast to double at the
+  *    end; Spark and DuckDB then agree bit-for-bit.
+  *  - every output carries a deterministic total ORDER BY on a unique key.
+  *  - rollup/cube NULL placeholders are coalesced to 'ALL' so null-ordering
+  *    differences between engines can't bite.
+  *
+  * Scale notes (100 TB): region/nation are the only sides we broadcast
+  * (truly bounded dims). customer⋈orders⋈lineitem are shuffle joins on
+  * their keys — Catalyst plans sort-merge with AQE skew handling. The
+  * events range join is bucketized (minute buckets exploded to [b, b+1])
+  * so it stays an equi-join + residual filter instead of a BNLJ.
   */
 object Relational {
   private val D = DecimalType(18, 2)
-  /** exact decimal view of a double column that carries 2dp values */
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(D)
+  private def dec(c: Column) = c.cast(D)
+  /** exact decimal sum of a 2dp-valued double column, surfaced as double */
+  private def dsum(c: Column) = sum(dec(c)).cast("double")
 
   // -------------------------------------------------------------------
   // q1_lineitem_agg — TPC-H Q1 shape (B3: hash aggregate, partial+final).
-  // Filter pushes to the parquet scan; Catalyst plans partial_sum on the
-  // map side so at 100 TB the shuffle carries 6 groups, not 6e9 rows.
   private def q1(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
-    val li = T.lineitem(spark, dir)
-    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    T.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
           .cast("double").as("sum_disc_price"),
-        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -53,7 +62,438 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q3_shipping_priority — B1 3-way equi join + agg + top-k. Shuffle joins
+  // on o_orderkey / o_custkey; filters push to each parquet scan.
+  private def q3(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val cust = T.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = T.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li   = T.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q5_nation_revenue — B1 5-way join; region/nation broadcast (bounded
+  // dims), fact joins shuffle. Revenue per nation of the customer.
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val reg = T.region(spark, dir).filter(col("r_name").isin("ASIA", "EUROPE"))
+    val nat = T.nation(spark, dir)
+    val cust = T.customer(spark, dir)
+    val ord = T.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("2000-01-01").cast("timestamp"))
+    val li = T.lineitem(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA','EUROPE')
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '2000-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // join_left_orders — B1 left outer: every customer with order count /
+  // total (zero-order customers kept, sums coalesced).
+  private def joinLeft(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val cust = T.customer(spark, dir)
+    val ord = T.orders(spark, dir)
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders_raw"), dsum(col("o_totalprice")).as("total_raw"))
+    cust.join(perCust, cust("c_custkey") === perCust("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
+        coalesce(col("total_raw"), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val joinLeftSql =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |  CAST(COALESCE(o.n_orders_raw, 0) AS BIGINT) AS n_orders,
+      |  COALESCE(o.total_raw, 0.0) AS total_spent
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_orders_raw,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_raw
+      |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // join_semi / join_anti — B1 EXISTS / NOT EXISTS as left_semi/left_anti
+  // (no payload from the right side ⇒ cheaper shuffle than inner+distinct).
+  private def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val cust = T.customer(spark, dir)
+    val ord = T.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val joinSemiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  private def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val cust = T.customer(spark, dir)
+    val ord = T.orders(spark, dir)
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val joinAntiSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // join_range_events — B2 range join: pairs of events of the same user
+  // ≤60s apart. Bucketized: left side explodes to minute buckets [b, b+1]
+  // so Spark plans an equi-join on (user_id, bucket) + residual range
+  // filter instead of a quadratic BNLJ — the 100 TB-safe shape.
+  private def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val ev = T.events(spark, dir).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val left = ev
+      .withColumn("bucket", explode(array(floor(col("us") / 60000000L),
+        floor(col("us") / 60000000L) + 1)))
+      .select(col("event_id").as("id1"), col("user_id"), col("us").as("us1"),
+        col("bucket"))
+    val right = ev.select(col("event_id").as("id2"), col("user_id").as("uid2"),
+      col("us").as("us2"), floor(col("us") / 60000000L).as("bucket2"))
+    left.join(right,
+        left("user_id") === right("uid2") && left("bucket") === right("bucket2"))
+      .filter(col("us2") > col("us1") && col("us2") - col("us1") <= 60000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val rangeJoinSql =
+    """SELECT a.user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // rollup_lineitem — B5 rollup with subtotal + grand-total rows.
+  private def rollupQ(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  private val rollupSql =
+    """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+      |  COALESCE(l_linestatus,'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // cube_orders — B5 cube over two order dims.
+  private def cubeQ(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  private val cubeSql =
+    """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+      |  COALESCE(o_orderpriority,'ALL') AS priority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // grouping_sets_orders — B5 GROUPING SETS in one aggregation pass
+  // (not a union of groupBys — one shuffle, expand-side combine).
+  private def groupingSetsQ(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir).createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+        |  COALESCE(o_orderpriority,'ALL') AS priority,
+        |  COUNT(*) AS n
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+      |  COALESCE(o_orderpriority,'ALL') AS priority,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // window_rank_orders — B6/B7 ranking trio + top-3 per customer. The
+  // window order (price desc, orderkey) is total ⇒ deterministic ranks.
+  private def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("rnk"), col("drnk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val windowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // window_lag_lead — B6 analytic functions over event-time order.
+  private def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    T.orders(spark, dir)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("days_since_prev",
+        datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(w))))
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"),
+        col("prev_price"), col("next_price"), col("days_since_prev"))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
+  private val windowLagLeadSql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(date_diff('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // window_running_sum — B6 frame: running revenue per customer. Running
+  // sum over exact decimals ⇒ frame-order deterministic in both engines.
+  private def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.orders(spark, dir)
+      .withColumn("running_total", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("running_total"))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
+  private val windowRunningSql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // topk_global_orders — B7/B8 global top-k: orderBy+limit ⇒ Spark plans
+  // TakeOrderedAndProject (per-partition heap, no full sort at scale).
+  private def topkGlobal(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val topkGlobalSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // set_intersect / set_except — B9 set ops (distinct semantics).
+  private def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+    a.intersect(b).orderBy(col("o_custkey"))
+  }
+
+  private val setIntersectSql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin
+
+  private def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+    a.except(b).orderBy(col("o_custkey"))
+  }
+
+  private val setExceptSql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // distinct_counts — B4 exact distinct aggregation.
+  private def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val distinctCountsSql =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // approx_distinct — B4 HLL sketch (approx_count_distinct). Not ANSI-SQL
+  // reproducible in DuckDB (different sketch) ⇒ no oracle, rows-only check.
+  // This is the 100 TB path for distincts: one pass, no distinct shuffle.
+  private def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // -------------------------------------------------------------------
+  // dedup_lineitem — B10 exact dedup, deterministic variant: keep the
+  // first row per (l_partkey, l_suppkey) under a total order. This is
+  // also the upsert/last-write-wins primitive (row_number = 1).
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    T.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
+  private val dedupExactSql =
+    """SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_quantity
+      |FROM (
+      |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+      |      ORDER BY l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn = 1
+      |ORDER BY l_partkey, l_suppkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q1_lineitem_agg", q1, Some(q1Sql))
+    QueryDef("q1_lineitem_agg", q1, Some(q1Sql)),
+    QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
+    QueryDef("q5_nation_revenue", q5, Some(q5Sql)),
+    QueryDef("join_left_orders", joinLeft, Some(joinLeftSql)),
+    QueryDef("join_semi_customers", joinSemi, Some(joinSemiSql)),
+    QueryDef("join_anti_customers", joinAnti, Some(joinAntiSql)),
+    QueryDef("join_range_events", rangeJoin, Some(rangeJoinSql)),
+    QueryDef("rollup_lineitem", rollupQ, Some(rollupSql)),
+    QueryDef("cube_orders", cubeQ, Some(cubeSql)),
+    QueryDef("grouping_sets_orders", groupingSetsQ, Some(groupingSetsSql)),
+    QueryDef("window_rank_orders", windowRank, Some(windowRankSql)),
+    QueryDef("window_lag_lead", windowLagLead, Some(windowLagLeadSql)),
+    QueryDef("window_running_sum", windowRunning, Some(windowRunningSql)),
+    QueryDef("topk_global_orders", topkGlobal, Some(topkGlobalSql)),
+    QueryDef("set_intersect_custkeys", setIntersect, Some(setIntersectSql)),
+    QueryDef("set_except_custkeys", setExcept, Some(setExceptSql)),
+    QueryDef("distinct_counts", distinctCounts, Some(distinctCountsSql)),
+    QueryDef("approx_distinct_parts", approxDistinct, None),
+    QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))
   )
 }
