@@ -7,11 +7,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
   private def all: Seq[QueryDef] =
-    _root_.graft.queries.Relational.defs
+    _root_.graft.etl.Pipeline.defs ++
+      _root_.graft.queries.Relational.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full reference pipeline (ingest→transform→validate→clean rows).
+    */
   def entry(spark: SparkSession): DataFrame =
-    all.head.build(spark, "/root/testdata/sf0.001")
+    queries("pipeline_clean")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
