@@ -8,7 +8,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   private def all: Seq[QueryDef] =
     _root_.graft.etl.Pipeline.defs ++
-      _root_.graft.queries.Relational.defs
+      _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.TextOps.defs ++
+      _root_.graft.queries.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full reference pipeline (ingest→transform→validate→clean rows).

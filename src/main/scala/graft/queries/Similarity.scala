@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{Ctx, QueryDef, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the embeddings table (SURVEY §2b B12): exact
+  * brute-force cosine top-k as the correctness baseline, a sign-LSH
+  * bucketed variant as the scale path, plus embedding statistics and
+  * near-duplicate pair mining.
+  *
+  * All vector math is array expressions over `array<double>` — `zip_with`
+  * + `aggregate` compile to codegen'd loops; no UDFs, no collect. Dot
+  * products fold left-to-right in element order, which DuckDB's
+  * `list_reduce` mirrors exactly ⇒ bit-identical doubles.
+  *
+  * 100 TB shape: the query set (k probes) broadcasts against the corpus —
+  * a map-side scan per probe batch. The LSH variant hashes each vector to
+  * a bucket (map-side) and only searches same-bucket candidates, turning
+  * O(Q·N) into O(Q·N/2^bits); an IVF coarse quantizer would slot into the
+  * same plan (bucket = nearest centroid id).
+  */
+object Similarity {
+
+  /** vectors as array<double> with precomputed L2 norm */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(v, x -> x * x), cast(0 AS double), (a, b) -> a + b))"))
+  }
+
+  private val dotVQ =
+    "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 AS double), (a, b) -> a + b)"
+
+  // -------------------------------------------------------------------
+  // ann_cosine_topk — brute-force exact top-5 neighbors for 10 probes.
+  private def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val normCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      |  FROM e
+      |)""".stripMargin
+
+  private val annTopkSql = normCte +
+    """
+      |, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      |pairs AS (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * qv[i]), (a, b) -> a + b)
+      |      / (nrm * qn) AS cosine
+      |  FROM n, q WHERE vec_id <> query_id)
+      |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ann_lsh_topk — sign-LSH: 3 deterministic hyperplanes (the first three
+  // corpus vectors), bucket = sign bits of the plane dots. Probes search
+  // only their own bucket (≈1/8 of the corpus).
+  private def withBuckets(e: DataFrame): DataFrame = {
+    val planes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("plane_id"), col("v").as("qv"))
+    e.crossJoin(broadcast(planes))
+      .withColumn("d", expr(dotVQ))
+      .groupBy(col("vec_id"))
+      .agg(sum(
+        when(col("d") >= 0,
+          when(col("plane_id") === 0, 4)
+            .when(col("plane_id") === 1, 2).otherwise(1))
+          .otherwise(0)).cast("int").as("bucket"))
+  }
+
+  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val b = withBuckets(e)
+    val eb = e.join(b, "vec_id")
+    val q = eb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val cand = eb.join(broadcast(q),
+        col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("bucket"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annLshSql = normCte +
+    """
+      |, planes AS (SELECT vec_id AS plane_id, v AS pv FROM n WHERE vec_id < 3),
+      |buckets AS (
+      |  SELECT n.vec_id,
+      |    CAST(SUM(CASE WHEN list_reduce(list_transform(range(1, len(v)+1),
+      |        i -> v[i] * pv[i]), (a, b) -> a + b) >= 0
+      |      THEN CASE plane_id WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END
+      |      ELSE 0 END) AS INT) AS bucket
+      |  FROM n, planes GROUP BY n.vec_id),
+      |eb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets ON n.vec_id = buckets.vec_id),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb FROM eb WHERE vec_id < 10),
+      |cand AS (
+      |  SELECT query_id, vec_id AS neighbor_id, bucket,
+      |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * qv[i]), (a, b) -> a + b)
+      |      / (nrm * qn) AS cosine
+      |  FROM eb JOIN q ON bucket = qb AND vec_id <> query_id)
+      |SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // emb_label_stats — per-label stats. Row-order-independent avg: each
+  // norm is snapped to a 12-dp decimal (deterministic per row), summed
+  // exactly, divided as double.
+  private def labelStats(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        (sum(col("nrm").cast(DecimalType(28, 12))).cast("double") / count(lit(1)))
+          .as("avg_norm"))
+      .orderBy(col("label"))
+
+  private val labelStatsSql = normCte +
+    """
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+      |  CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  // -------------------------------------------------------------------
+  // emb_neardup_pairs — embedding-cosine near-duplicate mining: all pairs
+  // above threshold. Baseline all-pairs form; the LSH bucketing above is
+  // the scale path for the same predicate.
+  private def nearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v"), col("nrm"))
+    b.join(broadcast(a), col("vec_a") < col("vec_b"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val nearDupSql = normCte +
+    """
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_reduce(list_transform(range(1, len(a.v)+1), i -> b.v[i] * a.v[i]), (x, y) -> x + y)
+      |    / (b.nrm * a.nrm) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> b.v[i] * a.v[i]), (x, y) -> x + y)
+      |    / (b.nrm * a.nrm) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_cosine_topk", annTopk, Some(annTopkSql)),
+    QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
+    QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
+    QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql))
+  )
+}

@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.{Ctx, QueryDef, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis + document dedup for LLM-pipeline workloads (SURVEY §2b
+  * B11/B13): tokenization, n-grams, quality scoring, language-ID
+  * heuristic, fingerprinting, exact + near-duplicate detection.
+  *
+  * All token math stays inside array expressions (whole-stage codegen, no
+  * UDFs); per-doc work is map-side, the only shuffles are the final
+  * aggregations / the LSH candidate join.
+  *
+  * Near-dup at 100 TB: the brute-force within-language pair join is the
+  * correctness baseline; the MinHash-banded variant is the scale path —
+  * candidate pairs are bounded by band-bucket collisions (each bucket is
+  * a hash of the doc's content), so the quadratic blowup never happens.
+  * Both use only md5 (identical hex in every engine) ⇒ DuckDB-checkable,
+  * unlike ml.feature.MinHashLSH whose hash families are JVM-specific.
+  */
+object TextOps {
+
+  /** doc_id, tokens (space-split; the corpus is single-space word soup) */
+  private def toks(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.documents(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+  }
+
+  /** 3-token shingles, 0-indexed transform over a sequence — the direct
+    * Spark analogue of a sliding window over the token array.
+    */
+  private def withShingles(df: DataFrame): DataFrame = df
+    .filter(size(col("tokens")) >= 3)
+    .withColumn("shingles",
+      expr("transform(sequence(0, size(tokens)-3), i -> concat(tokens[i], ' ', tokens[i+1], ' ', tokens[i+2]))"))
+    .withColumn("shingle_set", array_distinct(col("shingles")))
+
+  // -------------------------------------------------------------------
+  // text_word_freq — tokenize → explode → count (B13). Top-100 words.
+  private def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(explode(col("tokens")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  private val wordFreqSql =
+    """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_ngram_freq — 3-gram frequencies (all occurrences, not distinct).
+  private def ngramFreq(spark: SparkSession, dir: String): DataFrame =
+    withShingles(toks(spark, dir))
+      .select(explode(col("shingles")).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(50)
+
+  private val ngramFreqSql =
+    """WITH t AS (SELECT string_split(text, ' ') AS tokens FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(list_transform(range(1, len(tokens)-1),
+      |        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS ngram
+      |      FROM t)
+      |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_quality — per-doc quality signals: token count, type-token
+  // ratio, mean token length, stopword ratio. Integer folds ⇒ exact.
+  private val Stops = "'the','a','of','and','to','in','is'"
+
+  private def quality(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("n_unique", size(array_distinct(col("tokens"))))
+      .withColumn("sum_len",
+        expr("aggregate(transform(tokens, x -> length(x)), 0, (a, b) -> a + b)"))
+      .withColumn("n_stop", expr(s"size(filter(tokens, w -> w IN ($Stops)))"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val qualitySql =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents)
+       |SELECT doc_id, lang,
+       |  CAST(len(tokens) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct(tokens)) AS INT) AS n_unique,
+       |  CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS type_token_ratio,
+       |  CAST(list_reduce(list_transform(tokens, x -> length(x)), (a, b) -> a + b) AS DOUBLE) / len(tokens) AS avg_token_len,
+       |  CAST(len(list_filter(tokens, w -> w IN ($Stops))) AS DOUBLE) / len(tokens) AS stopword_ratio
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_langid — n-gram/stopword-hit language heuristic: score each doc
+  // against per-language lexicons, argmax with a fixed tie order.
+  private val Lex = Map(
+    "en" -> "'the','a','of','and','to','in','is'",
+    "es" -> "'el','la','de','y','que','los'",
+    "de" -> "'der','die','das','und','ist','ein'",
+    "fr" -> "'le','les','de','et','est','une'")
+
+  private def langid(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Lex.toSeq.sortBy(_._1).foldLeft(toks(spark, dir)) {
+      case (df, (l, words)) =>
+        df.withColumn(s"s_$l", expr(s"size(filter(tokens, w -> w IN ($words)))"))
+    }
+    scored.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+           col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+              col("s_es") > 0, "es")
+        .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+        .when(col("s_fr") > 0, "fr")
+        .otherwise("unknown").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langidSql = {
+    def score(l: String) =
+      s"CAST(len(list_filter(tokens, w -> w IN (${Lex(l)}))) AS INT) AS s_$l"
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents),
+       |scored AS (SELECT doc_id, lang AS labeled_lang,
+       |  ${score("en")}, ${score("es")}, ${score("de")}, ${score("fr")} FROM t)
+       |SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
+       |  CASE
+       |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+       |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+       |    WHEN s_fr > 0 THEN 'fr'
+       |    ELSE 'unknown' END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // text_token_stats — corpus token accounting per source.
+  private def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("tokens")).cast("long")).as("n_tokens"),
+        (sum(size(col("tokens")).cast("long")).cast("double") / count(lit(1)))
+          .as("avg_tokens_per_doc"))
+      .orderBy(col("source"))
+
+  private val tokenStatsSql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // doc_fingerprint — whole-content hash + 1-permutation MinHash (the
+  // lexicographic min of shingle hashes). md5 hex is engine-portable.
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    withShingles(toks(spark, dir))
+      .select(
+        col("doc_id"),
+        expr("md5(text)").as("content_hash"),
+        expr("array_min(transform(shingle_set, s -> md5(s)))").as("minhash"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT doc_id, md5(text) AS content_hash,
+      |  list_min(list_transform(list_distinct(list_transform(range(1, len(tokens)-1),
+      |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])), s -> md5(s))) AS minhash
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_docs_exact — exact dedup by content hash: representative id +
+  // copy count per distinct content (hash-groupBy, one shuffle).
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.documents(spark, dir)
+      .groupBy(expr("md5(text)").as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+  }
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_near_jaccard — exact within-language pairs with 3-shingle
+  // Jaccard ≥ 0.8. Candidate generation is an inverted-index equi-join on
+  // shingles (J ≥ 0.8 > 0 ⇒ every qualifying pair shares ≥1 shingle, so
+  // recall is exactly 1 — unlike the banded-MinHash variant below), then
+  // an integer size-ratio prune (J ≥ 0.8 ⇒ 5·|small| ≥ 4·|large|; integer
+  // arithmetic so the boundary |A|/|B| = 4/5 is never float-pruned), then
+  // the exact |A∩B| verify. Turns the quadratic all-pairs BNLJ into one
+  // shuffle hash join keyed on shingle — the plan that survives 100 TB
+  // (candidate volume is bounded by shingle collisions, not by N²).
+  private def nearJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(toks(spark, dir))
+      .select(col("doc_id"), col("lang"), col("shingle_set"))
+    // Prefix filtering (AllPairs/PPJoin): under a global total order on
+    // shingles (md5 hex), two sets with J ≥ t MUST share an element within
+    // their first |X| − ⌈t·|X|⌉ + 1 elements — so only that prefix needs
+    // indexing. ⌈0.8n⌉ as (4n+4) div 5 keeps the boundary exact (a float
+    // 0.8·n would over-shorten the prefix at multiples of 5 and lose
+    // recall). Cuts index size ~5× and candidate pairs ~25×.
+    val inv = sh
+      .withColumn("hs", expr("array_sort(transform(shingle_set, s -> md5(s)))"))
+      .withColumn("plen",
+        size(col("shingle_set")) - expr("(4 * size(shingle_set) + 4) div 5") + lit(1))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("slice(hs, 1, plen)")).as("sh"))
+    val cand = inv.as("x").join(inv.as("y"),
+        col("x.sh") === col("y.sh") && col("x.lang") === col("y.lang") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle_set").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle_set").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(lit(5) * least(size(col("sa")), size(col("sb"))) >=
+        lit(4) * greatest(size(col("sa")), size(col("sb"))))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val shingleCte =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(tokens)-1),
+      |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s3
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents)
+      |  WHERE len(tokens) >= 3
+      |)""".stripMargin
+
+  private val nearJaccardSql = shingleCte +
+    """
+      |SELECT doc_a, doc_b, jac FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+      |      (len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3))) AS jac
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |WHERE jac >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_near_minhash — the scale path: 4-band 1-row MinHash LSH.
+  // Signature collisions (band salt ‖ shingle, md5-min) nominate
+  // candidate pairs; exact Jaccard verifies. Quadratic work only inside
+  // buckets — at J≥0.8 recall is 1-(1-J)^4 ≥ 0.998.
+  private def nearMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(toks(spark, dir))
+      .select(col("doc_id"), col("shingle_set"))
+    val mh = sh
+      .withColumn("band", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("sig", expr(
+        "array_min(transform(shingle_set, s -> md5(concat(cast(band AS string), ':', s))))"))
+      .select(col("doc_id"), col("band"), col("sig"))
+    val cand = mh.as("x").join(mh.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle_set").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle_set").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val nearMinhashSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(tokens)-1),
+      |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s3
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      |  WHERE len(tokens) >= 3
+      |), mh AS (
+      |  SELECT doc_id, b.band,
+      |    list_min(list_transform(s3, s -> md5(CAST(b.band AS VARCHAR) || ':' || s))) AS sig
+      |  FROM sh, (SELECT unnest(range(4)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, jac FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+      |      (len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3))) AS jac
+      |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id)
+      |WHERE jac >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
+    QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
+    QueryDef("text_quality", quality, Some(qualitySql)),
+    QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("text_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("doc_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("dedup_docs_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_near_jaccard", nearJaccard, Some(nearJaccardSql)),
+    QueryDef("dedup_near_minhash", nearMinhash, Some(nearMinhashSql))
+  )
+}
