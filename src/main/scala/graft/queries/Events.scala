@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{Ctx, QueryDef, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time processing over the events table (SURVEY §2b B14/B15):
+  * tumbling + sliding windows, gap-based sessionization, JSON prop
+  * extraction, and per-user funnel transitions — all as batch queries
+  * whose window semantics mirror Structured Streaming's (`window()` is
+  * the same function in both modes; the streaming mirror lives in
+  * graft.streaming).
+  *
+  * Oracle-parity: epoch-aligned `window(ts, "1 hour")` starts ≡ DuckDB
+  * `date_trunc('hour', ts)`; value sums fold through DECIMAL(18,2)
+  * (order-independent) and surface as double; session/gap arithmetic is
+  * integer microseconds (`unix_micros` ⇔ `epoch_us`).
+  *
+  * 100 TB shape: every query is one shuffle on its natural key
+  * (window-start / user_id) with map-side partial aggregation; the
+  * sessionizer's per-user sort is bounded by per-user event counts, and
+  * user_id-skew falls to AQE. No driver materialization anywhere.
+  */
+object Events {
+  private val D = DecimalType(18, 2)
+  private def dsum(c: Column) = sum(c.cast(D)).cast("double")
+
+  private def ev(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.events(spark, dir)
+  }
+
+  // -------------------------------------------------------------------
+  // events_tumbling_hourly — tumbling 1h window × event_type (B15).
+  private def tumbling(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val tumblingSql =
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // events_sliding_2h — sliding 2h window, 1h slide: each event lands in
+  // two epoch-aligned windows. Oracle expands the membership explicitly.
+  private def sliding(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("win_start"))
+
+  private val slidingSql =
+    """WITH w AS (
+      |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+      |                 date_trunc('hour', ts)]) AS win_start, value
+      |  FROM events)
+      |SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  // -------------------------------------------------------------------
+  // events_session — gap-based sessionization, 30-minute inactivity gap:
+  // lag → new-session flag → running sum = session id (the batch idiom
+  // for session windows; `session_window()` is the streaming twin).
+  private def session(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800L * 1000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .cast("double") / lit(1e6)).as("duration_s"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private val sessionSql =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 1e6 AS duration_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  // -------------------------------------------------------------------
+  // events_props_extract — JSON-in-string props (B14): typed extraction
+  // via from_json, bucketed aggregation over the extracted value.
+  private def props(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("k", expr("from_json(props, 'k INT').k"))
+      .groupBy(expr("k div 10").cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"))
+
+  private val propsSql =
+    """WITH e AS (
+      |  SELECT CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k FROM events)
+      |SELECT CAST(k // 10 AS INT) AS k_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM e GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // events_funnel — per-user event-type transition counts: lead over the
+  // per-user timeline, grouped by (from, to) pair.
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val funnelSql =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),
+    QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
+    QueryDef("events_session", session, Some(sessionSql)),
+    QueryDef("events_props_extract", props, Some(propsSql)),
+    QueryDef("events_funnel", funnel, Some(funnelSql))
+  )
+}
