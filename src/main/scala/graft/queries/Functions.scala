@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{Ctx, QueryDef, T}
+import graft.functions.Udafs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Extended function surface (SURVEY §2b B16/B17): a scalar built-in
+  * battery (projection-only — codegen'd, zero shuffles), one real Scala
+  * UDF (the reference's multi-format date parse as an opaque-function
+  * fallback; the production path is the `coalesce(to_date…)` expression
+  * in graft.etl.Transform, which Catalyst can push/prune/fold — the UDF
+  * exists to exercise the extension surface and document its cost), and
+  * the two typed Aggregators from graft.functions.Udafs running as real
+  * partial/final Catalyst aggregates.
+  */
+object Functions {
+  private val D = DecimalType(18, 2)
+
+  // -------------------------------------------------------------------
+  // fn_scalar_battery — string/date/math built-ins over orders, all
+  // bit-deterministic cross-engine (no libm-dependent fns like log/exp —
+  // sqrt IS exact by IEEE 754).
+  private def battery(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir).select(
+      col("o_orderkey"),
+      upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+      length(col("o_orderpriority")).as("pri_len"),
+      regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("pri_num"),
+      abs(col("o_totalprice").cast(D)).cast("double").as("abs_price"),
+      round(col("o_totalprice").cast(D) / lit(1000).cast(D), 1)
+        .cast("double").as("price_k"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      datediff(lit("1995-01-01").cast("date"), col("o_orderdate"))
+        .as("days_to_95"),
+      pmod(col("o_orderkey"), lit(7)).as("key_mod7"),
+      sqrt(col("o_orderkey").cast("double")).as("key_sqrt"),
+      concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val batterySql =
+    """SELECT o_orderkey,
+      |  upper(substring(o_orderpriority, 1, 3)) AS pri3,
+      |  CAST(length(o_orderpriority) AS INT) AS pri_len,
+      |  regexp_extract(o_orderpriority, '(\d+)', 1) AS pri_num,
+      |  CAST(abs(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS abs_price,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) / CAST(1000 AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_k,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INT) AS days_to_95,
+      |  o_orderkey % 7 AS key_mod7,
+      |  sqrt(CAST(o_orderkey AS DOUBLE)) AS key_sqrt,
+      |  o_orderstatus || '#' || o_orderpriority AS tag
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // fn_date_parse_udf — the reference's try-3-formats parse (reference
+  // src/transform.py:7-23) as a Scala UDF over synthesized date strings,
+  // aggregated to per-year counts. NULL year (unparseable) → -1.
+  private val Formats = Seq("yyyy-MM-dd", "dd/MM/yyyy", "MMM dd yyyy")
+
+  private def parseDateUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val t = s.trim
+      Formats.iterator.map { f =>
+        try java.sql.Date.valueOf(java.time.LocalDate.parse(t,
+          java.time.format.DateTimeFormatter.ofPattern(f, java.util.Locale.US)))
+        catch { case _: java.time.format.DateTimeParseException => null }
+      }.collectFirst { case d if d != null => d }.orNull
+    }
+  }
+
+  private def dateParse(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val k = col("o_orderkey")
+    T.orders(spark, dir)
+      .select(
+        when(k % 4 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(k % 4 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+          .when(k % 4 === 2, date_format(col("o_orderdate"), "MMM dd yyyy"))
+          .otherwise(lit("not-a-date")).as("ds"))
+      .withColumn("parsed", parseDateUdf(col("ds")))
+      .groupBy(coalesce(year(col("parsed")), lit(-1)).as("yr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("yr"))
+  }
+
+  private val dateParseSql =
+    """WITH ds AS (
+      |  SELECT CASE
+      |    WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |    WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+      |    WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate, '%b %d %Y')
+      |    ELSE 'not-a-date' END AS s
+      |  FROM orders),
+      |p AS (
+      |  SELECT COALESCE(try_strptime(s, '%Y-%m-%d'),
+      |                  try_strptime(s, '%d/%m/%Y'),
+      |                  try_strptime(s, '%b %d %Y')) AS parsed
+      |  FROM ds)
+      |SELECT CAST(COALESCE(year(parsed), -1) AS INT) AS yr,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p GROUP BY yr ORDER BY yr""".stripMargin
+
+  // -------------------------------------------------------------------
+  // fn_weighted_avg — typed Aggregator as a Catalyst UDAF: quantity-
+  // weighted mean extended price per return flag.
+  private def weightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val wavg = udaf(Udafs.WeightedAvg)
+    T.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val weightedAvgSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // fn_median_value — exact-median Aggregator per event_type (DuckDB
+  // interpolation rule). Group buffers hold the group's values — right
+  // for bounded-cardinality groups; percentile_approx is the raw-scale
+  // path and is asserted against this in the test suite.
+  private def median(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val med = udaf(Udafs.ExactMedian)
+    T.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(med(col("value")).as("median_value"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val medianSql =
+    """SELECT event_type, median(value) AS median_value,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_scalar_battery", battery, Some(batterySql)),
+    QueryDef("fn_date_parse_udf", dateParse, Some(dateParseSql)),
+    QueryDef("fn_weighted_avg", weightedAvg, Some(weightedAvgSql)),
+    QueryDef("fn_median_value", median, Some(medianSql))
+  )
+}

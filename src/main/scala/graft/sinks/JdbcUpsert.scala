@@ -1,0 +1,189 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Idempotent JDBC upsert sink (reference src/load.py:60-104).
+  *
+  * Spark's DataFrameWriter.jdbc is append/overwrite only — the same gap
+  * the reference hits with pandas `to_sql` (reference src/load.py:76,
+  * docs/documentation.md:163) — so this sink runs `foreachPartition`:
+  * each executor opens one connection, binds rows into a prepared
+  * single-statement upsert, flushes in batches, and commits per
+  * partition. Re-running the whole job leaves row counts unchanged —
+  * idempotency is the reference's defining property
+  * (README.md:150, docs/documentation.md:158-160).
+  *
+  * 100 TB shape: connections scale with partitions, not rows; batches
+  * bound executor memory; no driver materialization. Writes within a
+  * partition are one transaction (mirrors the reference's single-tx
+  * load, src/load.py:99-101); cross-partition atomicity is out of scope,
+  * as it is for every parallel JDBC writer.
+  *
+  * Two dialects:
+  *  - [[Postgres]]: `INSERT … ON CONFLICT (pk) DO UPDATE SET` — the
+  *    statement the reference emits (src/load.py:77-96).
+  *  - [[AnsiMerge]]: `MERGE INTO … USING (VALUES …)` for engines without
+  *    ON CONFLICT (Derby, which embeds in our tests; Oracle/DB2/MSSQL).
+  *    Derby requires typed CASTs on parameter markers inside VALUES, so
+  *    the row source is generated from the DataFrame schema.
+  */
+object JdbcUpsert {
+
+  sealed trait Dialect {
+    def upsertSql(table: String, schema: StructType, keyCols: Seq[String]): String
+  }
+
+  case object Postgres extends Dialect {
+    def upsertSql(table: String, schema: StructType, keyCols: Seq[String]): String = {
+      val cols = schema.fieldNames.toSeq
+      val nonKey = cols.filterNot(keyCols.contains)
+      val updates = nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"""INSERT INTO $table (${cols.mkString(", ")})
+         |VALUES (${cols.map(_ => "?").mkString(", ")})
+         |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates""".stripMargin
+    }
+  }
+
+  case object AnsiMerge extends Dialect {
+    def upsertSql(table: String, schema: StructType, keyCols: Seq[String]): String = {
+      val cols = schema.fieldNames.toSeq
+      val nonKey = cols.filterNot(keyCols.contains)
+      val src = schema.fields
+        .map(f => s"CAST(? AS ${sqlType(f.dataType)})").mkString(", ")
+      val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val updates = nonKey.map(c => s"t.$c = s.$c").mkString(", ")
+      s"""MERGE INTO $table t
+         |USING (VALUES ($src)) s (${cols.mkString(", ")})
+         |ON $on
+         |WHEN MATCHED THEN UPDATE SET $updates
+         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |  VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin
+    }
+  }
+
+  /** Spark type → portable SQL type for CAST targets and DDL. */
+  def sqlType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(255)"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+  }
+
+  private def bind(ps: PreparedStatement, row: Row, schema: StructType): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val idx = i + 1
+      if (row.isNullAt(i)) {
+        ps.setNull(idx, java.sql.Types.NULL)
+      } else schema(i).dataType match {
+        case StringType => ps.setString(idx, row.getString(i))
+        case IntegerType => ps.setInt(idx, row.getInt(i))
+        case LongType => ps.setLong(idx, row.getLong(i))
+        case DoubleType => ps.setDouble(idx, row.getDouble(i))
+        case FloatType => ps.setFloat(idx, row.getFloat(i))
+        case BooleanType => ps.setBoolean(idx, row.getBoolean(i))
+        case DateType => ps.setDate(idx, row.getDate(i))
+        case TimestampType => ps.setTimestamp(idx, row.getTimestamp(i))
+        case _: DecimalType => ps.setBigDecimal(idx, row.getDecimal(i))
+        case other => throw new IllegalArgumentException(s"bind: $other")
+      }
+      i += 1
+    }
+  }
+
+  /** Upsert every row of `df` into `table`, keyed on `keyCols`. */
+  def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      dialect: Dialect = Postgres, batchSize: Int = 1000): Unit = {
+    val schema = df.schema
+    val sql = dialect.upsertSql(table, schema, keyCols)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          var pending = 0
+          rows.foreach { row =>
+            bind(ps, row, schema)
+            ps.addBatch()
+            pending += 1
+            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ps.executeBatch()
+          conn.commit()
+          ps.close()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Dead-letter append (reference src/load.py:106-141): plain batched
+    * INSERT — no conflict handling, every rejected row is preserved. */
+  def append(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames
+    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          var pending = 0
+          rows.foreach { row =>
+            bind(ps, row, schema)
+            ps.addBatch()
+            pending += 1
+            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ps.executeBatch()
+          conn.commit()
+          ps.close()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** DDL bootstrap (reference src/load.py:24-58): driver-side
+    * CREATE-TABLE-IF-NOT-EXISTS before any load. Not a migration tool —
+    * same caveat the reference states (docs/documentation.md:166-168). */
+  def ensureTable(url: String, table: String, schema: StructType,
+      keyCols: Seq[String], ifNotExistsSyntax: Boolean = true): Unit = {
+    val colDefs = schema.fields.map { f =>
+      val nn = if (!f.nullable || keyCols.contains(f.name)) " NOT NULL" else ""
+      s"${f.name} ${sqlType(f.dataType)}$nn"
+    }
+    val pk =
+      if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
+    val ddl = s"CREATE TABLE $table (${colDefs.mkString(", ")}$pk)"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      if (ifNotExistsSyntax) st.execute(s"CREATE TABLE IF NOT EXISTS ${ddl.stripPrefix("CREATE TABLE ")}")
+      else {
+        // Engines without IF NOT EXISTS (Derby): probe the catalog first.
+        val meta = conn.getMetaData
+        val rs = meta.getTables(null, null, table.toUpperCase, null)
+        val exists = rs.next()
+        rs.close()
+        if (!exists) st.execute(ddl)
+      }
+      st.close()
+    } finally conn.close()
+  }
+}
