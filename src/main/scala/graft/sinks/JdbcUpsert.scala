@@ -34,6 +34,11 @@ object JdbcUpsert {
 
   sealed trait Dialect {
     def upsertSql(table: String, schema: StructType, keyCols: Seq[String]): String
+    /** Column indices to bind, in the order the statement's ?-markers
+      * appear. Postgres binds each column once; MERGE-over-dummy-table
+      * repeats columns across the ON / UPDATE / INSERT clauses. */
+    def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int] =
+      schema.fieldNames.indices.toSeq
   }
 
   case object Postgres extends Dialect {
@@ -47,20 +52,32 @@ object JdbcUpsert {
     }
   }
 
-  case object AnsiMerge extends Dialect {
+  /** MERGE keyed off a one-row dummy table — Derby and DB2 reject a
+    * parameterized VALUES row as a MERGE source ("must be a base table
+    * or table function"), but accept parameters inside ON/UPDATE/INSERT
+    * when each marker carries an explicit CAST. Oracle's spelling is
+    * `AnsiMerge("dual")`. */
+  final case class AnsiMerge(dummyTable: String = "SYSIBM.SYSDUMMY1")
+      extends Dialect {
     def upsertSql(table: String, schema: StructType, keyCols: Seq[String]): String = {
       val cols = schema.fieldNames.toSeq
       val nonKey = cols.filterNot(keyCols.contains)
-      val src = schema.fields
-        .map(f => s"CAST(? AS ${sqlType(f.dataType)})").mkString(", ")
-      val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
-      val updates = nonKey.map(c => s"t.$c = s.$c").mkString(", ")
+      def cast(c: String) =
+        s"CAST(? AS ${sqlType(schema(schema.fieldIndex(c)).dataType)})"
+      val on = keyCols.map(k => s"t.$k = ${cast(k)}").mkString(" AND ")
+      val updates = nonKey.map(c => s"t.$c = ${cast(c)}").mkString(", ")
       s"""MERGE INTO $table t
-         |USING (VALUES ($src)) s (${cols.mkString(", ")})
+         |USING $dummyTable d
          |ON $on
          |WHEN MATCHED THEN UPDATE SET $updates
          |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
-         |  VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin
+         |  VALUES (${cols.map(cast).mkString(", ")})""".stripMargin
+    }
+    override def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int] = {
+      val idx = schema.fieldNames.zipWithIndex.toMap
+      val keys = keyCols.map(idx)
+      val nonKeys = schema.fieldNames.toSeq.filterNot(keyCols.contains).map(idx)
+      keys ++ nonKeys ++ schema.fieldNames.indices
     }
   }
 
@@ -78,25 +95,25 @@ object JdbcUpsert {
     case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
   }
 
-  private def bind(ps: PreparedStatement, row: Row, schema: StructType): Unit = {
-    var i = 0
-    while (i < schema.length) {
-      val idx = i + 1
+  private def bind(ps: PreparedStatement, row: Row, schema: StructType,
+      order: Seq[Int]): Unit = {
+    var m = 0
+    order.foreach { i =>
+      m += 1
       if (row.isNullAt(i)) {
-        ps.setNull(idx, java.sql.Types.NULL)
+        ps.setNull(m, java.sql.Types.NULL)
       } else schema(i).dataType match {
-        case StringType => ps.setString(idx, row.getString(i))
-        case IntegerType => ps.setInt(idx, row.getInt(i))
-        case LongType => ps.setLong(idx, row.getLong(i))
-        case DoubleType => ps.setDouble(idx, row.getDouble(i))
-        case FloatType => ps.setFloat(idx, row.getFloat(i))
-        case BooleanType => ps.setBoolean(idx, row.getBoolean(i))
-        case DateType => ps.setDate(idx, row.getDate(i))
-        case TimestampType => ps.setTimestamp(idx, row.getTimestamp(i))
-        case _: DecimalType => ps.setBigDecimal(idx, row.getDecimal(i))
+        case StringType => ps.setString(m, row.getString(i))
+        case IntegerType => ps.setInt(m, row.getInt(i))
+        case LongType => ps.setLong(m, row.getLong(i))
+        case DoubleType => ps.setDouble(m, row.getDouble(i))
+        case FloatType => ps.setFloat(m, row.getFloat(i))
+        case BooleanType => ps.setBoolean(m, row.getBoolean(i))
+        case DateType => ps.setDate(m, row.getDate(i))
+        case TimestampType => ps.setTimestamp(m, row.getTimestamp(i))
+        case _: DecimalType => ps.setBigDecimal(m, row.getDecimal(i))
         case other => throw new IllegalArgumentException(s"bind: $other")
       }
-      i += 1
     }
   }
 
@@ -105,6 +122,7 @@ object JdbcUpsert {
       dialect: Dialect = Postgres, batchSize: Int = 1000): Unit = {
     val schema = df.schema
     val sql = dialect.upsertSql(table, schema, keyCols)
+    val order = dialect.bindOrder(schema, keyCols)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url)
@@ -113,7 +131,7 @@ object JdbcUpsert {
           val ps = conn.prepareStatement(sql)
           var pending = 0
           rows.foreach { row =>
-            bind(ps, row, schema)
+            bind(ps, row, schema, order)
             ps.addBatch()
             pending += 1
             if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
@@ -144,7 +162,7 @@ object JdbcUpsert {
           val ps = conn.prepareStatement(sql)
           var pending = 0
           rows.foreach { row =>
-            bind(ps, row, schema)
+            bind(ps, row, schema, schema.fieldNames.indices.toSeq)
             ps.addBatch()
             pending += 1
             if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
