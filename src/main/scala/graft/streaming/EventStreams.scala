@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming mirror of the batch event-time suite
+  * (graft.queries.Events). Every transform here is a plain
+  * `DataFrame => DataFrame` over an `events`-shaped frame — the SAME
+  * function serves `spark.read` (batch) and `spark.readStream`
+  * (incremental); Catalyst plans the stateful version when the source is
+  * streaming. That one-logical-plan/two-execution-modes property is the
+  * whole point of mirroring batch semantics in Structured Streaming.
+  *
+  * Watermarks bound state: an aggregation over a watermarked column can
+  * drop window state once event time passes window-end + delay — without
+  * it, 100 TB of stream history accumulates in the state store.
+  */
+object EventStreams {
+  private val D = DecimalType(18, 2)
+
+  /** Tumbling 1h windows per event_type, 2h late-data allowance.
+    * Streaming: append-mode emits each window once, on watermark pass. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Native session windows, 30-minute gap — the streaming twin of the
+    * batch lag/cumsum idiom in Events.session (identical gap rule). */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state: per-user running totals via
+    * flatMapGroupsWithState (update mode) — the escape hatch for
+    * semantics windowed aggregates can't express. State is one small
+    * record per user; timeout config would evict idle users in a
+    * production deployment. */
+  def runningTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = BigDecimal(prev.sum_value).setScale(2)
+          batch.foreach { e =>
+            n += 1
+            s += BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          }
+          val next = UserRunning(userId, n, s.toDouble)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming semantics: incremental execution of the SAME
+  * transforms the batch suite uses, plus watermark-driven emission and
+  * custom keyed state. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val eventsBatch1 = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.50),
+    Ev(2, ts("2024-01-01 10:20:00"), 1, "view", 2.25),
+    Ev(3, ts("2024-01-01 10:40:00"), 2, "click", 4.00))
+  private val eventsBatch2 = Seq(
+    // advances event time far enough to close the 10:00 window
+    Ev(4, ts("2024-01-01 13:30:00"), 1, "click", 8.00))
+
+  test("tumblingHourly emits a closed window once the watermark passes") {
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStreams.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    mem.addData(eventsBatch1: _*)
+    q.processAllAvailable(); q.stop()
+
+    val q2 = EventStreams.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    mem.addData(eventsBatch2: _*)
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.table("tumbling2")
+      .orderBy("win_start", "event_type").collect()
+    // watermark = 13:30 - 2h = 11:30 > 11:00 → the 10:00 window is final
+    assert(rows.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      == Seq(("click", 2L, 5.50), ("view", 1L, 2.25)))
+  }
+
+  test("streaming and batch produce identical tumbling aggregates") {
+    val batch = (eventsBatch1 ++ eventsBatch2).toDF()
+    val fromBatch = EventStreams.tumblingHourly(batch)
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    // batch execution of the same function ignores the watermark and
+    // computes every window — the closed-window subset must agree with
+    // what streaming emitted (asserted above); here we pin the full set.
+    assert(fromBatch.size == 3)
+    assert(fromBatch.map(_.apply(2)) == Seq(2L, 1L, 1L))
+  }
+
+  test("sessionized: gap > 30 min splits; events within gap merge") {
+    val batch = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.00),
+      Ev(2, ts("2024-01-01 10:20:00"), 7, "view", 2.00), // merges (gap 20m)
+      Ev(3, ts("2024-01-01 11:30:00"), 7, "click", 3.00) // new session
+    ).toDF()
+    val rows = EventStreams.sessionized(batch)
+      .orderBy("session_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:50:00"))
+    assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("flatMapGroupsWithState keeps per-user running totals across batches") {
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStreams.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    mem.addData(eventsBatch1: _*)
+    q.processAllAvailable()
+    mem.addData(eventsBatch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("sum_value").as("s"))
+      .orderBy("user_id").collect()
+    assert(last.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq((1L, 3L, 11.75), (2L, 1L, 4.00)))
+  }
+}
