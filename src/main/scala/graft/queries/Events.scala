@@ -154,11 +154,60 @@ object Events {
       |FROM t WHERE to_type IS NOT NULL
       |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // join_asof_events — as-of join, an operator Spark lacks natively: for
+  // every purchase, the most recent click by the same user at or before
+  // the purchase time. Implemented the 100 TB-safe way — NOT a range join:
+  // union both sides tagged, one shuffle+sort per user_id, and a running
+  // `last(click, ignoreNulls)` window carries the latest click forward
+  // into each purchase row (linear in events, no candidate pairs at all).
+  // At equal timestamps the click sorts first (side 0 < 1) ⇒ inclusive
+  // "at or before", matching DuckDB's native ASOF JOIN (>=) oracle.
+  private def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val clickStruct = "struct<click_ts:timestamp,click_id:bigint>"
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        struct(col("ts").as("click_ts"), col("event_id").as("click_id")).as("click"),
+        lit(null).cast("long").as("purchase_id"), lit(0).as("side"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast(clickStruct).as("click"),
+        col("event_id").as("purchase_id"), lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last(col("click"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click.click_id").as("click_id"),
+        col("last_click.click_ts").as("click_ts"),
+        ((unix_micros(col("ts")) - unix_micros(col("last_click.click_ts")))
+          .cast("double") / 1e6).as("gap_s"))
+      .orderBy(col("purchase_id"))
+  }
+
+  // Oracle: DuckDB's native ASOF JOIN. Timestamps are truncated to µs on
+  // both sides (make_timestamp ∘ epoch_us) because the engine works in
+  // Spark's microsecond TimestampType while the parquet carries ns.
+  private val asofJoinSql =
+    """WITH p AS (SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  c.event_id AS click_id, c.ts AS click_ts,
+      |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1e6 AS gap_s
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),
     QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
     QueryDef("events_session", session, Some(sessionSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
-    QueryDef("events_funnel", funnel, Some(funnelSql))
+    QueryDef("events_funnel", funnel, Some(funnelSql)),
+    QueryDef("join_asof_events", asofJoin, Some(asofJoinSql))
   )
 }

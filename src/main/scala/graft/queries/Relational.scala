@@ -418,6 +418,37 @@ object Relational {
       |ORDER BY o_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // set_union_custkeys — B9 UNION (distinct) with provenance counts: which
+  // side(s) each key came from, via a pre-aggregated unionByName (partial
+  // aggregation on each branch before the union ⇒ the union shuffles
+  // already-reduced keys, not raw rows).
+  private def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_1997"))
+      .withColumn("n_1998", lit(0L))
+    val b = o.filter(year(col("o_orderdate")) === 1998)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_1998"))
+      .withColumn("n_1997", lit(0L))
+    a.unionByName(b)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_1997")).as("n_1997"), sum(col("n_1998")).as("n_1998"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val setUnionSql =
+    """SELECT o_custkey, CAST(SUM(n_1997) AS BIGINT) AS n_1997,
+      |  CAST(SUM(n_1998) AS BIGINT) AS n_1998
+      |FROM (
+      |  SELECT o_custkey, COUNT(*) AS n_1997, 0 AS n_1998
+      |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT o_custkey, 0 AS n_1997, COUNT(*) AS n_1998
+      |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // distinct_counts — B4 exact distinct aggregation.
   private def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
@@ -492,6 +523,7 @@ object Relational {
     QueryDef("topk_global_orders", topkGlobal, Some(topkGlobalSql)),
     QueryDef("set_intersect_custkeys", setIntersect, Some(setIntersectSql)),
     QueryDef("set_except_custkeys", setExcept, Some(setExceptSql)),
+    QueryDef("set_union_custkeys", setUnion, Some(setUnionSql)),
     QueryDef("distinct_counts", distinctCounts, Some(distinctCountsSql)),
     QueryDef("approx_distinct_parts", approxDistinct, None),
     QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))

@@ -311,6 +311,62 @@ object TextOps {
       |WHERE jac >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_near_simhash — 60-bit SimHash near-dup detection. Per doc: each
+  // token hashes to 60 bits (md5 prefix — engine-portable, unlike xxhash);
+  // bit i of the fingerprint is the sign of Σ±1 over token-hash bit i.
+  // Near-dups = pairs within Hamming distance 3, found WITHOUT an all-pairs
+  // scan: the fingerprint splits into 4 bands of 15 bits, and by pigeonhole
+  // hamming ≤ 3 ⇒ at least one band is identical — so candidates come from
+  // an equi-join on (band, band_value), exact recall. Fingerprinting is
+  // pure map-side array math (whole-stage codegen, no shuffle until the
+  // 8-byte-key candidate join) — the SimHash variant is the cheapest dedup
+  // at 100 TB: one bigint per doc vs. MinHash's per-band signatures.
+  private def nearSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = toks(spark, dir)
+      .withColumn("hashes",
+        expr("transform(tokens, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 59), 0L, (acc, i) ->
+          |  acc + CASE WHEN aggregate(hashes, 0L,
+          |      (a, h) -> a + CASE WHEN shiftright(h, i) % 2 = 1 THEN 1L ELSE -1L END) > 0L
+          |    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val bands = sim
+      .withColumn("band", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("bval", expr("shiftright(simhash, 15 * band) % 32768"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val nearSimhashSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS tokens FROM documents),
+      |h AS (SELECT doc_id,
+      |  list_transform(tokens, t -> list_reduce(
+      |     list_transform(range(1,16), i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+      |     (a,b) -> a*16 + b)) AS hashes FROM t),
+      |s AS (SELECT doc_id,
+      |  list_reduce(list_transform(range(0,60), i ->
+      |    CASE WHEN list_reduce(list_transform(hashes, x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END), (a,b)->a+b) > 0
+      |         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), (a,b)->a+b) AS simhash
+      |  FROM h),
+      |b AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM s),
+      |bb AS (SELECT doc_id, simhash, band, (simhash >> (15*band)) & 32767 AS bval FROM b),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS ha, y.doc_id AS doc_b, y.simhash AS hb
+      |  FROM bb x JOIN bb y ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
@@ -320,6 +376,7 @@ object TextOps {
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("dedup_docs_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_near_jaccard", nearJaccard, Some(nearJaccardSql)),
-    QueryDef("dedup_near_minhash", nearMinhash, Some(nearMinhashSql))
+    QueryDef("dedup_near_minhash", nearMinhash, Some(nearMinhashSql)),
+    QueryDef("dedup_near_simhash", nearSimhash, Some(nearSimhashSql))
   )
 }

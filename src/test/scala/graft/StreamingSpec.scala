@@ -36,7 +36,14 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("tumbling2")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     mem.addData(eventsBatch2: _*)
-    q2.processAllAvailable(); q2.stop()
+    q2.processAllAvailable()
+    // Closed windows are emitted by a trailing no-data microbatch that
+    // processAllAvailable does not wait for — poll before stopping or a
+    // loaded machine stops the query pre-emission (flaky full-suite run).
+    val deadline = System.currentTimeMillis + 30000
+    while (spark.table("tumbling2").count() < 2 &&
+      System.currentTimeMillis < deadline) Thread.sleep(200)
+    q2.stop()
 
     val rows = spark.table("tumbling2")
       .orderBy("win_start", "event_type").collect()
