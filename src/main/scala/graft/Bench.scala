@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Steady-state warmup: pay one-time session costs (codegen/JIT spin-up,
+    // parquet reader init, first-job scheduling) before any query is timed,
+    // so the first map entry isn't charged ~5s of setup.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -24,18 +24,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** vectors as array<double> with precomputed L2 norm */
+  /** vectors as array<double> with precomputed L2 norm. All dot products
+    * go through the codegen'd VecDot expression (graft.functions.VecExprs)
+    * — the interpreted HOF fold was the bench hotspot of this suite. */
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
     T.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), cast(0 AS double), (a, b) -> a + b))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
   }
 
-  private val dotVQ =
-    "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 AS double), (a, b) -> a + b)"
+  private val dotVQ = "vec_dot(v, qv)"
 
   // -------------------------------------------------------------------
   // ann_cosine_topk — brute-force exact top-5 neighbors for 10 probes.

@@ -268,11 +268,21 @@ object TextOps {
   private def nearMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(toks(spark, dir))
       .select(col("doc_id"), col("shingle_set"))
+    // Band signatures as a codegen'd hash aggregate: explode shingles once,
+    // 4 min(md5(band:shingle)) columns with map-side partial agg, then
+    // stack back to (doc_id, band, sig) rows for the bucket join. Same
+    // signatures as the array formulation (min over distinct shingles per
+    // band) without 4×|shingles| interpreted closure calls per doc.
     val mh = sh
-      .withColumn("band", explode(array((0 until 4).map(lit): _*)))
-      .withColumn("sig", expr(
-        "array_min(transform(shingle_set, s -> md5(concat(cast(band AS string), ':', s))))"))
-      .select(col("doc_id"), col("band"), col("sig"))
+      .select(col("doc_id"), explode(col("shingle_set")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(expr("md5(concat('0:', s))")).as("sig0"),
+        min(expr("md5(concat('1:', s))")).as("sig1"),
+        min(expr("md5(concat('2:', s))")).as("sig2"),
+        min(expr("md5(concat('3:', s))")).as("sig3"))
+      .selectExpr("doc_id",
+        "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
     val cand = mh.as("x").join(mh.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -323,15 +333,23 @@ object TextOps {
   // 8-byte-key candidate join) — the SimHash variant is the cheapest dedup
   // at 100 TB: one bigint per doc vs. MinHash's per-band signatures.
   private def nearSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sim = toks(spark, dir)
-      .withColumn("hashes",
-        expr("transform(tokens, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 59), 0L, (acc, i) ->
-          |  acc + CASE WHEN aggregate(hashes, 0L,
-          |      (a, h) -> a + CASE WHEN shiftright(h, i) % 2 = 1 THEN 1L ELSE -1L END) > 0L
-          |    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+    // Fingerprinting runs as a codegen'd hash aggregate — explode tokens,
+    // then 60 conditional ±1 sums (one per bit) with map-side partial
+    // aggregation, so the doc_id shuffle carries 60 longs per doc, not
+    // tokens. (The nested-lambda array formulation computes the same
+    // fingerprint but runs interpreted: 60×|tokens| closure calls per doc
+    // made it the bench hotspot.)
+    val tok = toks(spark, dir)
+      .select(col("doc_id"), explode(col("tokens")).as("t"))
+      .withColumn("h", expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(expr(s"shiftright(h, $i) % 2 = 1"), 1L).otherwise(-1L)).as(s"b$i"))
+    val sim = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val bands = sim
       .withColumn("band", explode(array((0 until 4).map(lit): _*)))
       .withColumn("bval", expr("shiftright(simhash, 15 * band) % 32768"))
