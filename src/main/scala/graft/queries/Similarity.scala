@@ -143,6 +143,73 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // ann_ivf_topk — IVF (inverted-file) ANN: a coarse quantizer assigns
+  // every vector to its nearest centroid cell (here the first 8 corpus
+  // vectors stand in for k-means centroids — deterministic, so the oracle
+  // can reproduce the index); probes search only their nprobe=2 nearest
+  // cells. Assignment is N×C codegen'd dots, map-side after a centroid
+  // broadcast; search cost drops from O(Q·N) to O(Q·N·nprobe/C). This is
+  // the same plan shape a learned IVF index compiles to at 100 TB — only
+  // the centroid source changes.
+  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("qv"), col("nrm").as("cn"))
+    // nearest cell per corpus vector (rank 1), nearest 2 cells per probe
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = scored
+      .withColumn("crank", row_number().over(wAssign))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("cent_id").as("cell"), col("crank"))
+    val corpus = assigned.filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = assigned.filter(col("crank") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+    val cand = corpus.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annIvfSql = normCte +
+    """
+      |, cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent_id,
+      |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
+      |      / (nrm * cn) AS ccos
+      |  FROM n, cent),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, cent_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+      |  FROM scored),
+      |corpus AS (SELECT vec_id, v, nrm, cell FROM assigned WHERE crank = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell AS qcell
+      |  FROM assigned WHERE crank <= 2 AND vec_id < 10),
+      |cand AS (
+      |  SELECT query_id, corpus.vec_id AS neighbor_id, cell,
+      |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * qv[i]), (a, b) -> a + b)
+      |      / (nrm * qn) AS cosine
+      |  FROM corpus JOIN probes ON cell = qcell AND corpus.vec_id <> query_id)
+      |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // emb_label_stats — per-label stats. Row-order-independent avg: each
   // norm is snapped to a 12-dp decimal (deterministic per row), summed
   // exactly, divided as double.
@@ -193,6 +260,7 @@ object Similarity {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine_topk", annTopk, Some(annTopkSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
+    QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
     QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql))
   )

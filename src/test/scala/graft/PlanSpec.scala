@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan shape assertions — the 100 TB contract, checked on the
+  * sf0.001 tables. Correctness says the operators compute the right
+  * answer; these tests pin HOW: filters reach the parquet scan, bounded
+  * dims broadcast, global top-k avoids a total sort, and nothing falls
+  * into a cartesian/BNLJ product except the deliberate broadcast probes.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the lineitem scan, schema pruned") {
+    val p = plan("q1_lineitem_agg")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // projection pruning: untouched wide columns never leave the scan
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q5: bounded dims (nation, region) join via broadcast hash join") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("topk_global_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bucketized range join stays an equi-join — no cartesian/BNLJ") {
+    val p = plan("join_range_events")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("near-dup candidate joins are equi-joins — no cartesian/BNLJ") {
+    for (q <- Seq("dedup_near_jaccard", "dedup_near_minhash", "dedup_near_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("brute-force ANN broadcasts the probe side (deliberate BNLJ), never cartesian") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("similarity queries run the codegen'd vec_dot, not the HOF fold") {
+    val p = plan("emb_neardup_pairs")
+    assert(p.contains("vec_dot"), p)
+    assert(!p.contains("zip_with"), p)
+  }
+
+  test("ETL pipeline clean path shuffles only for the final sort") {
+    val p = plan("pipeline_clean")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // one rangepartitioning exchange for the deterministic ORDER BY;
+    // transform/validate themselves are pure map-side projections
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+}
