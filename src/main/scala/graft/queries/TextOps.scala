@@ -209,8 +209,12 @@ object TextOps {
   // shuffle hash join keyed on shingle — the plan that survives 100 TB
   // (candidate volume is bounded by shingle collisions, not by N²).
   private def nearJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // The shingle index feeds candidate generation AND both verify probes;
+    // persist it once (Spark's cache manager dedups by canonicalized plan,
+    // so the identical lineage in dedup_near_minhash shares this entry).
     val sh = withShingles(toks(spark, dir))
       .select(col("doc_id"), col("lang"), col("shingle_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prefix filtering (AllPairs/PPJoin): under a global total order on
     // shingles (md5 hex), two sets with J ≥ t MUST share an element within
     // their first |X| − ⌈t·|X|⌉ + 1 elements — so only that prefix needs
@@ -223,10 +227,17 @@ object TextOps {
         size(col("shingle_set")) - expr("(4 * size(shingle_set) + 4) div 5") + lit(1))
       .select(col("doc_id"), col("lang"),
         explode(expr("slice(hs, 1, plen)")).as("sh"))
-    val cand = inv.as("x").join(inv.as("y"),
-        col("x.sh") === col("y.sh") && col("x.lang") === col("y.lang") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Candidate pairs by bucket-collect instead of an index self-join: the
+    // self-join would evaluate the whole shingle+prefix subplan twice; here
+    // it runs once, and pairs are generated inside each (lang, shingle)
+    // posting list — quadratic only in the posting-list length, same
+    // candidates as the θ-join (sorted ids, i<j ⇒ doc_a < doc_b).
+    val cand = inv.groupBy(col("lang"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val sa = sh.select(col("doc_id").as("doc_a"), col("shingle_set").as("sa"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("shingle_set").as("sb"))
@@ -268,6 +279,7 @@ object TextOps {
   private def nearMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(toks(spark, dir))
       .select(col("doc_id"), col("shingle_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band signatures as a codegen'd hash aggregate: explode shingles once,
     // 4 min(md5(band:shingle)) columns with map-side partial agg, then
     // stack back to (doc_id, band, sig) rows for the bucket join. Same
@@ -283,10 +295,14 @@ object TextOps {
         min(expr("md5(concat('3:', s))")).as("sig3"))
       .selectExpr("doc_id",
         "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
-    val cand = mh.as("x").join(mh.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // bucket-collect pair generation (see dedup_near_jaccard): one pass
+    // over the signature table instead of a self-join evaluating it twice
+    val cand = mh.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val sa = sh.select(col("doc_id").as("doc_a"), col("shingle_set").as("sa"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("shingle_set").as("sb"))
@@ -353,11 +369,15 @@ object TextOps {
     val bands = sim
       .withColumn("band", explode(array((0 until 4).map(lit): _*)))
       .withColumn("bval", expr("shiftright(simhash, 15 * band) % 32768"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+    // bucket-collect pair generation: fingerprints ride along in the
+    // posting list, so no self-join and no verify lookups — the whole
+    // pipeline is one pass over documents plus one 8-byte-key shuffle
+    val cand = bands.groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), b -> struct(a.doc_id AS doc_a, a.simhash AS ha, b.doc_id AS doc_b, b.simhash AS hb))))")).as("p"))
+      .select(col("p.doc_a"), col("p.ha"), col("p.doc_b"), col("p.hb"))
       .distinct()
     cand
       .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))

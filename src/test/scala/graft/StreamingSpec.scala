@@ -6,7 +6,6 @@ import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming semantics: incremental execution of the SAME
   * transforms the batch suite uses, plus watermark-driven emission and
@@ -25,21 +24,20 @@ class StreamingSpec extends SparkSpec {
     Ev(4, ts("2024-01-01 13:30:00"), 1, "click", 8.00))
 
   test("tumblingHourly emits a closed window once the watermark passes") {
+    // Default (continuous microbatch) trigger with processAllAvailable
+    // barriers: guarantees batch1 and batch2 land in separate microbatches
+    // so the watermark actually advances. (AvailableNow would terminate as
+    // soon as the data present at start is consumed — racy vs. addData.)
     val mem = MemoryStream[Ev](spark)
-    val q = EventStreams.tumblingHourly(mem.toDF())
-      .writeStream.format("memory").queryName("tumbling")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    mem.addData(eventsBatch1: _*)
-    q.processAllAvailable(); q.stop()
-
     val q2 = EventStreams.tumblingHourly(mem.toDF())
       .writeStream.format("memory").queryName("tumbling2")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").start()
+    mem.addData(eventsBatch1: _*)
+    q2.processAllAvailable()
     mem.addData(eventsBatch2: _*)
     q2.processAllAvailable()
     // Closed windows are emitted by a trailing no-data microbatch that
-    // processAllAvailable does not wait for — poll before stopping or a
-    // loaded machine stops the query pre-emission (flaky full-suite run).
+    // processAllAvailable does not wait for — poll before stopping.
     val deadline = System.currentTimeMillis + 30000
     while (spark.table("tumbling2").count() < 2 &&
       System.currentTimeMillis < deadline) Thread.sleep(200)
