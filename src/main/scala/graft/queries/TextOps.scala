@@ -164,6 +164,61 @@ object TextOps {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------
+  // text_bpe_tokens — subword-ish token accounting: a BPE-flavoured regex
+  // (letter runs | digit runs | punctuation runs, on lowercased text)
+  // against plain whitespace tokens — the two tokenizations every
+  // LLM-data budget is quoted in. Pure map-side regexp_extract_all.
+  private val PieceRe = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  private def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.documents(spark, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("pieces",
+        size(expr(s"regexp_extract_all(lower(text), '$PieceRe', 0)")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens").cast("long")).as("n_ws_tokens"),
+        sum(col("pieces").cast("long")).as("n_pieces"),
+        (sum(col("pieces").cast("long")).cast("double") /
+          sum(col("ws_tokens").cast("long"))).as("pieces_per_token"))
+      .orderBy(col("source"))
+  }
+
+  private val bpeTokensSql =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '$PieceRe'))) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '$PieceRe'))) AS DOUBLE)
+       |    / SUM(len(string_split(text, ' '))) AS pieces_per_token
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // doc_rolling_hash — Rabin–Karp polynomial fingerprint over the raw
+  // character stream (base 31 mod 1e9+7), the primitive under
+  // content-defined chunking; identical integer fold in both engines.
+  private def rollingHash(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.documents(spark, dir)
+      .select(
+        col("doc_id"), col("n_chars"),
+        expr(
+          """aggregate(transform(sequence(1, length(text)),
+            |  i -> cast(ascii(substring(text, i, 1)) AS bigint)),
+            |  0L, (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin)
+          .as("rhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val rollingHashSql =
+    """SELECT doc_id, n_chars,
+      |  list_reduce(list_transform(range(1, length(text) + 1),
+      |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // doc_fingerprint — whole-content hash + 1-permutation MinHash (the
   // lexicographic min of shingle hashes). md5 hex is engine-portable.
   private def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -411,6 +466,8 @@ object TextOps {
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    QueryDef("doc_rolling_hash", rollingHash, Some(rollingHashSql)),
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("dedup_docs_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_near_jaccard", nearJaccard, Some(nearJaccardSql)),
