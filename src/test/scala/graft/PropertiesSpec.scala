@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Date
+
+import graft.etl.{Transform, Validate}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties (SURVEY §5.2): the invariants the reference
+  * states in prose, checked over generated inputs.
+  *  - row conservation: clean ∪ rejected ≡ input, disjoint
+  *    ("never drops rows silently", reference src/validate.py:53)
+  *  - upsert idempotency: applying last-write-wins twice ≡ once
+  *    (reference README.md:150)
+  *  - date parse: every date round-trips through each of the 3 accepted
+  *    formats; garbage coerces to null (reference src/transform.py:7-23)
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 15): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genRow: Gen[(String, String, String, String)] = for {
+    id <- Gen.oneOf(Gen.const(null: String), Gen.const("  "),
+      Gen.alphaNumStr.map(s => s"t$s"))
+    qty <- Gen.oneOf(Gen.const("x"), Gen.choose(-3, 9).map(_.toString))
+    price <- Gen.oneOf(Gen.const(null: String), Gen.const("-1.0"),
+      Gen.const("junk"), Gen.choose(1, 9999).map(c => f"${c / 100.0}%.2f"))
+    date <- Gen.oneOf("2024-01-05", "05/02/2024", "Jan 08 2024", "garbage", "")
+  } yield (id, qty, price, date)
+
+  test("property: validation conserves rows and the forks are disjoint") {
+    val prop = Prop.forAll(Gen.listOfN(30, genRow)) { rows =>
+      val df = rows.toDF("transaction_id", "quantity", "unit_price", "transaction_date")
+        .withColumn("customer_id", lit("1"))
+        .withColumn("product_name", lit("Widget"))
+        .withColumn("region", lit("north"))
+        .withColumn("status", lit("completed"))
+      val (clean, rejected) = Validate.split(Transform(df))
+      try {
+        val n = df.count()
+        val c = clean.count()
+        val r = rejected.count()
+        n == c + r
+      } finally {
+        // split persists internally; drop the cache entry between samples
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+    check(prop, n = 10)
+  }
+
+  test("property: last-write-wins merge is idempotent") {
+    def merge(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k")).orderBy(col("batch").desc, col("v"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val genKv = for {
+      k <- Gen.choose(0, 8)
+      batch <- Gen.choose(1, 3)
+      v <- Gen.choose(0, 100)
+    } yield (k, batch, v)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(genKv)) { kvs =>
+      val df = kvs.toDF("k", "batch", "v")
+      val once = merge(df).orderBy("k").collect().toSeq
+      val twice = merge(merge(df)).orderBy("k").collect().toSeq
+      once == twice && once.map(_.getInt(0)).distinct.size == once.size
+    }
+    check(prop, n = 10)
+  }
+
+  test("property: every date round-trips through each accepted format; garbage is null") {
+    val fmts = Seq(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"),
+      java.time.format.DateTimeFormatter.ofPattern("dd/MM/yyyy"),
+      java.time.format.DateTimeFormatter.ofPattern("MMM dd yyyy", java.util.Locale.US))
+    val genDate = Gen.choose(0L, 20000L).map(java.time.LocalDate.ofEpochDay)
+    val prop = Prop.forAll(genDate, Gen.choose(0, 2)) { (d, fi) =>
+      val s = fmts(fi).format(d)
+      val parsed = Seq(s).toDF("c")
+        .select(Transform.parseDate(col("c")).as("d"))
+        .collect().head.getAs[Date]("d")
+      parsed != null && parsed.toLocalDate == d
+    }
+    check(prop)
+
+    val garbage = Seq("2024-13-45", "9/9/9/9", "tomorrow", "", "05-02-2024")
+    val parsed = garbage.toDF("c")
+      .select(Transform.parseDate(col("c")).as("d")).collect()
+    assert(parsed.forall(_.isNullAt(0)))
+  }
+}
