@@ -481,6 +481,55 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // pivot_priority_status — pivot (long → wide): order counts per priority
+  // pivoted across status values. Explicit value list ⇒ deterministic
+  // columns and a single-pass pivot aggregate (no value-discovery job);
+  // oracle spells it as portable conditional aggregation.
+  private def pivotQ(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val pivotSql =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // subquery_above_avg — scalar subquery: orders above the global average
+  // price. Catalyst plans the aggregate once and broadcasts the scalar;
+  // the threshold folds through an exact decimal sum so both engines
+  // compare against the bit-identical double.
+  private def aboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_sq
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders_sq)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val aboveAvgSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // dedup_lineitem — B10 exact dedup, deterministic variant: keep the
   // first row per (l_partkey, l_suppkey) under a total order. This is
   // also the upsert/last-write-wins primitive (row_number = 1).
@@ -525,6 +574,8 @@ object Relational {
     QueryDef("set_except_custkeys", setExcept, Some(setExceptSql)),
     QueryDef("set_union_custkeys", setUnion, Some(setUnionSql)),
     QueryDef("distinct_counts", distinctCounts, Some(distinctCountsSql)),
+    QueryDef("pivot_priority_status", pivotQ, Some(pivotSql)),
+    QueryDef("subquery_above_avg", aboveAvg, Some(aboveAvgSql)),
     QueryDef("approx_distinct_parts", approxDistinct, None),
     QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))
   )

@@ -43,6 +43,16 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the at-least-once → effectively-once repair step in front of any
+    * downstream aggregate. dropDuplicatesWithinWatermark keeps one state
+    * entry per id only until the watermark passes it (bounded state; a
+    * plain dropDuplicates on a stream would grow state forever). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)

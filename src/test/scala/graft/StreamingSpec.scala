@@ -76,6 +76,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") == 1)
   }
 
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStreams.dedupedEvents(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    mem.addData(eventsBatch1: _*)
+    q.processAllAvailable()
+    mem.addData(eventsBatch1.head) // duplicate delivery, same batch window
+    mem.addData(eventsBatch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("deduped").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("flatMapGroupsWithState keeps per-user running totals across batches") {
     val mem = MemoryStream[Ev](spark)
     val q = EventStreams.runningTotals(mem.toDS())
