@@ -50,9 +50,14 @@ object Pipeline {
         .as("status"))
   }
 
-  /** transform + reasons, still carrying the k ordering key. */
+  /** transform + reasons, still carrying the k ordering key. Persisted:
+    * all six pipeline queries share this exact lineage, so Spark's
+    * cache manager (which keys on the canonicalized plan) materializes
+    * the synth+transform+validate work once per session instead of per
+    * query — the same §4.3 fork-once discipline, applied suite-wide. */
   def validated(spark: SparkSession, dir: String): DataFrame =
     Validate.withReasons(Transform(rawSales(spark, dir)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def outCols: Seq[Column] = Seq(
     col("transaction_id"), col("customer_id"), col("product_name"),

@@ -332,9 +332,12 @@ object TextOps {
   // candidate pairs; exact Jaccard verifies. Quadratic work only inside
   // buckets — at J≥0.8 recall is 1-(1-J)^4 ≥ 0.998.
   private def nearMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // project off the SAME persisted (doc_id, lang, shingle_set) lineage
+    // dedup_near_jaccard uses, so both queries share one cache entry
     val sh = withShingles(toks(spark, dir))
-      .select(col("doc_id"), col("shingle_set"))
+      .select(col("doc_id"), col("lang"), col("shingle_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("shingle_set"))
     // Band signatures as a codegen'd hash aggregate: explode shingles once,
     // 4 min(md5(band:shingle)) columns with map-side partial agg, then
     // stack back to (doc_id, band, sig) rows for the bucket join. Same
