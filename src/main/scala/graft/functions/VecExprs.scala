@@ -77,3 +77,18 @@ object VecExprs {
       .createOrReplaceTempFunction(
         "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
 }
+
+/** Session-build-time registration — the public extension point:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * Equivalent to [[VecExprs.register]] but available to sessions the
+  * engine does not construct itself. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(exprs.head, exprs(1))))
+}

@@ -43,6 +43,29 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream–stream interval join: each purchase joined to same-user
+    * clicks at most 1 hour earlier. Both sides watermarked; the time
+    * bound on the join condition is what lets Spark EVICT buffered click
+    * state once the watermark passes click_ts + 1h — an unbounded-range
+    * stream join would buffer both streams forever. Batch execution of
+    * the same function degenerates to the bucketless range join. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the at-least-once → effectively-once repair step in front of any
     * downstream aggregate. dropDuplicatesWithinWatermark keeps one state

@@ -92,6 +92,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks") {
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStreams.clickToPurchase(mem.toDF())
+      .writeStream.format("memory").queryName("c2p")
+      .outputMode("append").start()
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 9.0), // joins click 1
+      Ev(3, ts("2024-01-01 09:00:00"), 2, "click", 1.0),
+      Ev(4, ts("2024-01-01 10:30:00"), 2, "purchase", 9.0), // click too old
+      Ev(5, ts("2024-01-01 10:40:00"), 3, "purchase", 9.0)) // no click
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("c2p")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq((2L, 1L)))
+  }
+
   test("flatMapGroupsWithState keeps per-user running totals across batches") {
     val mem = MemoryStream[Ev](spark)
     val q = EventStreams.runningTotals(mem.toDS())
