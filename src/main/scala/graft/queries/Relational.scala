@@ -481,6 +481,58 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // q13_custdist — TPC-H Q13 shape: aggregation OF an aggregation across
+  // a left join (order count per customer → customer count per order
+  // count). Two shuffles, both on already-reduced data.
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val cust = T.customer(spark, dir)
+    val ord = T.orders(spark, dir)
+    val perCust = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // -------------------------------------------------------------------
+  // window_range_frame — B6 RANGE frame (value-based, vs the row-based
+  // frames above): per order, how many orders the same customer placed in
+  // the trailing 30 days. Ordering key is integer epoch-days so RANGE
+  // arithmetic is exact in both engines.
+  private def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_day"))
+      .rangeBetween(-30, Window.currentRow)
+    T.orders(spark, dir)
+      .withColumn("order_day",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("n_last_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_day"),
+        col("n_last_30d"))
+      .orderBy(col("o_custkey"), col("order_day"), col("o_orderkey"))
+  }
+
+  private val windowRangeSql =
+    """SELECT o_custkey, o_orderkey, order_day,
+      |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY order_day
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_30d
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day
+      |  FROM orders)
+      |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // pivot_priority_status — pivot (long → wide): order counts per priority
   // pivoted across status values. Explicit value list ⇒ deterministic
   // columns and a single-pass pivot aggregate (no value-discovery job);
@@ -569,6 +621,8 @@ object Relational {
     QueryDef("window_rank_orders", windowRank, Some(windowRankSql)),
     QueryDef("window_lag_lead", windowLagLead, Some(windowLagLeadSql)),
     QueryDef("window_running_sum", windowRunning, Some(windowRunningSql)),
+    QueryDef("window_range_frame", windowRange, Some(windowRangeSql)),
+    QueryDef("q13_custdist", q13, Some(q13Sql)),
     QueryDef("topk_global_orders", topkGlobal, Some(topkGlobalSql)),
     QueryDef("set_intersect_custkeys", setIntersect, Some(setIntersectSql)),
     QueryDef("set_except_custkeys", setExcept, Some(setExceptSql)),
