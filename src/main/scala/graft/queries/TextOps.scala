@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Ctx, QueryDef, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis + document dedup for LLM-pipeline workloads (SURVEY §2b
@@ -162,6 +163,97 @@ object TextOps {
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
       |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_tfidf — tf-idf-lite (SURVEY §2b B13): top-3 most characteristic
+  // terms per document. tf = in-doc count; idf = ln(N / df) with exact
+  // integer df from one distinct-terms pass. Two shuffles (term df, doc
+  // top-k), both on reduced data. ln and division are IEEE-identical in
+  // both engines; ties broken lexicographically for determinism.
+  private def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = toks(spark, dir)
+      .select(col("doc_id"), explode(col("tokens")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = T.documents(spark, dir).count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    // round to 6dp BEFORE ranking: JVM Math.log and libm ln disagree in
+    // the last ULP, which would make both the emitted score and the
+    // rank order engine-dependent
+    tf.join(df_, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val tfidfSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tok2 GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term, tf, df.df, ROUND(tf * ln(n.n / df.df), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_sentiment — lexicon-join sentiment scoring (SURVEY §2b B13; the
+  // EDBT'16 Spark-Twitter-sentiment shape, PAPERS.md): a broadcast
+  // lexicon joined against exploded tokens, per-doc net score. At 100 TB
+  // the lexicon is the canonical bounded broadcast dim.
+  private val PosWords = Seq("good", "great", "high", "new", "free")
+  private val NegWords = Seq("bad", "old", "low", "down", "not")
+
+  private def sentiment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = (PosWords.map((_, 1)) ++ NegWords.map((_, -1)))
+      .toDF("term", "polarity")
+    val tok = toks(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("tokens")).as("term"))
+    tok.join(broadcast(lex), Seq("term"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum(coalesce(col("polarity"), lit(0))).cast("long").as("net_score"),
+        sum(when(col("polarity") === 1, 1).otherwise(0)).cast("long").as("n_pos"),
+        sum(when(col("polarity") === -1, 1).otherwise(0)).cast("long").as("n_neg"))
+      .withColumn("label",
+        when(col("net_score") > 0, "positive")
+          .when(col("net_score") < 0, "negative").otherwise("neutral"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sentimentSql = {
+    val pos = PosWords.map(w => s"('$w', 1)").mkString(", ")
+    val neg = NegWords.map(w => s"('$w', -1)").mkString(", ")
+    s"""WITH lex(term, polarity) AS (VALUES $pos, $neg),
+       |tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents)
+       |SELECT doc_id, lang,
+       |  CAST(SUM(COALESCE(polarity, 0)) AS BIGINT) AS net_score,
+       |  CAST(SUM(CASE WHEN polarity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN polarity = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |  CASE WHEN SUM(COALESCE(polarity, 0)) > 0 THEN 'positive'
+       |       WHEN SUM(COALESCE(polarity, 0)) < 0 THEN 'negative'
+       |       ELSE 'neutral' END AS label
+       |FROM tok LEFT JOIN lex ON tok.term = lex.term
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // text_bpe_tokens — subword-ish token accounting: a BPE-flavoured regex
@@ -470,6 +562,8 @@ object TextOps {
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("text_sentiment", sentiment, Some(sentimentSql)),
     QueryDef("doc_rolling_hash", rollingHash, Some(rollingHashSql)),
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("dedup_docs_exact", dedupExact, Some(dedupExactSql)),
