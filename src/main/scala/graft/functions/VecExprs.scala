@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst dot product over two array<double> columns.
   *
@@ -67,15 +68,83 @@ case class VecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Native 3-token shingling over an array<string>: element i is
+  * `tokens[i] + " " + tokens[i+1] + " " + tokens[i+2]`, for
+  * i ∈ [0, size−3]. Bit-identical to the higher-order spelling
+  * `transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))`
+  * but runs as generated Java: the HOF version paid three closure calls
+  * plus a boxed sequence per shingle and dominated the text-suite bench.
+  * Inputs shorter than 3 tokens yield an empty array (callers filter
+  * those out anyway); null elements are treated as absent concat inputs
+  * (split() never produces them).
+  */
+case class WordShingles3(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles3 expects array<string>, got ${other.simpleString}")
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements() - 2
+    if (n <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = UTF8String.concat(
+          a.getUTF8String(i), Space, a.getUTF8String(i + 1), Space,
+          a.getUTF8String(i + 2))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val space = ctx.addReferenceObj("space", Space, classOf[UTF8String].getName)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val u = classOf[UTF8String].getName
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |final int $n = java.lang.Math.max($a.numElements() - 2, 0);
+         |final Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $u.concat($a.getUTF8String($i), $space,
+         |    $a.getUTF8String($i + 1), $space, $a.getUTF8String($i + 2));
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles3"
+}
+
 object VecExprs {
   /** Register vec_dot on an existing session's function registry so both
     * `expr("vec_dot(a, b)")` and SQL text resolve to the codegen
     * expression. Idempotent (createOrReplace). */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(
-        "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "word_shingles3", exprs => WordShingles3(exprs.head), "built-in")
+  }
 }
 
 /** Session-build-time registration — the public extension point:
@@ -84,11 +153,18 @@ object VecExprs {
   * Equivalent to [[VecExprs.register]] but available to sessions the
   * engine does not construct itself. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles3"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordShingles3].getName, "word_shingles3"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles3(exprs.head)))
+  }
 }

@@ -25,17 +25,19 @@ object TextOps {
   /** doc_id, tokens (space-split; the corpus is single-space word soup) */
   private def toks(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
     T.documents(spark, dir)
       .withColumn("tokens", split(col("text"), " "))
   }
 
-  /** 3-token shingles, 0-indexed transform over a sequence — the direct
-    * Spark analogue of a sliding window over the token array.
+  /** 3-token shingles via the codegen'd WordShingles3 expression — the
+    * sliding window over the token array. (The HOF spelling,
+    * `transform(sequence(0, size-3), i -> concat(...))`, computes the
+    * same array but interpreted; it was the text-suite hotspot.)
     */
   private def withShingles(df: DataFrame): DataFrame = df
     .filter(size(col("tokens")) >= 3)
-    .withColumn("shingles",
-      expr("transform(sequence(0, size(tokens)-3), i -> concat(tokens[i], ' ', tokens[i+1], ' ', tokens[i+2]))"))
+    .withColumn("shingles", expr("word_shingles3(tokens)"))
     .withColumn("shingle_set", array_distinct(col("shingles")))
 
   // -------------------------------------------------------------------

@@ -38,6 +38,23 @@ class VecDotSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("word_shingles3 ≡ the HOF transform spelling, including short inputs") {
+    VecExprs.register(spark)
+    val df = Seq(
+      "the quick brown fox jumps",
+      "a b c",
+      "one two",
+      "solo",
+      "").toDF("text").select(split(col("text"), " ").as("tokens"))
+    val r = df.select(
+      expr("word_shingles3(tokens)").as("fast"),
+      expr("CASE WHEN size(tokens) >= 3 THEN transform(sequence(0, size(tokens)-3), i -> concat(tokens[i], ' ', tokens[i+1], ' ', tokens[i+2])) ELSE array() END").as("ref"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getSeq[String](0) == row.getSeq[String](1))
+    }
+  }
+
   test("vec_dot also evaluates correctly on the interpreted path") {
     // Force the non-codegen evaluator: same inputs, same results.
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
