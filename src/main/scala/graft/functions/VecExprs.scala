@@ -166,5 +166,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[WordShingles3].getName, "word_shingles3"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles3(exprs.head)))
+    ext.injectOptimizerRule(_ => graft.plans.ShingleRewrite)
   }
 }
