@@ -133,6 +133,64 @@ case class WordShingles3(child: Expression)
   override def prettyName: String = "word_shingles3"
 }
 
+/** md5-hex of every element, sorted ascending: the shingle-index building
+  * block `array_sort(transform(arr, s -> md5(s)))` as one generated loop
+  * (the HOF spelling pays a closure per element plus an interpreted
+  * comparator per swap). Byte-wise UTF8String order ≡ lexicographic order
+  * on lowercase-hex ASCII, so results are identical to the built-ins.
+  * Null elements are not supported (inputs come from split()).
+  */
+case class ArrayMd5Sorted(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_md5_sorted expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromString(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          a.getUTF8String(i).getBytes))
+      i += 1
+    }
+    java.util.Arrays.sort(out.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val u = classOf[UTF8String].getName
+      val gad = classOf[GenericArrayData].getName
+      val dig = "org.apache.commons.codec.digest.DigestUtils"
+      s"""
+         |final int $n = $a.numElements();
+         |final Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $u.fromString($dig.md5Hex($a.getUTF8String($i).getBytes()));
+         |}
+         |java.util.Arrays.sort($out);
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "array_md5_sorted"
+}
+
 object VecExprs {
   /** Register vec_dot on an existing session's function registry so both
     * `expr("vec_dot(a, b)")` and SQL text resolve to the codegen
@@ -144,6 +202,8 @@ object VecExprs {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "word_shingles3", exprs => WordShingles3(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "array_md5_sorted", exprs => ArrayMd5Sorted(exprs.head), "built-in")
   }
 }
 

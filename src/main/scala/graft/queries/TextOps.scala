@@ -371,7 +371,7 @@ object TextOps {
     // 0.8·n would over-shorten the prefix at multiples of 5 and lose
     // recall). Cuts index size ~5× and candidate pairs ~25×.
     val inv = sh
-      .withColumn("hs", expr("array_sort(transform(shingle_set, s -> md5(s)))"))
+      .withColumn("hs", expr("array_md5_sorted(shingle_set)"))
       .withColumn("plen",
         size(col("shingle_set")) - expr("(4 * size(shingle_set) + 4) div 5") + lit(1))
       .select(col("doc_id"), col("lang"),

@@ -55,6 +55,16 @@ class VecDotSpec extends SparkSpec {
     }
   }
 
+  test("array_md5_sorted ≡ array_sort(transform(md5)) spelling") {
+    VecExprs.register(spark)
+    val df = Seq(Seq("zebra", "apple", "mango", ""), Seq("x"), Seq.empty[String])
+      .toDF("arr")
+    val r = df.select(
+      expr("array_md5_sorted(arr)").as("fast"),
+      expr("array_sort(transform(arr, s -> md5(s)))").as("ref")).collect()
+    r.foreach(row => assert(row.getSeq[String](0) == row.getSeq[String](1)))
+  }
+
   test("vec_dot also evaluates correctly on the interpreted path") {
     // Force the non-codegen evaluator: same inputs, same results.
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
