@@ -21,8 +21,22 @@ object Transform {
     */
   val DateFormats: Seq[String] = Seq("yyyy-MM-dd", "dd/MM/yyyy", "MMM dd yyyy")
 
-  def parseDate(c: Column): Column =
-    coalesce(DateFormats.map(f => to_date(trim(c), f)): _*)
+  /** Shape-dispatched: each format's candidate strings are recognized by
+    * regex BEFORE to_date runs, so the common case costs one regex probe
+    * and one parse instead of up to three exception-driven parse failures
+    * (the `coalesce(to_date×3)` spelling pays a thrown/caught
+    * DateTimeParseException per non-matching format per row). The shapes
+    * are disjoint and exhaustive over what the three formats accept, so
+    * semantics are identical to the try-in-order loop — pinned by
+    * TransformSpec and the PropertiesSpec round-trip.
+    */
+  def parseDate(c: Column): Column = {
+    val t = trim(c)
+    when(t.rlike("^\\d{4}-\\d{2}-\\d{2}$"), to_date(t, "yyyy-MM-dd"))
+      .when(t.rlike("^\\d{2}/\\d{2}/\\d{4}$"), to_date(t, "dd/MM/yyyy"))
+      .when(t.rlike("^[A-Za-z]{3} \\d{2} \\d{4}$"), to_date(t, "MMM dd yyyy"))
+      .otherwise(lit(null).cast("date"))
+  }
 
   /** Full transform: casts (F1), date parse (F2), string normalization
     * (F3-F5), status lower→fill-"unknown" order preserved (F6,
