@@ -418,6 +418,67 @@ object Relational {
       |ORDER BY o_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // set ops, ALL variants (B9): bag semantics — duplicates preserved
+  // exactly (Spark plans these as aggregate+generate over per-side
+  // counts, not a distinct).
+  private def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+    a.intersectAll(b).orderBy(col("o_custkey"))
+  }
+
+  private val setIntersectAllSql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin
+
+  private def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+    a.exceptAll(b).orderBy(col("o_custkey"))
+  }
+
+  private val setExceptAllSql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // join_full_years — B1 full outer join: per-customer order counts for
+  // two years, keeping customers active in either (keys coalesced).
+  private def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_custkey").as("k97")).agg(count(lit(1)).as("n_1997"))
+    val b = o.filter(year(col("o_orderdate")) === 1998)
+      .groupBy(col("o_custkey").as("k98")).agg(count(lit(1)).as("n_1998"))
+    a.join(b, col("k97") === col("k98"), "full_outer")
+      .select(
+        coalesce(col("k97"), col("k98")).as("o_custkey"),
+        coalesce(col("n_1997"), lit(0L)).as("n_1997"),
+        coalesce(col("n_1998"), lit(0L)).as("n_1998"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val joinFullSql =
+    """SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+      |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_1997,
+      |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_1998
+      |FROM (SELECT o_custkey, COUNT(*) AS n FROM orders
+      |      WHERE year(o_orderdate) = 1997 GROUP BY o_custkey) a
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders
+      |      WHERE year(o_orderdate) = 1998 GROUP BY o_custkey) b
+      |  ON a.o_custkey = b.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // set_union_custkeys — B9 UNION (distinct) with provenance counts: which
   // side(s) each key came from, via a pre-aggregated unionByName (partial
   // aggregation on each branch before the union ⇒ the union shuffles
@@ -627,6 +688,9 @@ object Relational {
     QueryDef("set_intersect_custkeys", setIntersect, Some(setIntersectSql)),
     QueryDef("set_except_custkeys", setExcept, Some(setExceptSql)),
     QueryDef("set_union_custkeys", setUnion, Some(setUnionSql)),
+    QueryDef("set_intersect_all_custkeys", setIntersectAll, Some(setIntersectAllSql)),
+    QueryDef("set_except_all_custkeys", setExceptAll, Some(setExceptAllSql)),
+    QueryDef("join_full_years", joinFull, Some(joinFullSql)),
     QueryDef("distinct_counts", distinctCounts, Some(distinctCountsSql)),
     QueryDef("pivot_priority_status", pivotQ, Some(pivotSql)),
     QueryDef("subquery_above_avg", aboveAvg, Some(aboveAvgSql)),
