@@ -557,6 +557,81 @@ object TextOps {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_clusters — the step that actually DEDUPLICATES: near-dup pairs
+  // (SimHash hamming ≤ 3, same edge set as dedup_near_simhash) are a
+  // graph; connected components pick one survivor per cluster
+  // (cluster_rep = min doc_id). Spark side: min-label propagation to
+  // fixpoint — each round is one shuffle join (labels ⋈ edges) + a
+  // map-side min; rounds = component diameter (near-dup clusters are
+  // tiny, so 2–3 rounds; the driver-side loop checks convergence on a
+  // count, not on data). At 100 TB this is the standard iterative-CC
+  // shape (large-star/small-star refines it; same plan per round).
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearSimhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    // localCheckpoint, NOT persist: persist caches data but the logical
+    // plan still nests — labels_{r+1} embeds labels_r three times, so the
+    // plan grows exponentially with rounds and the ANALYZER (not the
+    // data) exhausts the heap. Checkpointing truncates lineage to a
+    // LogicalRDD so every round's plan is constant-size. Same medicine
+    // any iterative Spark algorithm needs (PageRank, k-means, CC).
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, edges("doc_b") === labels("id"))
+        .groupBy(col("doc_a")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(prop, labels("id") === prop("doc_a"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nbr_min"), labels("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("is_survivor", (col("doc_id") === col("cluster_rep")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle: recursive reachability over the same (bidirectional) edge set;
+  // cluster_rep = min reachable node. Terminates because UNION dedups.
+  private val dedupClustersSql =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text,' ') AS tokens FROM documents),
+      |h AS (SELECT doc_id,
+      |  list_transform(tokens, t -> list_reduce(
+      |     list_transform(range(1,16), i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+      |     (a,b) -> a*16 + b)) AS hashes FROM t),
+      |s AS (SELECT doc_id,
+      |  list_reduce(list_transform(range(0,60), i ->
+      |    CASE WHEN list_reduce(list_transform(hashes, x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END), (a,b)->a+b) > 0
+      |         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), (a,b)->a+b) AS simhash
+      |  FROM h),
+      |b AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM s),
+      |bb AS (SELECT doc_id, simhash, band, (simhash >> (15*band)) & 32767 AS bval FROM b),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bb x JOIN bb y ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+      |edges AS (SELECT doc_a, doc_b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT DISTINCT doc_a, doc_a FROM edges
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a)
+      |SELECT src AS doc_id, MIN(dst) AS cluster_rep,
+      |  CAST(CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS INT) AS is_survivor
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
@@ -571,6 +646,7 @@ object TextOps {
     QueryDef("dedup_docs_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_near_jaccard", nearJaccard, Some(nearJaccardSql)),
     QueryDef("dedup_near_minhash", nearMinhash, Some(nearMinhashSql)),
-    QueryDef("dedup_near_simhash", nearSimhash, Some(nearSimhashSql))
+    QueryDef("dedup_near_simhash", nearSimhash, Some(nearSimhashSql)),
+    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql))
   )
 }
