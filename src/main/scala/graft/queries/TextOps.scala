@@ -569,54 +569,7 @@ object TextOps {
   // shape (large-star/small-star refines it; same plan per round).
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearSimhash(spark, dir).select(col("doc_a"), col("doc_b"))
-    // localCheckpoint, NOT persist: persist caches data but the logical
-    // plan still nests — labels_{r+1} embeds labels_r three times, so the
-    // plan grows exponentially with rounds and the ANALYZER (not the
-    // data) exhausts the heap. Checkpointing truncates lineage to a
-    // LogicalRDD so every round's plan is constant-size. Same medicine
-    // any iterative Spark algorithm needs (PageRank, k-means, CC).
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    // init with the first neighbor-min round folded in (label = min(id,
-    // neighbors)); each round then combines neighbor-min propagation with
-    // pointer doubling (label ← label(label)) — rounds drop from O(diameter)
-    // to O(log diameter), which is what bounds wall-clock on chain-shaped
-    // clusters. Convergence is checked on a carried old-label column, no
-    // extra join.
-    // iteration state is tiny relative to the corpus (only docs that have
-    // a near-dup); size the loop's shuffles to it instead of the session
-    // default — one partition per ~1M edges, restored after the loop
-    val spark2 = edges.sparkSession
-    val savedParts = spark2.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, edges.count() / 1000000L).toString
-    spark2.conf.set("spark.sql.shuffle.partitions", loopParts)
-    var labels = edges.groupBy(col("doc_a").as("id"))
-      .agg(min(col("doc_b")).as("nbr0"))
-      .select(col("id"), least(col("id"), col("nbr0")).as("label"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 40) {
-      val viaNbr = edges.join(labels, edges("doc_b") === labels("id"))
-        .groupBy(col("doc_a").as("nid")).agg(min(col("label")).as("nbr_min"))
-      val viaPtr = labels.as("l")
-        .join(labels.as("p"), col("l.label") === col("p.id"))
-        .select(col("l.id").as("pid"), col("p.label").as("ptr_min"))
-      val next = labels
-        .join(viaNbr, labels("id") === col("nid"), "left")
-        .join(viaPtr, labels("id") === col("pid"), "left")
-        .select(labels("id"), labels("label").as("old"),
-          least(labels("label"),
-            coalesce(col("nbr_min"), labels("label")),
-            coalesce(col("ptr_min"), labels("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("id"), col("label"))
-      rounds += 1
-    }
-    spark2.conf.set("spark.sql.shuffle.partitions", savedParts)
-    labels
+    graft.ops.Graph.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .withColumn("is_survivor", (col("doc_id") === col("cluster_rep")).cast("int"))
       .orderBy(col("doc_id"))

@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.Graph
+
+/** Connected components on known topologies — the loop logic behind
+  * dedup_clusters, exercised directly. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, triangle, isolated pair, disjoint components") {
+    val labels = cc(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain: diameter > 1 round
+      (10L, 11L), (11L, 12L), (10L, 12L),     // triangle
+      (20L, 21L)))                            // pair
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+    assert(labels.size == 10)
+  }
+
+  test("long chain converges (pointer doubling beats the 40-round cap)") {
+    // path of 120 vertices — diameter 119; plain propagation would need
+    // 119 rounds, the cap is 40, so convergence proves the log-rounds path
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels.values.toSet == Set(0L))
+    assert(labels.size == 120)
+  }
+
+  test("reversed and duplicated edges change nothing") {
+    val labels = cc(Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 1L)))
+    assert(Seq(1L, 3L, 5L).forall(labels(_) == 1L))
+  }
+}
