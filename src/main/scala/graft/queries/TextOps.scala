@@ -289,6 +289,27 @@ object TextOps {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------
+  // text_redact — masking/normalization pass (the PII-scrub shape every
+  // training-data pipeline runs before tokenization): digit runs → <NUM>,
+  // with a per-doc mask count. Pure map-side regexp work.
+  private def redact(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_masked"),
+        substring(regexp_replace(col("text"), "[0-9]+", "<NUM>"), 1, 80)
+          .as("redacted_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val redactSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_masked,
+      |  substr(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), 1, 80) AS redacted_head
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // doc_rolling_hash — Rabin–Karp polynomial fingerprint over the raw
   // character stream (base 31 mod 1e9+7), the primitive under
   // content-defined chunking; identical integer fold in both engines.
@@ -615,6 +636,7 @@ object TextOps {
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("text_sentiment", sentiment, Some(sentimentSql)),
     QueryDef("doc_rolling_hash", rollingHash, Some(rollingHashSql)),
+    QueryDef("text_redact", redact, Some(redactSql)),
     QueryDef("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("dedup_docs_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_near_jaccard", nearJaccard, Some(nearJaccardSql)),
