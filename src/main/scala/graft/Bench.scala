@@ -16,16 +16,27 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     // sorted: deterministic run order, so shared-cache build costs land on
-    // the same (alphabetically first) query in every round's BENCH json
+    // the same (alphabetically first) query in every round's BENCH json.
+    // Failures are RECORDED, never swallowed: the failed attempt's elapsed
+    // time still counts toward the total (a broken query must not flatter
+    // the bench) and its error surfaces in the "errors" object.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.toString).getOrElse("error")
+            .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(300))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s"\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    val nErr = results.count(_._3.nonEmpty)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

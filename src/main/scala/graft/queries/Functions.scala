@@ -131,9 +131,12 @@ object Functions {
 
   // -------------------------------------------------------------------
   // fn_median_value — exact-median Aggregator per event_type (DuckDB
-  // interpolation rule). Group buffers hold the group's values — right
-  // for bounded-cardinality groups; percentile_approx is the raw-scale
-  // path and is asserted against this in the test suite.
+  // interpolation rule). CAUTION — memory bound: each group's buffer
+  // holds every value in the group, so this is strictly for
+  // bounded-size groups (here ~N/5 doubles per buffer — fine at test
+  // SF, an executor OOM at raw scale). The production path for
+  // unbounded groups is fn_median_approx below (percentile_approx,
+  // O(accuracy) buffer), gated against DuckDB with a tolerance oracle.
   private def median(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val med = udaf(Udafs.ExactMedian)
@@ -148,10 +151,41 @@ object Functions {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // fn_median_approx — the bounded-memory scale path for medians:
+  // percentile_approx (Greenwald–Khanna summary, O(accuracy) buffer per
+  // group) instead of ExactMedian's O(group-size) buffer above.
+  // Approx sketches aren't bit-reproducible across engines, so the gated
+  // claim is the error CONTRACT: each engine checks its own approx
+  // median against its own exact median and reports whether it lands
+  // within 0.5% — both must say yes. (DuckDB's approx_quantile is a
+  // t-digest; same contract, different sketch.) The exact percentile
+  // here is the check, not the scale path.
+  private def medianApprox(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"),
+        expr("percentile(value, 0.5)").as("exact_med"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (abs(col("approx_med") - col("exact_med")) <=
+          greatest(abs(col("exact_med")), lit(1.0)) * 0.005).as("within_tol"))
+      .orderBy(col("event_type"))
+  }
+
+  private val medianApproxSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  abs(approx_quantile(value, 0.5) - median(value))
+      |    <= greatest(abs(median(value)), 1.0) * 0.005 AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("fn_scalar_battery", battery, Some(batterySql)),
     QueryDef("fn_date_parse_udf", dateParse, Some(dateParseSql)),
     QueryDef("fn_weighted_avg", weightedAvg, Some(weightedAvgSql)),
-    QueryDef("fn_median_value", median, Some(medianSql))
+    QueryDef("fn_median_value", median, Some(medianSql)),
+    QueryDef("fn_median_approx", medianApprox, Some(medianApproxSql))
   )
 }

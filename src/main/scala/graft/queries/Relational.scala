@@ -542,6 +542,66 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // approx_distinct_check — closes the sketch-vs-oracle gap left by
+  // approx_distinct_parts: HLL sketches aren't bit-reproducible across
+  // engines, but the *error contract* is. Each engine computes its own
+  // approx distinct (Spark HLL++ rsd=0.005, DuckDB HyperLogLog) and its
+  // own exact distinct, and emits whether the approximation landed
+  // within 2% relative error — a boolean both engines can agree on.
+  // The sketch is the one-pass 100 TB path; the exact distinct here is
+  // the check, not the plan.
+  private def approxDistinctCheck(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.005).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.02).as("within_2pct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val approxDistinctCheckSql =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey)) * 1.0
+      |    / COUNT(DISTINCT l_partkey) <= 0.02 AS within_2pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // salted_agg_orders — graft.ops.Skew.saltedAggregate run through the
+  // correctness gate: revenue + order count per order status (3 hot
+  // keys — exactly the cardinality where one reducer would take the
+  // whole table at scale, the case AQE's skew splitting can't reach for
+  // aggregation). Phase 1 groups on (status, salt-of-row) across 16
+  // buckets; phase 2 merges partials on status. The oracle is the PLAIN
+  // unsalted GROUP BY — the rewrite is only correct if they agree on
+  // real data. Decimal partials keep the sums exact, so the two-phase
+  // merge cannot drift from the one-phase answer.
+  private def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val dec = DecimalType(18, 2)
+    val base = T.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    graft.ops.Skew.saltedAggregate(base, Seq("o_orderstatus"), buckets = 16)(
+      partial = Seq(
+        sum(col("o_totalprice").cast(dec)).as("p_rev"),
+        count(lit(1)).as("p_n")),
+      merge = Seq(
+        sum(col("p_rev")).cast("double").as("revenue"),
+        sum(col("p_n")).as("n_orders")))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val saltedAggSql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
   // q13_custdist — TPC-H Q13 shape: aggregation OF an aggregation across
   // a left join (order count per customer → customer count per order
   // count). Two shuffles, both on already-reduced data.
@@ -695,6 +755,8 @@ object Relational {
     QueryDef("pivot_priority_status", pivotQ, Some(pivotSql)),
     QueryDef("subquery_above_avg", aboveAvg, Some(aboveAvgSql)),
     QueryDef("approx_distinct_parts", approxDistinct, None),
+    QueryDef("approx_distinct_check", approxDistinctCheck, Some(approxDistinctCheckSql)),
+    QueryDef("salted_agg_orders", saltedAgg, Some(saltedAggSql)),
     QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))
   )
 }

@@ -172,6 +172,11 @@ object TextOps {
   // integer df from one distinct-terms pass. Two shuffles (term df, doc
   // top-k), both on reduced data. ln and division are IEEE-identical in
   // both engines; ties broken lexicographically for determinism.
+  //
+  // N enters the plan as a broadcast one-row aggregate (the same CROSS
+  // JOIN n its oracle spells) — NOT a driver-side count() at build time,
+  // which at 100 TB would be a blocking full scan before the query even
+  // starts, plus a second scan when it runs.
   private def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val tok = toks(spark, dir)
       .select(col("doc_id"), explode(col("tokens")).as("term"))
@@ -180,14 +185,16 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val df_ = tok.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = T.documents(spark, dir).count()
+    val n = T.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     // round to 6dp BEFORE ranking: JVM Math.log and libm ln disagree in
     // the last ULP, which would make both the emitted score and the
     // rank order engine-dependent
     tf.join(df_, "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),

@@ -51,6 +51,57 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("emb_neardup_pairs: block-partitioned pair join is an equi-join — no cartesian/BNLJ") {
+    val p = plan("emb_neardup_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_tfidf builds lazily — zero table rows read at plan construction") {
+    // Round-1 bug: a driver-side documents.count() at build time — a full
+    // table scan before the query even ran. Parquet schema-inference /
+    // file-listing jobs are fine (metadata, scales with file count); what
+    // must not happen is a build-time job reading table ROWS. Job-group
+    // tagging is thread-local, so concurrent suites can't pollute this.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+    val sc = spark.sparkContext
+    val group = "graft-lazy-tfidf"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        if (Option(e.properties).exists(_.getProperty("spark.jobGroup.id") == group))
+          stages.add(e.stageInfo.stageId)
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (stages.contains(e.stageId) && e.taskMetrics != null)
+          rows.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(group, "lazy build check", interruptOnCancel = false)
+      try SparkEntry.queries("text_tfidf")(spark, sf).queryExecution.executedPlan
+      finally sc.clearJobGroup()
+      // marker job in its OWN group (so its 1 range-record isn't counted):
+      // it starts only after any build-time job has finished
+      val marker = "graft-lazy-marker"
+      sc.setJobGroup(marker, "flush", interruptOnCancel = false)
+      try spark.range(1).count()
+      finally sc.clearJobGroup()
+      // listener bus is async but ordered: once the marker job is visible,
+      // every earlier build-time task-end has been delivered
+      val deadline = System.currentTimeMillis() + 10000
+      var ids = Array.empty[Int]
+      while (ids.isEmpty && System.currentTimeMillis() < deadline) {
+        ids = sc.statusTracker.getJobIdsForGroup(marker)
+        if (ids.isEmpty) Thread.sleep(50)
+      }
+      assert(ids.nonEmpty, "marker job never surfaced in the status tracker")
+      Thread.sleep(200) // marker's own task-end events
+      assert(rows.get() == 0,
+        s"plan construction read ${rows.get()} table rows — build must be lazy")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("similarity queries run the codegen'd vec_dot, not the HOF fold") {
     val p = plan("emb_neardup_pairs")
     assert(p.contains("vec_dot"), p)
