@@ -33,21 +33,37 @@ import org.apache.spark.sql.types._
 object JdbcUpsert {
 
   sealed trait Dialect {
-    def upsertSql(table: String, schema: StructType, keyCols: Seq[String]): String
+    /** `auditTimestampCol`: a `TIMESTAMP DEFAULT CURRENT_TIMESTAMP` audit
+      * column (reference `loaded_at`, src/load.py:44) stamped explicitly
+      * on the INSERT branch and left untouched on update — explicit
+      * because Derby 10.16's MERGE compiler NPEs when the implicit
+      * insert-row has to materialize a CURRENT_TIMESTAMP default
+      * (CurrentDatetimeOperatorNode), and an explicit stamp is
+      * equivalent and portable. */
+    def upsertSql(table: String, schema: StructType, keyCols: Seq[String],
+        auditTimestampCol: Option[String] = None): String
     /** Column indices to bind, in the order the statement's ?-markers
       * appear. Postgres binds each column once; MERGE-over-dummy-table
       * repeats columns across the ON / UPDATE / INSERT clauses. */
     def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int] =
       schema.fieldNames.indices.toSeq
+    /** Auto-increment surrogate-key column DDL (the reference's
+      * `id SERIAL` on rejected_rows, src/load.py:45). */
+    def identityColSql(name: String): String =
+      s"$name INTEGER GENERATED ALWAYS AS IDENTITY" // ANSI; Derby/DB2
   }
 
   case object Postgres extends Dialect {
-    def upsertSql(table: String, schema: StructType, keyCols: Seq[String]): String = {
+    override def identityColSql(name: String): String = s"$name SERIAL"
+    def upsertSql(table: String, schema: StructType, keyCols: Seq[String],
+        auditTimestampCol: Option[String] = None): String = {
       val cols = schema.fieldNames.toSeq
       val nonKey = cols.filterNot(keyCols.contains)
+      val insertCols = cols ++ auditTimestampCol
+      val insertVals = cols.map(_ => "?") ++ auditTimestampCol.map(_ => "CURRENT_TIMESTAMP")
       val updates = nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")
-      s"""INSERT INTO $table (${cols.mkString(", ")})
-         |VALUES (${cols.map(_ => "?").mkString(", ")})
+      s"""INSERT INTO $table (${insertCols.mkString(", ")})
+         |VALUES (${insertVals.mkString(", ")})
          |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates""".stripMargin
     }
   }
@@ -59,19 +75,22 @@ object JdbcUpsert {
     * `AnsiMerge("dual")`. */
   final case class AnsiMerge(dummyTable: String = "SYSIBM.SYSDUMMY1")
       extends Dialect {
-    def upsertSql(table: String, schema: StructType, keyCols: Seq[String]): String = {
+    def upsertSql(table: String, schema: StructType, keyCols: Seq[String],
+        auditTimestampCol: Option[String] = None): String = {
       val cols = schema.fieldNames.toSeq
       val nonKey = cols.filterNot(keyCols.contains)
       def cast(c: String) =
         s"CAST(? AS ${sqlType(schema(schema.fieldIndex(c)).dataType)})"
       val on = keyCols.map(k => s"t.$k = ${cast(k)}").mkString(" AND ")
       val updates = nonKey.map(c => s"t.$c = ${cast(c)}").mkString(", ")
+      val insertCols = cols ++ auditTimestampCol
+      val insertVals = cols.map(cast) ++ auditTimestampCol.map(_ => "CURRENT_TIMESTAMP")
       s"""MERGE INTO $table t
          |USING $dummyTable d
          |ON $on
          |WHEN MATCHED THEN UPDATE SET $updates
-         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
-         |  VALUES (${cols.map(cast).mkString(", ")})""".stripMargin
+         |WHEN NOT MATCHED THEN INSERT (${insertCols.mkString(", ")})
+         |  VALUES (${insertVals.mkString(", ")})""".stripMargin
     }
     override def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int] = {
       val idx = schema.fieldNames.zipWithIndex.toMap
@@ -117,11 +136,14 @@ object JdbcUpsert {
     }
   }
 
-  /** Upsert every row of `df` into `table`, keyed on `keyCols`. */
+  /** Upsert every row of `df` into `table`, keyed on `keyCols`.
+    * `auditTimestampCol` stamps inserts with CURRENT_TIMESTAMP (the
+    * reference's loaded_at audit column); updates leave it untouched. */
   def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      dialect: Dialect = Postgres, batchSize: Int = 1000): Unit = {
+      dialect: Dialect = Postgres, batchSize: Int = 1000,
+      auditTimestampCol: Option[String] = None): Unit = {
     val schema = df.schema
-    val sql = dialect.upsertSql(table, schema, keyCols)
+    val sql = dialect.upsertSql(table, schema, keyCols, auditTimestampCol)
     val order = dialect.bindOrder(schema, keyCols)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
@@ -140,11 +162,18 @@ object JdbcUpsert {
           conn.commit()
           ps.close()
         } catch {
-          case e: Throwable => conn.rollback(); throw e
+          case e: Throwable => rollbackQuietly(conn, e); throw e
         } finally conn.close()
       }
     }
   }
+
+  /** Roll back without masking the original failure: some drivers
+    * (Derby) kill the connection on a batch error, so the rollback
+    * itself can throw — that secondary error must ride along as a
+    * suppressed exception, not replace the root cause. */
+  private def rollbackQuietly(conn: Connection, cause: Throwable): Unit =
+    try conn.rollback() catch { case r: Throwable => cause.addSuppressed(r) }
 
   /** Dead-letter append (reference src/load.py:106-141): plain batched
     * INSERT — no conflict handling, every rejected row is preserved. */
@@ -171,7 +200,7 @@ object JdbcUpsert {
           conn.commit()
           ps.close()
         } catch {
-          case e: Throwable => conn.rollback(); throw e
+          case e: Throwable => rollbackQuietly(conn, e); throw e
         } finally conn.close()
       }
     }
@@ -179,13 +208,32 @@ object JdbcUpsert {
 
   /** DDL bootstrap (reference src/load.py:24-58): driver-side
     * CREATE-TABLE-IF-NOT-EXISTS before any load. Not a migration tool —
-    * same caveat the reference states (docs/documentation.md:166-168). */
+    * same caveat the reference states (docs/documentation.md:166-168).
+    *
+    * Audit columns mirror the reference's DDL exactly:
+    *  - `auditTimestampCol` → `TIMESTAMP DEFAULT CURRENT_TIMESTAMP`
+    *    (`loaded_at` on the clean table, `rejected_at` on the dead
+    *    letter — src/load.py:44,52). Loads never bind it; the DB stamps
+    *    each insert.
+    *  - `identityCol` → auto-increment surrogate key (`id SERIAL
+    *    PRIMARY KEY` on rejected_rows, src/load.py:45); becomes the PK
+    *    when no natural `keyCols` are given, which is what lets the
+    *    dead-letter table keep duplicate rejected rows apart. */
   def ensureTable(url: String, table: String, schema: StructType,
-      keyCols: Seq[String], ifNotExistsSyntax: Boolean = true): Unit = {
-    val colDefs = schema.fields.map { f =>
+      keyCols: Seq[String], ifNotExistsSyntax: Boolean = true,
+      identityCol: Option[String] = None,
+      auditTimestampCol: Option[String] = None,
+      dialect: Dialect = Postgres): Unit = {
+    val idDef = identityCol.map { c =>
+      val pk = if (keyCols.isEmpty) " PRIMARY KEY" else ""
+      s"${dialect.identityColSql(c)}$pk"
+    }
+    val dataDefs = schema.fields.map { f =>
       val nn = if (!f.nullable || keyCols.contains(f.name)) " NOT NULL" else ""
       s"${f.name} ${sqlType(f.dataType)}$nn"
     }
+    val tsDef = auditTimestampCol.map(c => s"$c TIMESTAMP DEFAULT CURRENT_TIMESTAMP")
+    val colDefs = idDef.toSeq ++ dataDefs ++ tsDef.toSeq
     val pk =
       if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
     val ddl = s"CREATE TABLE $table (${colDefs.mkString(", ")}$pk)"

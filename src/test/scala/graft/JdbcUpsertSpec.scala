@@ -69,6 +69,72 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(q1("SELECT COUNT(*) FROM rejected_rows") == 2)
   }
 
+  test("spark.read.jdbc closes the loop: the loaded table reads back through Spark") {
+    // reference test_postgres_data.py:9-26 — verify the load FROM the
+    // engine's own read path, not a raw JDBC cursor
+    val back = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "sales")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+    assert(back.count() == 4)
+    assert(back.columns.map(_.toLowerCase).sorted
+      === Array("customer_id", "total_sale", "transaction_id"))
+    val t2 = back.filter($"TRANSACTION_ID" === "t2")
+      .select("CUSTOMER_ID").collect()
+    assert(t2.map(_.getInt(0)).toSeq == Seq(99))
+  }
+
+  test("reference-faithful DDL: identity dead-letter key + default audit timestamps") {
+    // reference src/load.py:34-53: loaded_at/rejected_at TIMESTAMP
+    // DEFAULT CURRENT_TIMESTAMP, id SERIAL PRIMARY KEY on rejected_rows.
+    // Neither column is ever bound by a load — the DB stamps them.
+    val dlSchema = StructType(Seq(
+      StructField("transaction_id", StringType),
+      StructField("raw_data", StringType),
+      StructField("rejection_reason", StringType, nullable = false)))
+    JdbcUpsert.ensureTable(url, "rejected_audit", dlSchema, Nil,
+      ifNotExistsSyntax = false, identityCol = Some("id"),
+      auditTimestampCol = Some("rejected_at"), dialect = JdbcUpsert.AnsiMerge())
+    val dl = Seq(("t9", "{...}", "bad price"), ("t9", "{...}", "bad price"))
+      .toDF("transaction_id", "raw_data", "rejection_reason")
+    JdbcUpsert.append(dl, url, "rejected_audit")
+    // identity keeps duplicate rejections apart; timestamp default fired
+    assert(q1("SELECT COUNT(DISTINCT id) FROM rejected_audit") == 2)
+    assert(q1("SELECT COUNT(*) FROM rejected_audit WHERE rejected_at IS NOT NULL") == 2)
+
+    val cleanSchema = StructType(Seq(
+      StructField("transaction_id", StringType, nullable = false),
+      StructField("total_sale", DoubleType)))
+    JdbcUpsert.ensureTable(url, "sales_audit", cleanSchema, Seq("transaction_id"),
+      ifNotExistsSyntax = false, auditTimestampCol = Some("loaded_at"),
+      dialect = JdbcUpsert.AnsiMerge())
+    val df = Seq(("t1", 10.0), ("t2", 20.0)).toDF("transaction_id", "total_sale")
+    JdbcUpsert.upsert(df, url, "sales_audit", Seq("transaction_id"),
+      JdbcUpsert.AnsiMerge(), auditTimestampCol = Some("loaded_at"))
+    assert(q1("SELECT COUNT(*) FROM sales_audit WHERE loaded_at IS NOT NULL") == 2)
+  }
+
+  test("DDL emits the reference's column spellings per dialect") {
+    assert(JdbcUpsert.Postgres.identityColSql("id") == "id SERIAL")
+    assert(JdbcUpsert.AnsiMerge().identityColSql("id")
+      == "id INTEGER GENERATED ALWAYS AS IDENTITY")
+  }
+
+  test("DbEnv assembles the reference's 5-env-var JDBC URL and probes connectivity") {
+    // reference src/load.py:8-22 / test_connection.py:5-17
+    val env = Map("DB_USER" -> "u", "DB_PASSWORD" -> "p w&x",
+      "DB_HOST" -> "h", "DB_PORT" -> "5432", "DB_NAME" -> "d")
+    assert(graft.sinks.DbEnv.jdbcUrl(env)
+      == "jdbc:postgresql://h:5432/d?user=u&password=p+w%26x")
+    val e = intercept[IllegalArgumentException] {
+      graft.sinks.DbEnv.jdbcUrl(env - "DB_PASSWORD" - "DB_HOST")
+    }
+    assert(e.getMessage.contains("DB_PASSWORD") && e.getMessage.contains("DB_HOST"))
+    // probe against the embedded Derby this suite already opened
+    assert(graft.sinks.DbEnv.probe(url, "VALUES 1"))
+  }
+
   test("generated SQL shapes for both dialects") {
     val pg = JdbcUpsert.Postgres.upsertSql("t", schema, Seq("transaction_id"))
     assert(pg.contains("ON CONFLICT (transaction_id) DO UPDATE SET"))
@@ -77,5 +143,14 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(mg.contains("MERGE INTO t t"))
     assert(mg.contains("CAST(? AS VARCHAR(255))"))
     assert(mg.contains("WHEN NOT MATCHED THEN INSERT"))
+    // stamped variants: audit column rides the INSERT branch only
+    val pgS = JdbcUpsert.Postgres.upsertSql("t", schema, Seq("transaction_id"),
+      Some("loaded_at"))
+    assert(pgS.contains("loaded_at") && pgS.contains("CURRENT_TIMESTAMP"))
+    assert(!pgS.contains("loaded_at = EXCLUDED"))
+    val mgS = JdbcUpsert.AnsiMerge().upsertSql("t", schema, Seq("transaction_id"),
+      Some("loaded_at"))
+    assert(mgS.contains("loaded_at") && mgS.contains("CURRENT_TIMESTAMP"))
+    assert(!mgS.contains("t.loaded_at ="))
   }
 }
