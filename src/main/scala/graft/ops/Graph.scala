@@ -6,15 +6,59 @@ import org.apache.spark.sql.functions._
 /** Distributed connected components — the clustering step under near-dup
   * deduplication (pairs → components → one survivor per component).
   *
-  * Min-label propagation accelerated with pointer doubling
-  * (label ← label(label)), so rounds are O(log diameter) instead of
-  * O(diameter). Every round localCheckpoints: persist would keep nesting
-  * the logical plan (~3× per round — the analyzer, not the data, blows
-  * up; see NOTES.md). The loop's shuffle width is pinned to the edge
-  * volume and restored afterwards — iteration state is tiny relative to
-  * the corpus that produced the pairs.
+  * Two-level design (the shape production CC systems use):
+  *
+  *  1. '''Partition-local contraction''': a `mapPartitions` union–find
+  *     collapses every chain whose edges happen to be co-located,
+  *     emitting a (node → local root) star mapping. Memory is O(nodes
+  *     per partition) — bounded by partition sizing, not graph size.
+  *     Near-dup graphs are chain-heavy; this removes most of the
+  *     diameter before any iteration (at toy scale, all of it).
+  *  2. '''Global min-label propagation''' with pointer doubling
+  *     (label ← label(label)) resolves the cross-partition structure in
+  *     O(log contracted-diameter) rounds. Each round is one union +
+  *     hash-aggregate + a pointer jump; convergence is witnessed by the
+  *     exact-decimal Σlabel (labels only decrease, so the sum is
+  *     strictly decreasing until fixpoint — a one-row aggregate, no
+  *     changed-row count).
+  *
+  * Every round localCheckpoints: persist would keep nesting the logical
+  * plan (~3× per round — the analyzer, not the data, blows up; see
+  * NOTES.md). The loop's shuffle width is pinned to the edge volume and
+  * restored afterwards — iteration state is tiny relative to the corpus
+  * that produced the pairs.
   */
 object Graph {
+
+  /** Partition-local union–find with path compression + union-by-min:
+    * contracts every co-located chain to its partition-local min root.
+    * Pure per-partition imperative logic — the one place mapPartitions
+    * is the right tool. */
+  private def localContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val ks = parent.keys.toArray
+        ks.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "label")
+  }
 
   /** @param pairs undirected edges as two long columns (any names);
     *              vertices not present in any pair are absent from the
@@ -32,29 +76,51 @@ object Graph {
     val loopParts = math.max(1L, edges.count() / 1000000L).toString
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
-      var labels = edges.groupBy(col("doc_a").as("id"))
-        .agg(min(col("doc_b")).as("nbr0"))
-        .select(col("id"), least(col("id"), col("nbr0")).as("label"))
+      // Seed from the partition-local contraction: an id split across
+      // partitions gets multiple local roots — min merges them, and the
+      // global loop below resolves whatever crosses partitions.
+      var labels = localContract(edges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      var changed = 1L
+      // Convergence witness: labels only ever DECREASE (every update is a
+      // least(...) over candidates that include the current label), so the
+      // exact-decimal Σlabel is strictly decreasing until fixpoint and a
+      // one-row aggregate replaces the old changed-row count. DECIMAL(38,0)
+      // because at real scale Σ of 64-bit ids overflows a long.
+      var prevSum: Option[java.math.BigDecimal] = None
+      var converged = false
       var rounds = 0
-      while (changed > 0 && rounds < 40) {
-        val viaNbr = edges.join(labels, edges("doc_b") === labels("id"))
-          .groupBy(col("doc_a").as("nid")).agg(min(col("label")).as("nbr_min"))
-        val viaPtr = labels.as("l")
+      while (!converged && rounds < 40) {
+        // one round = min over {self, neighbor labels, label-of-label}
+        // assembled as a UNION into a single hash aggregate (no left
+        // joins — the self candidate guarantees every id survives), then
+        // a SECOND pointer jump before the checkpoint: distance-to-root
+        // quarters per round instead of halving, for one extra small
+        // join, which halves the number of scheduled rounds.
+        val nbrCand = edges.join(labels, edges("doc_b") === labels("id"))
+          .select(edges("doc_a").as("cid"), col("label"))
+        val ptrCand = labels.as("l")
           .join(labels.as("p"), col("l.label") === col("p.id"))
-          .select(col("l.id").as("pid"), col("p.label").as("ptr_min"))
-        val next = labels
-          .join(viaNbr, labels("id") === col("nid"), "left")
-          .join(viaPtr, labels("id") === col("pid"), "left")
-          .select(labels("id"), labels("label").as("old"),
-            least(labels("label"),
-              coalesce(col("nbr_min"), labels("label")),
-              coalesce(col("ptr_min"), labels("label"))).as("label"))
+          .select(col("l.id").as("cid"), col("p.label").as("label"))
+        val selfCand = labels.select(col("id").as("cid"), col("label"))
+        val step1 = selfCand.unionByName(nbrCand).unionByName(ptrCand)
+          .groupBy(col("cid")).agg(min(col("label")).as("label"))
+          .select(col("cid").as("id"), col("label"))
+        val step2 = step1.as("a")
+          .join(step1.select(col("id").as("jid"), col("label").as("jlabel")).as("b"),
+            col("a.label") === col("b.jid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.label"), coalesce(col("b.jlabel"), col("a.label"))).as("label"))
           .localCheckpoint(true)
-        changed = next.filter(col("label") =!= col("old")).count()
-        labels = next.select(col("id"), col("label"))
+        val s = step2
+          .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .head.getDecimal(0)
+        converged = prevSum.exists(_.compareTo(s) == 0)
+        prevSum = Some(s)
+        labels = step2
         rounds += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round=$rounds sum=$s")
       }
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
