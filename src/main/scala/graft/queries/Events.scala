@@ -202,12 +202,45 @@ object Events {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // events_retention — cohort retention: users bucketed by first-seen
+  // week; each (cohort week × weeks-since-cohort) cell counts distinct
+  // active users. Three shuffles, each on strictly reduced data
+  // (distinct user-days → per-user min → cohort cells); the user-cohort
+  // join keys on user_id, so at 100 TB it co-partitions with the
+  // per-user aggregate that produced it — AQE sees both sides already
+  // hashed. All arithmetic is integer day/week math ⇒ bit-exact in both
+  // engines.
+  private def retention(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val act = ev(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    act.join(cohort, "user_id")
+      .groupBy(
+        floor(datediff(col("c"), epoch) / 7).cast("long").as("cohort_week"),
+        floor(datediff(col("d"), col("c")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val retentionSql =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, MIN(d) AS c FROM act GROUP BY user_id)
+      |SELECT
+      |  CAST(floor(date_diff('day', DATE '1970-01-01', c) / 7) AS BIGINT) AS cohort_week,
+      |  CAST(floor(date_diff('day', c, d) / 7) AS BIGINT) AS week_offset,
+      |  CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+      |FROM act JOIN cohort ON act.user_id = cohort.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),
     QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
     QueryDef("events_session", session, Some(sessionSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
     QueryDef("events_funnel", funnel, Some(funnelSql)),
+    QueryDef("events_retention", retention, Some(retentionSql)),
     QueryDef("join_asof_events", asofJoin, Some(asofJoinSql))
   )
 }

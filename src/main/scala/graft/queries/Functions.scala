@@ -158,9 +158,13 @@ object Functions {
   // Approx sketches aren't bit-reproducible across engines, so the gated
   // claim is the error CONTRACT: each engine checks its own approx
   // median against its own exact median and reports whether it lands
-  // within 0.5% — both must say yes. (DuckDB's approx_quantile is a
-  // t-digest; same contract, different sketch.) The exact percentile
-  // here is the check, not the scale path.
+  // within 2% — both must say yes. (DuckDB's approx_quantile is a
+  // t-digest; same contract, different sketch.) 2% because GK returns an
+  // actual element while the exact even-n median interpolates BETWEEN
+  // two elements: at n≈200 (sf0.001 groups) the element-to-midpoint gap
+  // alone approaches value-spacing/median ≈ 1%, independent of sketch
+  // accuracy. The exact percentile here is the check, not the scale
+  // path.
   private def medianApprox(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     T.events(spark, dir)
@@ -171,14 +175,14 @@ object Functions {
         count(lit(1)).as("n"))
       .select(col("event_type"), col("n"),
         (abs(col("approx_med") - col("exact_med")) <=
-          greatest(abs(col("exact_med")), lit(1.0)) * 0.005).as("within_tol"))
+          greatest(abs(col("exact_med")), lit(1.0)) * 0.02).as("within_tol"))
       .orderBy(col("event_type"))
   }
 
   private val medianApproxSql =
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |  abs(approx_quantile(value, 0.5) - median(value))
-      |    <= greatest(abs(median(value)), 1.0) * 0.005 AS within_tol
+      |    <= greatest(abs(median(value)), 1.0) * 0.02 AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -602,6 +602,160 @@ object Relational {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // unpivot_lineitem — wide→long melt (the inverse of pivot above): the
+  // four lineitem measures unpivot into (measure, val) rows, then
+  // aggregate per returnflag × measure. Spark's native Dataset.unpivot
+  // is a zero-shuffle projection (one Expand node, no join/union scan
+  // duplication); the oracle spells the same thing as UNION ALL.
+  private def unpivotQ(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("extendedprice"),
+        col("l_discount").as("discount"), col("l_tax").as("tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(sum(col("val").cast(DecimalType(18, 2))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  private val unpivotSql =
+    """WITH u AS (
+      |  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, measure,
+      |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM u GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin
+
+  // -------------------------------------------------------------------
+  // histogram_orders — fixed-width value histogram over order totals:
+  // bucket = floor(price/50k)·50k. One map-side projection + one hash
+  // aggregate on ~a dozen buckets — the cheapest possible distribution
+  // profile at any scale. Bucket ids are exact (IEEE double division is
+  // deterministic), min/max are exact doubles.
+  private def histogramQ(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir)
+      .groupBy((floor(col("o_totalprice") / 50000) * 50000).cast("long")
+        .as("bucket_lo"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  private val histogramSql =
+    """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY bucket_lo""".stripMargin
+
+  // -------------------------------------------------------------------
+  // stats_orders — second-moment statistics (stddev/covariance/
+  // correlation of price vs order day) computed from EXACT integer power
+  // sums, so the one-pass shuffle stays a plain partial/final hash
+  // aggregate AND the result is bit-identical cross-engine. Two traps
+  // this dodges: (1) built-in stddev/corr stream doubles in partition
+  // order — nondeterministic last ULPs; (2) DuckDB casts DECIMAL(p,s>0)
+  // to double as int128→double THEN ÷10^s — two roundings, while the
+  // JVM rounds the decimal once, so even exact decimal sums diverge by
+  // an ULP once they pass 2^53. Fix: keep every moment at scale 0
+  // (prices in integer CENTS, days as integers) — the only
+  // decimal→double conversion left is a single correctly-rounded
+  // int→double in both engines — then run the identical double-op
+  // sequence, with the n·Σ−Σ² combination still in exact decimal.
+  private def statsQ(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val xc = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(19, 0))
+    val yD = col("yday").cast(DecimalType(14, 0))
+    val agg = T.orders(spark, dir)
+      .withColumn("yday",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(xc).cast(DecimalType(19, 0)).as("sx"),
+        sum((xc * xc).cast(DecimalType(25, 0))).cast(DecimalType(25, 0)).as("sxx"),
+        sum(yD).cast(DecimalType(14, 0)).as("sy"),
+        sum((yD * yD).cast(DecimalType(19, 0))).cast(DecimalType(19, 0)).as("syy"),
+        sum((xc * yD).cast(DecimalType(24, 0))).cast(DecimalType(24, 0)).as("sxy"))
+    val nD = col("n").cast(DecimalType(10, 0))
+    // exact integer combinations: n·Σx² − (Σx)², n·Σxy − ΣxΣy, n·Σy² − (Σy)²
+    val withM = agg.select(col("o_orderstatus"), col("n"),
+      (nD * col("sxx") - col("sx") * col("sx")).cast(DecimalType(38, 0)).as("vn"),
+      (nD * col("sxy") - col("sx") * col("sy")).cast(DecimalType(38, 0)).as("cn"),
+      (nD * col("syy") - col("sy") * col("sy")).cast(DecimalType(38, 0)).as("wn"))
+    val nd = col("n").cast("double")
+    val vnd = col("vn").cast("double")
+    val cnd = col("cn").cast("double")
+    val wnd = col("wn").cast("double")
+    withM.select(col("o_orderstatus"), col("n"),
+      (sqrt(vnd / (nd * (nd - 1))) / 100).as("stddev_price"),
+      (cnd / (nd * (nd - 1)) / 100).as("covar_price_day"),
+      (cnd / (sqrt(vnd) * sqrt(wnd))).as("corr_price_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val statsSql =
+    """WITH b AS (
+      |  SELECT o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xc,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(14,0)) AS y
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(xc) AS DECIMAL(19,0)) AS sx,
+      |    CAST(SUM(CAST(xc*xc AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sxx,
+      |    CAST(SUM(y) AS DECIMAL(14,0)) AS sy,
+      |    CAST(SUM(CAST(y*y AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS syy,
+      |    CAST(SUM(CAST(xc*y AS DECIMAL(24,0))) AS DECIMAL(24,0)) AS sxy
+      |  FROM b GROUP BY 1),
+      |m AS (
+      |  SELECT o_orderstatus, n,
+      |    CAST(CAST(n AS DECIMAL(10,0)) * sxx - sx * sx AS DECIMAL(38,0)) AS vn,
+      |    CAST(CAST(n AS DECIMAL(10,0)) * sxy - sx * sy AS DECIMAL(38,0)) AS cn,
+      |    CAST(CAST(n AS DECIMAL(10,0)) * syy - sy * sy AS DECIMAL(38,0)) AS wn
+      |  FROM a)
+      |SELECT o_orderstatus, n,
+      |  sqrt(CAST(vn AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100 AS stddev_price,
+      |  CAST(cn AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 100 AS covar_price_day,
+      |  CAST(cn AS DOUBLE) / (sqrt(CAST(vn AS DOUBLE)) * sqrt(CAST(wn AS DOUBLE))) AS corr_price_day
+      |FROM m ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // topk_per_group_custom — the custom physical operator
+  // (plans/TopKPerGroup: LogicalPlan + SparkStrategy + SparkPlan,
+  // SURVEY §4.3 option (c)) through the correctness gate: top-3 orders
+  // by price per customer. Its oracle is the window row_number idiom —
+  // the two must agree row-for-row; PlanSpec pins that the custom
+  // TopKPerGroup node (bounded heaps, no partition sort) actually
+  // planned, and TopKSpec covers ties/small groups/k overrun.
+  private def topkCustom(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.ops.TopK.perGroup(o, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  private val topkCustomSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // q13_custdist — TPC-H Q13 shape: aggregation OF an aggregation across
   // a left join (order count per customer → customer count per order
   // count). Two shuffles, both on already-reduced data.
@@ -757,6 +911,10 @@ object Relational {
     QueryDef("approx_distinct_parts", approxDistinct, None),
     QueryDef("approx_distinct_check", approxDistinctCheck, Some(approxDistinctCheckSql)),
     QueryDef("salted_agg_orders", saltedAgg, Some(saltedAggSql)),
+    QueryDef("unpivot_lineitem", unpivotQ, Some(unpivotSql)),
+    QueryDef("histogram_orders", histogramQ, Some(histogramSql)),
+    QueryDef("stats_orders", statsQ, Some(statsSql)),
+    QueryDef("topk_per_group_custom", topkCustom, Some(topkCustomSql)),
     QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))
   )
 }

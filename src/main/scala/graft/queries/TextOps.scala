@@ -633,7 +633,48 @@ object TextOps {
       |  CAST(CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS INT) AS is_survivor
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_fuzzy_pairs — edit-distance fuzzy matching (record-linkage
+  // blocking): candidate pairs come from an equi-join on a BLOCKING key
+  // (language × 25-char length band) — never an all-pairs product — and
+  // only candidates pay the edit distance, computed on a 40-char prefix
+  // with Spark's THRESHOLDED levenshtein (banded DP, O(threshold·len)
+  // and early exit instead of the full O(len²) table; returns -1 past
+  // the threshold, which the filter drops — same row set the oracle's
+  // plain levenshtein ≤ 12 selects). This is the classic blocking +
+  // verify shape: at 100 TB the block key bounds each join cell, and a
+  // skewed block salts exactly like any hot join key. Edit distances
+  // are integers ⇒ bit-exact cross-engine.
+  private def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val d = T.documents(spark, dir).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 40).as("head"),
+      floor(col("n_chars") / 25).cast("long").as("lb"))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+      col("head").as("head_a"), col("lb"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang"),
+      col("head").as("head_b"), col("lb"))
+    a.join(b, Seq("lang", "lb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("head_a"), col("head_b"), 12))
+      .filter(col("edit_dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val fuzzyPairsSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, substr(text, 1, 40) AS head,
+      |    CAST(floor(n_chars / 25) AS BIGINT) AS lb
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+      |  CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.head, b.head) <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),

@@ -168,6 +168,18 @@ object JdbcUpsert {
     }
   }
 
+  /** Structured-Streaming writer for `writeStream.foreachBatch`: each
+    * microbatch upserts keyed on `keyCols`. Streaming sinks are
+    * at-least-once on recovery (a failed microbatch replays), and the
+    * keyed upsert is idempotent — together the table converges to
+    * effectively-once state, the same property the reference's batch
+    * re-runs rely on (README.md:150). */
+  def streamWriter(url: String, table: String, keyCols: Seq[String],
+      dialect: Dialect = Postgres, batchSize: Int = 1000,
+      auditTimestampCol: Option[String] = None): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      upsert(batch, url, table, keyCols, dialect, batchSize, auditTimestampCol)
+
   /** Roll back without masking the original failure: some drivers
     * (Derby) kill the connection on a batch error, so the rollback
     * itself can throw — that secondary error must ride along as a

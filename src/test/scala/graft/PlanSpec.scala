@@ -31,6 +31,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("topk_per_group_custom plans the custom bounded-heap exec") {
+    val p = plan("topk_per_group_custom")
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
   test("bucketized range join stays an equi-join — no cartesian/BNLJ") {
     val p = plan("join_range_events")
     assert(!p.contains("CartesianProduct"), p)

@@ -131,6 +131,45 @@ class StreamingSpec extends SparkSpec {
       == Seq(("click", 2L, 5.50), ("view", 1L, 2.25)))
   }
 
+  test("foreachBatch → keyed JDBC upsert: duplicate delivery converges to once") {
+    import java.sql.DriverManager
+    import graft.sinks.JdbcUpsert
+    import org.apache.spark.sql.types._
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:streamdb;create=true"
+    def q1(sql: String): Long = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(sql)
+        rs.next(); rs.getLong(1)
+      } finally conn.close()
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    JdbcUpsert.ensureTable(url, "stream_events", schema, Seq("event_id"),
+      ifNotExistsSyntax = false)
+
+    val mem = MemoryStream[Ev](spark)
+    val q = mem.toDF().select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .foreachBatch(JdbcUpsert.streamWriter(url, "stream_events",
+        Seq("event_id"), JdbcUpsert.AnsiMerge()))
+      .outputMode("append").start()
+    mem.addData(eventsBatch1: _*)
+    q.processAllAvailable()
+    assert(q1("SELECT COUNT(*) FROM stream_events") == 3)
+    // at-least-once delivery: a replayed event plus new data — the keyed
+    // upsert absorbs the duplicate, the new row lands
+    mem.addData(eventsBatch1.head)
+    mem.addData(eventsBatch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(q1("SELECT COUNT(*) FROM stream_events") == 4)
+    assert(q1("SELECT COUNT(*) FROM stream_events WHERE event_id = 1") == 1)
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks") {
     val mem = MemoryStream[Ev](spark)
     val q = EventStreams.clickToPurchase(mem.toDF())
