@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom Catalyst piece (SURVEY §4.3 option (c)): top-k
@@ -21,12 +21,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * n/k, which at 100 TB is the whole game (k=3 of millions of rows per
   * group).
   *
-  * Plan contract: `requiredChildDistribution = ClusteredDistribution
-  * (group)`, so EnsureRequirements inserts the one hash shuffle on the
-  * group keys and the operator sees each group whole. Rows are copied
-  * only when they enter a heap (at most groups·k live copies), and each
-  * group's survivors emit in sort order for deterministic downstream
-  * consumption.
+  * Plan contract: the strategy emits a PARTIAL/FINAL pair (the hash-
+  * aggregate split): the partial heaps per input partition with no
+  * distribution requirement, so the exchange ships at most groups·k
+  * rows per partition instead of the table; the final requires
+  * `ClusteredDistribution(group)` and re-heaps the survivors. Rows are
+  * copied only when they enter a heap (at most groups·k live copies),
+  * and each group's survivors emit in sort order for deterministic
+  * downstream consumption.
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -39,14 +41,23 @@ final case class TopKPerGroup(
     copy(child = newChild)
 }
 
-/** Planner strategy: logical [[TopKPerGroup]] → [[TopKPerGroupExec]].
-  * Injected either at session build (GraftExtensions
+/** Planner strategy: logical [[TopKPerGroup]] → partial + final
+  * [[TopKPerGroupExec]] pair, the same split hash aggregates use. The
+  * PARTIAL exec runs before the exchange with no distribution
+  * requirement — each input partition forwards at most groups·k rows —
+  * so the shuffle moves candidate survivors, not the table; the FINAL
+  * exec demands the group clustering and re-heaps the survivors.
+  * (Top-k of a union of per-partition top-ks is the global top-k:
+  * any row outside a partition's local top-k is beaten by k rows that
+  * did ship.) Injected either at session build (GraftExtensions
   * injectPlannerStrategy) or post-hoc via
   * `spark.experimental.extraStrategies` (graft.ops.TopK does this). */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      TopKPerGroupExec(g, o, k,
+        TopKPerGroupExec(g, o, k, planLater(child), partial = true),
+        partial = false) :: Nil
     case _ => Nil
   }
 }
@@ -55,12 +66,17 @@ final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)

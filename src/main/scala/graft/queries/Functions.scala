@@ -185,7 +185,95 @@ object Functions {
       |    <= greatest(abs(median(value)), 1.0) * 0.02 AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // fn_percentile_battery — exact interpolated quantiles (p25/p50/p75/
+  // p90) per order status: Spark `percentile` and DuckDB `quantile_cont`
+  // share the definition q = lower + (upper−lower)·frac at rank
+  // p·(n−1), so values agree to the last ULP on the same doubles;
+  // rounded to 4dp so a ULP wobble in the interpolation multiply can't
+  // flip the hash. Exact percentile sorts per group — the bounded-memory
+  // scale path is fn_median_approx's sketch; this battery is the
+  // reference-precision check.
+  private def percentileBattery(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    def p(q: Double, name: String) =
+      round(expr(s"percentile(o_totalprice, $q)"), 4).as(name)
+    T.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), p(0.25, "p25"), p(0.5, "p50"),
+        p(0.75, "p75"), p(0.9, "p90"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val percentileBatterySql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // fn_datetrunc_battery — calendar truncation lattice: orders per month
+  // with the month's week-aligned and quarter/year anchors. date_trunc
+  // is the partition-pruning workhorse at scale (daily/monthly partition
+  // keys derive from it); both engines truncate weeks to Monday (ISO).
+  private def datetruncBattery(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+      .agg(count(lit(1)).as("n"),
+        min(date_trunc("week", col("o_orderdate")).cast("date")).as("first_week"),
+        max(to_date(col("o_orderdate"))).as("last_day"))
+      .withColumn("quarter_start",
+        date_trunc("quarter", col("month_start")).cast("date"))
+      .withColumn("year_start", date_trunc("year", col("month_start")).cast("date"))
+      .orderBy(col("month_start"))
+  }
+
+  private val datetruncBatterySql =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(CAST(date_trunc('week', o_orderdate) AS DATE)) AS first_week,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_day,
+      |  CAST(date_trunc('quarter', CAST(date_trunc('month', o_orderdate) AS DATE)) AS DATE) AS quarter_start,
+      |  CAST(date_trunc('year', CAST(date_trunc('month', o_orderdate) AS DATE)) AS DATE) AS year_start
+      |FROM orders GROUP BY 1 ORDER BY month_start""".stripMargin
+
+  // -------------------------------------------------------------------
+  // fn_mode_priority — deterministic mode: most frequent order priority
+  // per status. Built-in `mode()` breaks ties arbitrarily in both
+  // engines, so the gated form IS the deterministic idiom: count per
+  // value, rank by (count desc, value asc), keep rank 1. Two shuffles,
+  // both on already-tiny data.
+  private def modePriority(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val counts = T.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("n_mode"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val modePrioritySql =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority,
+      |  CAST(cnt AS BIGINT) AS n_mode FROM (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_percentile_battery", percentileBattery, Some(percentileBatterySql)),
+    QueryDef("fn_datetrunc_battery", datetruncBattery, Some(datetruncBatterySql)),
+    QueryDef("fn_mode_priority", modePriority, Some(modePrioritySql)),
     QueryDef("fn_scalar_battery", battery, Some(batterySql)),
     QueryDef("fn_date_parse_udf", dateParse, Some(dateParseSql)),
     QueryDef("fn_weighted_avg", weightedAvg, Some(weightedAvgSql)),

@@ -37,10 +37,12 @@ class TopKSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 5L), ("c", 7L)))
   }
 
-  test("plans the custom exec behind one group-key exchange, no sort") {
+  test("plans a partial/final pair around one group-key exchange, no sort") {
     val plan = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc), 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains("TopKPerGroupPartial"), plan) // map-side heaps
+    assert(plan.contains("TopKPerGroupFinal"), plan)   // post-shuffle re-heap
+    assert(plan.contains("Exchange"), plan)
     assert(!plan.contains("Sort "), plan) // the window idiom would sort
   }
 
