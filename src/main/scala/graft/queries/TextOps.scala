@@ -673,7 +673,31 @@ object TextOps {
       |WHERE levenshtein(a.head, b.head) <= 12
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // doc_sample_hash — deterministic content-addressed sampling (the
+  // training-data subsampling idiom): keep a doc iff the first hex byte
+  // of md5(doc_id) < 0x40 — exactly 64/256 = 25% in expectation,
+  // decided per row with no rand() (task retries and cluster size can't
+  // change membership), no shuffle (pure map-side filter), and
+  // re-runnable: the same corpus always yields the same sample, so
+  // incremental pipelines can union new data's sample without
+  // re-sampling history. Lexical compare on two lowercase hex digits ==
+  // numeric compare, identical in both engines.
+  private def sampleHash(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "40")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleHashSql =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("doc_sample_hash", sampleHash, Some(sampleHashSql)),
     QueryDef("text_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),

@@ -114,13 +114,29 @@ object JdbcUpsert {
     case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
   }
 
+  /** Spark type → java.sql.Types code, needed for null binds: Derby
+    * rejects `setNull(_, Types.NULL)` outright ("data type '0' is not
+    * supported"), so nulls must carry the column's real JDBC type. */
+  private def jdbcTypeCode(dt: DataType): Int = dt match {
+    case StringType => java.sql.Types.VARCHAR
+    case IntegerType => java.sql.Types.INTEGER
+    case LongType => java.sql.Types.BIGINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case BooleanType => java.sql.Types.BOOLEAN
+    case DateType => java.sql.Types.DATE
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case _ => java.sql.Types.NULL
+  }
+
   private def bind(ps: PreparedStatement, row: Row, schema: StructType,
       order: Seq[Int]): Unit = {
     var m = 0
     order.foreach { i =>
       m += 1
       if (row.isNullAt(i)) {
-        ps.setNull(m, java.sql.Types.NULL)
+        ps.setNull(m, jdbcTypeCode(schema(i).dataType))
       } else schema(i).dataType match {
         case StringType => ps.setString(m, row.getString(i))
         case IntegerType => ps.setInt(m, row.getInt(i))
