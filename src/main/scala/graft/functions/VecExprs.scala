@@ -227,5 +227,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles3(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.ShingleRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

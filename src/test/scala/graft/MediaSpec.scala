@@ -41,6 +41,59 @@ class MediaSpec extends SparkSpec {
     assert(out.meta.width == 224 && out.meta.height == 224)
   }
 
+  test("PcmWavDecoder decodes a real RIFF/WAVE PCM-16 payload") {
+    // synthesize a genuine WAV: 0.5-amplitude sine, 1000 samples, mono
+    val n = 1000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach { i =>
+      // half-sample phase: no sample lands exactly on zero, so every
+      // crossing is a strict sign change
+      val s = 0.5 * math.sin(2 * math.Pi * (i + 0.5) / 50.0)
+      bb.putShort((s * 32767).toShort)
+    }
+    val wav = bb.array()
+    val meta = MediaMeta("audio", 0, 0, nFrames = 2, sampleRateHz = 8000)
+    val frames = new Media.PcmWavDecoder().decodeFeatures(wav, meta)
+    assert(frames.length == 2) // frame budget honored
+    frames.foreach { case Array(mean, rms, zcr, peak) =>
+      assert(math.abs(mean) < 0.01)                  // sine is zero-mean
+      assert(math.abs(rms - 0.3536) < 0.01)          // A/sqrt(2)
+      assert(math.abs(zcr - 1.0 / 25.0) < 0.005)     // 2 crossings / 50-sample period
+      assert(peak > 0.49 && peak <= 0.5)
+    }
+    // corrupt payloads must throw, not yield silent zeros
+    intercept[IllegalArgumentException] {
+      new Media.PcmWavDecoder().decodeFeatures("JUNKJUNK".getBytes, meta)
+    }
+    // and the decoder runs through the distributed featurize path
+    val ds = Seq(MediaRow(9L, wav, meta)).toDS()
+    val out = Media.featurize(ds, () => new Media.PcmWavDecoder).collect()
+    assert(out.length == 2 && out.forall(_.feature.length == 4))
+  }
+
+  test("PpmImageDecoder decodes a real P6 payload with exact channel means") {
+    val header = "P6\n# comment\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array.fill(4)(Array(100, 150, 200)).flatten.map(_.toByte)
+    val ppm = header ++ raster
+    val meta = MediaMeta("image", 2, 2, 1, 0)
+    val Array(Array(r, g, b, y)) = new Media.PpmImageDecoder().decodeFeatures(ppm, meta)
+    assert(math.abs(r - 100f / 255) < 1e-6)
+    assert(math.abs(g - 150f / 255) < 1e-6)
+    assert(math.abs(b - 200f / 255) < 1e-6)
+    assert(math.abs(y - (0.299 * 100 + 0.587 * 150 + 0.114 * 200) / 255) < 1e-6)
+    intercept[IllegalArgumentException] {
+      new Media.PpmImageDecoder().decodeFeatures("P5\n1 1\n255\n!".getBytes, meta)
+    }
+  }
+
   test("rebalanceByBytes redistributes without losing rows") {
     val ds = Seq.tabulate(20)(i => row(i.toLong, 1)).toDS()
     val out = Media.rebalanceByBytes(ds, 5)

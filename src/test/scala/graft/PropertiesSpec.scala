@@ -93,4 +93,73 @@ class PropertiesSpec extends SparkSpec {
       .select(Transform.parseDate(col("c")).as("d")).collect()
     assert(parsed.forall(_.isNullAt(0)))
   }
+
+  test("property: custom top-k per group ≡ window row_number, any data, any k") {
+    val genScores = Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0, 5)))
+    val prop = Prop.forAll(genScores, Gen.choose(1, 4)) { (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, s), i) => (s"g$g", i.toLong, s.toDouble) }
+        .toDF("grp", "id", "score")
+      val custom = graft.ops.TopK.perGroup(df, Seq("grp"),
+          Seq(col("score").desc, col("id").asc), k)
+        .orderBy("grp", "id").collect().map(_.toSeq).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy("grp", "id").collect().map(_.toSeq).toSeq
+      custom == windowed
+    }
+    check(prop, n = 8)
+  }
+
+  test("property: block-pair cells cover every unordered pair exactly once") {
+    // the emb_neardup_pairs partitioning scheme (Similarity.nearDup):
+    // left emits (b, j) for j in b..B-1, right emits (i, b) for i in 0..b;
+    // keep kx<ky or id order on the diagonal ⇒ each pair meets once
+    val prop = Prop.forAll(Gen.choose(2, 40), Gen.choose(1, 9)) { (n, b) =>
+      val ids = (0L until n.toLong).toDF("id")
+      val l = ids.select(col("id").as("id_l"))
+        .withColumn("kx", pmod(col("id_l"), lit(b)))
+        .withColumn("ky", explode(sequence(col("kx"), lit(b - 1))))
+      val r = ids.select(col("id").as("id_r"))
+        .withColumn("ky", pmod(col("id_r"), lit(b)))
+        .withColumn("kx", explode(sequence(lit(0), col("ky"))))
+      val met = l.join(r, Seq("kx", "ky"))
+        .filter(col("kx") < col("ky") || col("id_l") < col("id_r"))
+        .select(least(col("id_l"), col("id_r")).as("a"),
+          greatest(col("id_l"), col("id_r")).as("b"))
+        .groupBy("a", "b").count().collect()
+      met.length == n * (n - 1) / 2 && met.forall(_.getLong(2) == 1L)
+    }
+    check(prop, n = 6)
+  }
+
+  test("property: two-level connected components ≡ driver union-find") {
+    val genEdges = Gen.listOf(Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+      .map(_.filter(e => e._1 != e._2))
+    val prop = Prop.forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+        }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // min-relabel: expected label = min id reachable
+        val byRoot = parent.keys.toSeq.groupBy(find)
+        val expected = byRoot.values.flatMap { ms =>
+          val m = ms.min; ms.map(_ -> m)
+        }.toMap
+        val got = graft.ops.Graph
+          .connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+    check(prop, n = 6)
+  }
 }
