@@ -730,6 +730,44 @@ object Relational {
       |FROM m ORDER BY o_orderstatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // window_rank_stats — the analytic-rank family completing B6: ntile
+  // quartiles, percent_rank, cume_dist, and first/last over an explicit
+  // whole-partition frame. The window orders on a UNIQUE key pair
+  // (price, orderkey) so rank-derived doubles — (rank−1)/(n−1),
+  // rows≤cur/n — are identical integer-division results in both
+  // engines; ntile's uneven-bucket rule (earlier buckets get the extra
+  // row) is the SQL-standard one both implement.
+  private def windowRankStats(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("cheapest_key", first(col("o_orderkey")).over(full))
+      .withColumn("priciest_key", last(col("o_orderkey")).over(full))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  private val windowRankStatsSql =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_key,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // topk_per_group_custom — the custom physical operator
   // (plans/TopKPerGroup: LogicalPlan + SparkStrategy + SparkPlan,
   // SURVEY §4.3 option (c)) through the correctness gate: top-3 orders
@@ -915,6 +953,7 @@ object Relational {
     QueryDef("histogram_orders", histogramQ, Some(histogramSql)),
     QueryDef("stats_orders", statsQ, Some(statsSql)),
     QueryDef("topk_per_group_custom", topkCustom, Some(topkCustomSql)),
+    QueryDef("window_rank_stats", windowRankStats, Some(windowRankStatsSql)),
     QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))
   )
 }
