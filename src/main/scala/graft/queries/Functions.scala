@@ -186,6 +186,39 @@ object Functions {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // fn_null_battery — null-handling scalar surface: coalesce / nullif /
+  // nvl2-style dispatch / null-aware counting, exercised over
+  // in-plan-synthesized nulls (the driver tables are fully populated, so
+  // the null paths must be forced to actually execute). Pure projection
+  // + one aggregate — map-side at any scale.
+  private def nullBattery(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val k = col("o_orderkey")
+    T.orders(spark, dir)
+      .select(col("o_orderkey"),
+        when(k % 3 === 0, col("o_orderpriority")).as("p3"), // null 2/3 of rows
+        nullif(col("o_orderstatus"), lit("O")).as("s"))
+      .select(
+        coalesce(col("p3"), lit("<missing>")).as("p_filled"),
+        when(col("p3").isNull, "absent").otherwise("present").as("p_flag"),
+        coalesce(col("s"), lit("open")).as("s_filled"))
+      .groupBy(col("p_filled"), col("p_flag"), col("s_filled"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("p_filled"), col("p_flag"), col("s_filled"))
+  }
+
+  private val nullBatterySql =
+    """WITH b AS (
+      |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS p3,
+      |    nullif(o_orderstatus, 'O') AS s
+      |  FROM orders)
+      |SELECT coalesce(p3, '<missing>') AS p_filled,
+      |  CASE WHEN p3 IS NULL THEN 'absent' ELSE 'present' END AS p_flag,
+      |  coalesce(s, 'open') AS s_filled,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM b GROUP BY 1, 2, 3 ORDER BY p_filled, p_flag, s_filled""".stripMargin
+
+  // -------------------------------------------------------------------
   // fn_percentile_battery — exact interpolated quantiles (p25/p50/p75/
   // p90) per order status: Spark `percentile` and DuckDB `quantile_cont`
   // share the definition q = lower + (upper−lower)·frac at rank
@@ -271,6 +304,7 @@ object Functions {
       |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_null_battery", nullBattery, Some(nullBatterySql)),
     QueryDef("fn_percentile_battery", percentileBattery, Some(percentileBatterySql)),
     QueryDef("fn_datetrunc_battery", datetruncBattery, Some(datetruncBatterySql)),
     QueryDef("fn_mode_priority", modePriority, Some(modePrioritySql)),

@@ -730,6 +730,38 @@ object Relational {
       |FROM m ORDER BY o_orderstatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // join_nullsafe_priority — null-safe equality join (`<=>` ⇔ IS NOT
+  // DISTINCT FROM): the one equi-join variant where NULL keys MATCH
+  // each other instead of dropping out — the semantics dimension tables
+  // with "unknown" rows need. Catalyst still plans it as a hash/SMJ
+  // equi-join (the null-safe operator is a join key, not a residual
+  // filter), so the scale shape is identical to a plain equi-join.
+  // Nulls are synthesized in-plan (nullif on the hottest priority) so
+  // the null-match path actually executes.
+  private def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+      .withColumn("k", nullif(col("o_orderpriority"), lit("1-URGENT")))
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .groupBy(col("k")).agg(count(lit(1)).as("n_even"))
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+      .groupBy(col("k").as("kb")).agg(count(lit(1)).as("n_odd"))
+    a.join(b, col("k") <=> col("kb"))
+      .select(col("k"), col("n_even"), col("n_odd"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  private val joinNullsafeSql =
+    """WITH o AS (SELECT nullif(o_orderpriority, '1-URGENT') AS k, o_orderkey
+      |           FROM orders),
+      |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_even
+      |      FROM o WHERE o_orderkey % 2 = 0 GROUP BY k),
+      |b AS (SELECT k AS kb, CAST(COUNT(*) AS BIGINT) AS n_odd
+      |      FROM o WHERE o_orderkey % 2 = 1 GROUP BY k)
+      |SELECT k, n_even, n_odd FROM a JOIN b ON k IS NOT DISTINCT FROM kb
+      |ORDER BY k NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
   // window_rank_stats — the analytic-rank family completing B6: ntile
   // quartiles, percent_rank, cume_dist, and first/last over an explicit
   // whole-partition frame. The window orders on a UNIQUE key pair
@@ -954,6 +986,7 @@ object Relational {
     QueryDef("stats_orders", statsQ, Some(statsSql)),
     QueryDef("topk_per_group_custom", topkCustom, Some(topkCustomSql)),
     QueryDef("window_rank_stats", windowRankStats, Some(windowRankStatsSql)),
+    QueryDef("join_nullsafe_priority", joinNullsafe, Some(joinNullsafeSql)),
     QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))
   )
 }
