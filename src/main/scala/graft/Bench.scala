@@ -26,7 +26,7 @@ object Bench {
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(Option(e.toString).getOrElse("error")
-            .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(300))
+            .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(300))
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }

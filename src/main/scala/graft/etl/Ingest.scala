@@ -1,7 +1,7 @@
 package graft.etl
 
 import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
-import java.nio.ByteBuffer
+import java.nio.{ByteBuffer, CharBuffer}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -20,10 +20,16 @@ import org.apache.spark.sql.types.StructType
   *    docs/documentation.md:84)
   *
   * Spark's CSV reader never throws on bad encoding — it substitutes
-  * U+FFFD — so the fallback decision probes a bounded prefix of the file
-  * with a STRICT UTF-8 decoder on the driver (the reference decodes the
-  * whole file eagerly; a bounded probe is the 100 TB-safe equivalent:
-  * O(64 KiB) driver work regardless of input size).
+  * U+FFFD — so the fallback decision runs a strict UTF-8 decode over the
+  * WHOLE input first, exactly the reference's semantics (it decodes the
+  * entire file and falls back on any UnicodeDecodeError): a non-UTF-8
+  * byte anywhere — megabytes in, or in the last file of a directory —
+  * flips the whole input to latin-1, never to silent U+FFFD mojibake.
+  * Unlike the reference's driver-side eager decode, the check is
+  * DISTRIBUTED (one streaming task per file, O(64 KiB) memory each, no
+  * file ever materialized) and short-circuits on the first malformed
+  * file, so it holds at 100 TB: cost is one extra read pass, the same
+  * price the reference pays, spread over the cluster.
   */
 object Ingest {
 
@@ -37,40 +43,59 @@ object Ingest {
   final class UnreadableInputException(path: String, cause: Throwable)
       extends RuntimeException(s"input unreadable: $path", cause)
 
-  private val ProbeBytes = 64 * 1024
+  private val ChunkBytes = 64 * 1024
 
-  /** Decide the charset the way the reference does, on a bounded prefix:
-    * strict-UTF-8 decode, fall back to ISO-8859-1 on any malformed byte.
-    * A multi-byte sequence truncated by the probe boundary is tolerated
-    * (MALFORMED only counts inside the window). */
+  /** Streaming strict-UTF-8 validity check: incremental CharsetDecoder
+    * over fixed-size chunks (partial multi-byte sequences carry across
+    * chunk boundaries via compact()), O(ChunkBytes) memory for any file
+    * size. Java's strict decoder rejects the same inputs Python's does
+    * (overlongs, lone surrogates, truncated tails) — the fidelity the
+    * fallback contract needs. */
+  private[graft] def isValidUtf8(in: java.io.InputStream): Boolean = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val raw = new Array[Byte](ChunkBytes)
+    val bb = ByteBuffer.allocate(ChunkBytes + 8)
+    val cb = CharBuffer.allocate(ChunkBytes + 8)
+    var eof = false
+    while (!eof) {
+      val n = in.read(raw)
+      if (n < 0) eof = true else bb.put(raw, 0, n)
+      bb.flip()
+      val res = dec.decode(bb, cb, eof)
+      if (res.isMalformed || res.isUnmappable) return false
+      cb.clear()
+      bb.compact()
+    }
+    !dec.flush(cb).isError
+  }
+
+  /** Decide the charset the way the reference does — strict-UTF-8 decode
+    * of the ENTIRE input, ISO-8859-1 on any malformed byte in any file —
+    * but distributed: one constant-memory streaming task per file, job
+    * short-circuited by take(1) on the first offender. */
   def detectEncoding(spark: SparkSession, path: String): Charset = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) throw new MissingInputException(path)
-    val status = fs.getFileStatus(p)
-    val target =
-      if (status.isDirectory) {
-        val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
-          .sortBy(_.getName)
-        if (files.isEmpty) return StandardCharsets.UTF_8
-        files.head
-      } else p
-    val in = fs.open(target)
     try {
-      val buf = new Array[Byte](ProbeBytes)
-      val n = in.read(buf)
-      if (n <= 0) return StandardCharsets.UTF_8
-      val dec = StandardCharsets.UTF_8.newDecoder()
-        .onMalformedInput(CodingErrorAction.REPORT)
-        .onUnmappableCharacter(CodingErrorAction.REPORT)
-      val bb = ByteBuffer.wrap(buf, 0, n)
-      val out = java.nio.CharBuffer.allocate(ProbeBytes)
-      val res = dec.decode(bb, out, false) // false: don't flag a trailing partial sequence
-      if (res.isMalformed || res.isUnmappable) StandardCharsets.ISO_8859_1
-      else StandardCharsets.UTF_8
+      if (fs.getFileStatus(p).isDirectory &&
+          !fs.listStatus(p).exists(_.isFile))
+        return StandardCharsets.UTF_8
+      val anyMalformed = spark.sparkContext.binaryFiles(path)
+        .map { case (_, pds) =>
+          val in = pds.open()
+          try isValidUtf8(in) finally in.close()
+        }
+        .filter(valid => !valid)
+        .take(1).nonEmpty
+      if (anyMalformed) StandardCharsets.ISO_8859_1 else StandardCharsets.UTF_8
     } catch {
       case e: java.io.IOException => throw new UnreadableInputException(path, e)
-    } finally in.close()
+      case e: org.apache.spark.SparkException =>
+        throw new UnreadableInputException(path, e)
+    }
   }
 
   /** Read a headered CSV with the reference's semantics. With an explicit

@@ -86,6 +86,9 @@ object Media {
         } else if (id == "data") {
           dataOff = pos + 8; dataLen = size
         }
+        // A negative chunk size would advance pos by <= 0 and spin forever;
+        // malformed must throw, per the decode contract above.
+        require(size >= 0, s"corrupt WAV chunk '$id': negative size $size")
         pos += 8 + size + (size & 1) // chunks are word-aligned
       }
       require(fmtOk && dataOff >= 0, "WAV missing fmt/data chunk")

@@ -115,7 +115,9 @@ object Graph {
         val s = step2
           .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
           .head.getDecimal(0)
-        converged = prevSum.exists(_.compareTo(s) == 0)
+        // An empty graph sums to SQL NULL — converged by definition (there is
+        // nothing left to relabel), and comparing through it would NPE.
+        converged = (s == null) || prevSum.exists(p => p != null && p.compareTo(s) == 0)
         prevSum = Some(s)
         labels = step2
         rounds += 1

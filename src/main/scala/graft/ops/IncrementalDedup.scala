@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental near-dup candidate generation (SCALE.md "where the next
@@ -14,20 +14,32 @@ import org.apache.spark.sql.functions._
   * instead of the (N+D)² full recompute — the difference between an
   * hourly ingest tick and a weekly cluster-wide job at 100 TB.
   *
-  * Signature-agnostic: works over any (doc_id, bucket) frame — MinHash
+  * Signature-agnostic: works over any (doc_id, bucket…) frame — MinHash
   * band hashes, SimHash bands, blocking keys — because bucket-collision
-  * candidacy is the common LSH contract. Completeness is exact by
-  * construction (a qualifying pair within the union shares a bucket;
-  * both its docs are in corpus — already known — or at least one is in
-  * the delta — produced here), and the equivalence against a full
-  * recompute on real documents is pinned by IncrementalDedupSpec.
+  * candidacy is the common LSH contract. The bucket may span several
+  * columns (the `on` overloads), which is what lets the PERSISTED index
+  * put low-cardinality bucket components (band, signature prefix) into
+  * the parquet partition layout: a delta join then touches only the
+  * partitions whose buckets the delta actually hits (dynamic partition
+  * pruning — asserted in PlanSpec), so an ingest tick reads |delta|-
+  * proportional bytes of index, not the whole corpus.
+  *
+  * Completeness is exact by construction (a qualifying pair within the
+  * union shares a bucket; both its docs are in corpus — already known —
+  * or at least one is in the delta — produced here); the equivalence
+  * against a full recompute is pinned by IncrementalDedupSpec and,
+  * end-to-end through storage, by the `dedup_incremental` oracle query.
   */
 object IncrementalDedup {
 
   /** All bucket-collision pairs within one signature frame —
     * the "full recompute" baseline. Columns: (doc_id, bucket). */
   def candidates(sigs: DataFrame): DataFrame =
-    sigs.as("x").join(sigs.as("y"), "bucket")
+    candidatesOn(sigs, Seq("bucket"))
+
+  /** As [[candidates]], with the bucket spread over `on` columns. */
+  def candidatesOn(sigs: DataFrame, on: Seq[String]): DataFrame =
+    sigs.as("x").join(sigs.as("y"), on)
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -37,14 +49,56 @@ object IncrementalDedup {
     * corpus's own (already-known) pairs to equal `candidates(corpus ∪
     * delta)`. Requires corpus and delta doc_id sets to be disjoint —
     * re-ingested ids belong in the corpus index, not the delta. */
-  def newCandidates(corpusSigs: DataFrame, deltaSigs: DataFrame): DataFrame = {
-    val cross = deltaSigs.as("d").join(corpusSigs.as("c"), "bucket")
+  def newCandidates(corpusSigs: DataFrame, deltaSigs: DataFrame): DataFrame =
+    newCandidatesOn(corpusSigs, deltaSigs, Seq("bucket"))
+
+  /** As [[newCandidates]], with the bucket spread over `on` columns.
+    * Pass the PERSISTED index read ([[readIndex]]) as `corpusSigs` and
+    * include the partition columns in `on` — the delta side then drives
+    * dynamic partition pruning on the index scan. */
+  def newCandidatesOn(corpusSigs: DataFrame, deltaSigs: DataFrame,
+      on: Seq[String]): DataFrame = {
+    val cross = deltaSigs.as("d").join(corpusSigs.as("c"), on)
       .select(
         least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
         greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
-    val within = deltaSigs.as("x").join(deltaSigs.as("y"), "bucket")
+    val within = deltaSigs.as("x").join(deltaSigs.as("y"), on)
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     cross.unionByName(within).distinct()
+  }
+
+  /** Persist a (doc_id, band, sig) signature frame as the corpus index,
+    * parquet-partitioned by (band, pfx = first sig hex char): 4×16
+    * directories whose names ARE the coarse bucket, so a delta bucket
+    * join prunes at the filesystem level before any row is read. The
+    * full `sig` stays a data column — partitioning by the complete
+    * signature would create a directory per distinct bucket (unbounded
+    * small files); a fixed 64-way layout keeps files large and lets the
+    * fine-grained sig equality run as an ordinary codegen'd join. */
+  def writeIndex(sigs: DataFrame, path: String): Unit =
+    withPfx(sigs)
+      .write.mode("overwrite").partitionBy("band", "pfx").parquet(path)
+
+  /** Partition-column types are INFERRED from directory names on read —
+    * a small index whose pfx values happen to be all digits would come
+    * back int, not string, and silently miss the delta join. Pin both. */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("band", col("band").cast("int"))
+      .withColumn("pfx", col("pfx").cast("string"))
+
+  /** The index's bucket columns, coarse→fine: partition dirs then sig. */
+  val indexBucket: Seq[String] = Seq("band", "pfx", "sig")
+
+  /** Derive the partition-prefix column a delta side must carry to join
+    * an index on [[indexBucket]]. */
+  def withPfx(sigs: DataFrame): DataFrame =
+    sigs.withColumn("pfx", substring(col("sig"), 1, 1))
+
+  /** Deterministic per-corpus index location (idempotent rebuild). */
+  def indexPath(tag: String): String = {
+    val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-index/$safe"
   }
 }

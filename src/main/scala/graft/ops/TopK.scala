@@ -18,9 +18,13 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    val cur = spark.experimental.extraStrategies
-    if (!cur.contains(TopKStrategy))
-      spark.experimental.extraStrategies = cur :+ TopKStrategy
+    // check-then-set on a shared var: serialize it, or concurrent callers
+    // race and the strategy list grows a duplicate per race
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraStrategies
+      if (!cur.contains(TopKStrategy))
+        spark.experimental.extraStrategies = cur :+ TopKStrategy
+    }
     val order = orderBy.map(org.apache.spark.sql.graftshim.GraftSqlShim.expression).map {
       case so: SortOrder => so
       case e => SortOrder(e, Ascending)

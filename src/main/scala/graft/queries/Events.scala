@@ -95,7 +95,7 @@ object Events {
 
   private val sessionSql =
     """WITH g AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
@@ -103,7 +103,7 @@ object Events {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, ts, value,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       |  FROM g)
       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,

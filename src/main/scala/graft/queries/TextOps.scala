@@ -453,6 +453,24 @@ object TextOps {
   // Signature collisions (band salt ‖ shingle, md5-min) nominate
   // candidate pairs; exact Jaccard verifies. Quadratic work only inside
   // buckets — at J≥0.8 recall is 1-(1-J)^4 ≥ 0.998.
+  /** (doc_id, band, sig) 4-band 1-row MinHash signatures from a
+    * (doc_id, shingle_set) frame, as a codegen'd hash aggregate: explode
+    * shingles once, 4 min(md5(band:shingle)) columns with map-side
+    * partial agg, then stack back to rows for the bucket join. Same
+    * signatures as the array formulation (min over distinct shingles per
+    * band) without 4×|shingles| interpreted closure calls per doc.
+    * Shared by dedup_near_minhash and the dedup_incremental index. */
+  private def bandSigs(sh: DataFrame): DataFrame = sh
+    .select(col("doc_id"), explode(col("shingle_set")).as("s"))
+    .groupBy(col("doc_id"))
+    .agg(
+      min(expr("md5(concat('0:', s))")).as("sig0"),
+      min(expr("md5(concat('1:', s))")).as("sig1"),
+      min(expr("md5(concat('2:', s))")).as("sig2"),
+      min(expr("md5(concat('3:', s))")).as("sig3"))
+    .selectExpr("doc_id",
+      "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
+
   private def nearMinhash(spark: SparkSession, dir: String): DataFrame = {
     // project off the SAME persisted (doc_id, lang, shingle_set) lineage
     // dedup_near_jaccard uses, so both queries share one cache entry
@@ -460,21 +478,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("shingle_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("doc_id"), col("shingle_set"))
-    // Band signatures as a codegen'd hash aggregate: explode shingles once,
-    // 4 min(md5(band:shingle)) columns with map-side partial agg, then
-    // stack back to (doc_id, band, sig) rows for the bucket join. Same
-    // signatures as the array formulation (min over distinct shingles per
-    // band) without 4×|shingles| interpreted closure calls per doc.
-    val mh = sh
-      .select(col("doc_id"), explode(col("shingle_set")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(expr("md5(concat('0:', s))")).as("sig0"),
-        min(expr("md5(concat('1:', s))")).as("sig1"),
-        min(expr("md5(concat('2:', s))")).as("sig2"),
-        min(expr("md5(concat('3:', s))")).as("sig3"))
-      .selectExpr("doc_id",
-        "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
+    val mh = bandSigs(sh)
     // bucket-collect pair generation (see dedup_near_jaccard): one pass
     // over the signature table instead of a self-join evaluating it twice
     val cand = mh.groupBy(col("band"), col("sig"))
@@ -515,6 +519,52 @@ object TextOps {
       |      (len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3))) AS jac
       |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id)
       |WHERE jac >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_incremental — the hourly-ingest-tick shape, end-to-end through
+  // STORAGE: the corpus's MinHash band signatures (docs with doc_id % 20
+  // ≠ 0, ~95%) are persisted as a parquet index partitioned by
+  // (band, sig-prefix); the delta (doc_id % 20 = 0, ~5%) is signed
+  // in-flight and joined against the INDEX READ — never against the
+  // corpus documents — so the tick's cost is |delta| plus the pruned
+  // index partitions, not (N+D)². The broadcast delta drives dynamic
+  // partition pruning on the index scan (PlanSpec pins it). Output =
+  // index-internal pairs ∪ delta-added pairs, which the oracle checks
+  // against the FULL-RECOMPUTE band-collision pair set over corpus ∪
+  // delta — proving the incremental decomposition loses nothing after a
+  // round-trip through the persisted index.
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalDedup
+    val sh = withShingles(toks(spark, dir))
+      .select(col("doc_id"), col("shingle_set"))
+    val corpus = bandSigs(sh.filter(col("doc_id") % 20 =!= 0))
+    val delta = IncrementalDedup.withPfx(
+      bandSigs(sh.filter(col("doc_id") % 20 === 0)))
+    val path = IncrementalDedup.indexPath(s"minhash-$dir")
+    IncrementalDedup.writeIndex(corpus, path)
+    val idx = IncrementalDedup.readIndex(spark, path)
+    val known = IncrementalDedup.candidatesOn(idx, IncrementalDedup.indexBucket)
+    val fresh = IncrementalDedup.newCandidatesOn(
+      idx, broadcast(delta), IncrementalDedup.indexBucket)
+    known.unionByName(fresh).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // Full recompute over the whole corpus — deliberately ignorant of the
+  // corpus/delta split and of the index.
+  private val dedupIncrementalSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(tokens)-1),
+      |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s3
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      |  WHERE len(tokens) >= 3
+      |), mh AS (
+      |  SELECT doc_id, b.band,
+      |    list_min(list_transform(s3, s -> md5(CAST(b.band AS VARCHAR) || ':' || s))) AS sig
+      |  FROM sh, (SELECT unnest(range(4)) AS band) b)
+      |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
@@ -635,27 +685,35 @@ object TextOps {
 
   // -------------------------------------------------------------------
   // text_fuzzy_pairs — edit-distance fuzzy matching (record-linkage
-  // blocking): candidate pairs come from an equi-join on a BLOCKING key
-  // (language × 25-char length band) — never an all-pairs product — and
-  // only candidates pay the edit distance, computed on a 40-char prefix
-  // with Spark's THRESHOLDED levenshtein (banded DP, O(threshold·len)
-  // and early exit instead of the full O(len²) table; returns -1 past
-  // the threshold, which the filter drops — same row set the oracle's
-  // plain levenshtein ≤ 12 selects). This is the classic blocking +
-  // verify shape: at 100 TB the block key bounds each join cell, and a
-  // skewed block salts exactly like any hot join key. Edit distances
-  // are integers ⇒ bit-exact cross-engine.
+  // blocking): same-language docs within 12 chars of each other's
+  // length whose 40-char heads are within edit distance 12. Candidate
+  // pairs come from an equi-join on a BLOCKING key (language × 25-char
+  // length band) — never an all-pairs product. Blocking must not cost
+  // recall: |Δn_chars| ≤ 12 < 25 bounds band skew to ±1, so the probe
+  // side explodes to bands {lb−1, lb, lb+1} and every qualifying pair
+  // meets its partner's home band exactly once (the three exploded
+  // values are distinct ⇒ no dedup pass needed). Only candidates pay
+  // the edit distance, via Spark's THRESHOLDED levenshtein (banded DP,
+  // O(threshold·len) with early exit; returns -1 past the threshold,
+  // which the filter drops). The oracle deliberately does NOT replicate
+  // the blocking — it scans all same-language pairs under the length
+  // predicate — so the gate PROVES the adjacent-band recall argument
+  // instead of assuming it. At 100 TB the block key bounds each join
+  // cell, and a skewed block salts exactly like any hot join key. Edit
+  // distances are integers ⇒ bit-exact cross-engine.
   private def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val d = T.documents(spark, dir).select(col("doc_id"), col("lang"),
-      substring(col("text"), 1, 40).as("head"),
+      substring(col("text"), 1, 40).as("head"), col("n_chars"),
       floor(col("n_chars") / 25).cast("long").as("lb"))
     val a = d.select(col("doc_id").as("doc_a"), col("lang"),
-      col("head").as("head_a"), col("lb"))
+      col("head").as("head_a"), col("n_chars").as("nc_a"),
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("jb"))
     val b = d.select(col("doc_id").as("doc_b"), col("lang"),
-      col("head").as("head_b"), col("lb"))
-    a.join(b, Seq("lang", "lb"))
+      col("head").as("head_b"), col("n_chars").as("nc_b"), col("lb").as("jb"))
+    a.join(b, Seq("lang", "jb"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("nc_a") - col("nc_b")) <= 12)
       .withColumn("edit_dist", levenshtein(col("head_a"), col("head_b"), 12))
       .filter(col("edit_dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("edit_dist"))
@@ -664,12 +722,12 @@ object TextOps {
 
   private val fuzzyPairsSql =
     """WITH d AS (
-      |  SELECT doc_id, lang, substr(text, 1, 40) AS head,
-      |    CAST(floor(n_chars / 25) AS BIGINT) AS lb
+      |  SELECT doc_id, lang, substr(text, 1, 40) AS head, n_chars
       |  FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
       |  CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
-      |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  AND abs(a.n_chars - b.n_chars) <= 12
       |WHERE levenshtein(a.head, b.head) <= 12
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -713,6 +771,7 @@ object TextOps {
     QueryDef("dedup_docs_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_near_jaccard", nearJaccard, Some(nearJaccardSql)),
     QueryDef("dedup_near_minhash", nearMinhash, Some(nearMinhashSql)),
+    QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("dedup_near_simhash", nearSimhash, Some(nearSimhashSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql))
   )

@@ -107,6 +107,16 @@ class PlanSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("dedup_incremental: delta join dynamically prunes index partitions") {
+    // the whole point of the persisted (band, pfx)-partitioned signature
+    // index: an ingest tick's delta⋈corpus join must touch only the
+    // partitions whose buckets the delta hits, not scan the index
+    val p = plan("dedup_incremental")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"index scan shows no dynamic partition pruning:\n$p")
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("similarity queries run the codegen'd vec_dot, not the HOF fold") {
     val p = plan("emb_neardup_pairs")
     assert(p.contains("vec_dot"), p)
