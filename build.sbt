@@ -9,6 +9,15 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Optional test-classpath jar from the SAME pre-warmed cache (no
+// resolution, no egress): an embedded engine that executes the
+// Postgres `INSERT … ON CONFLICT … EXCLUDED` dialect for real, so
+// JdbcUpsert.Postgres is exercised end-to-end, not just byte-pinned.
+// Absent jar → empty classpath entry; the spec self-skips (assume).
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get().map(Attributed.blank(_))
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -191,6 +191,87 @@ case class ArrayMd5Sorted(child: Expression)
   override def prettyName: String = "array_md5_sorted"
 }
 
+/** Rabin–Karp polynomial rolling hash over a string's code points:
+  * h = fold(h·31 + cp mod 1e9+7), h₀ = 0 — the primitive under
+  * content-defined chunking, which at corpus scale runs over every byte
+  * of the data. The portable spelling,
+  *
+  *   aggregate(transform(sequence(1, length(s)), i ->
+  *     cast(ascii(substring(s, i, 1)) as bigint)),
+  *     0L, (a, c) -> (a * 31 + c) % 1000000007)
+  *
+  * pays one interpreted closure call per CHARACTER (plus a boxed index
+  * array per row) — NOTES.md's "THE local perf trap". This expression
+  * folds the same sum in generated Java: byte loop on the (dominant)
+  * all-ASCII fast path, code-point loop otherwise. Bit-identical to the
+  * HOF fold: Spark's ascii(substring(s,i,1)) is codePointAt of the i-th
+  * code point (verified against Ascii.nullSafeEval), length() counts
+  * code points, and h·31+cp < 2^35 never overflows. h stays in
+  * [0, 1e9+7) so the Java % is the mathematical mod. Empty string → 0
+  * (the HOF's sequence(1,0) quirk folds ascii('')=0 twice — also 0).
+  */
+case class RabinKarpHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rabin_karp expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val nb = s.numBytes()
+    var h = 0L
+    if (s.numChars() == nb) { // all-ASCII: bytes are the code points
+      var i = 0
+      while (i < nb) { h = (h * 31L + (s.getByte(i) & 0xff)) % 1000000007L; i += 1 }
+    } else {
+      val t = s.toString
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        h = (h * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+    }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val nb = ctx.freshName("nb")
+      val t = ctx.freshName("t")
+      val cp = ctx.freshName("cp")
+      s"""
+         |long $h = 0L;
+         |final int $nb = $a.numBytes();
+         |if ($a.numChars() == $nb) {
+         |  for (int $i = 0; $i < $nb; $i++) {
+         |    $h = ($h * 31L + ($a.getByte($i) & 0xff)) % 1000000007L;
+         |  }
+         |} else {
+         |  final String $t = $a.toString();
+         |  for (int $i = 0; $i < $t.length(); ) {
+         |    final int $cp = $t.codePointAt($i);
+         |    $h = ($h * 31L + $cp) % 1000000007L;
+         |    $i += Character.charCount($cp);
+         |  }
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "rabin_karp"
+}
+
 object VecExprs {
   /** Register vec_dot on an existing session's function registry so both
     * `expr("vec_dot(a, b)")` and SQL text resolve to the codegen
@@ -204,6 +285,17 @@ object VecExprs {
       "word_shingles3", exprs => WordShingles3(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "array_md5_sorted", exprs => ArrayMd5Sorted(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "rabin_karp", exprs => RabinKarpHash(exprs.head), "built-in")
+    // post-hoc twin of injectOptimizerRule for sessions the engine did
+    // not build: extraOptimizations run as their own batch after the
+    // main optimizer, where the portable HOF spellings are already
+    // constant-folded. check-then-set on a shared var — serialize it.
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraOptimizations
+      if (!cur.contains(graft.plans.RollingHashRewrite))
+        spark.experimental.extraOptimizations = cur :+ graft.plans.RollingHashRewrite
+    }
   }
 }
 
@@ -226,7 +318,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[WordShingles3].getName, "word_shingles3"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles3(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rabin_karp"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RabinKarpHash].getName, "rabin_karp"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RabinKarpHash(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.ShingleRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RollingHashRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic Lloyd's k-means over cosine similarity — the coarse
+  * quantizer trainer behind `ann_ivf_topk`. Every nondeterminism knob is
+  * pinned so an EXTERNAL engine can replay training bit-exactly (the
+  * DuckDB oracle re-derives the same centroids from the same parquet):
+  *
+  *  - init: the k lowest-id corpus vectors (a fixed "seed");
+  *  - FIXED iteration count — no data-dependent convergence test;
+  *  - assignment ties broken by lowest cent_id;
+  *  - component means fold through exact DECIMAL(28,12) sums (order-
+  *    independent) and divide as double — same two roundings both sides.
+  *
+  * Shape at scale (same driver-looped pattern as
+  * [[Graph.connectedComponents]]): per round, assignment is a map-side
+  * pass over the corpus against k broadcast centroids (N·k codegen'd
+  * vec_dot calls, no shuffle), and the update is one posexplode +
+  * (cell, component) hash aggregate — shuffle volume N·dim scalars,
+  * partial-aggregated map-side. Centroid state is k·dim values —
+  * localCheckpointed per round so the analyzer never sees a nested
+  * lineage, never collected to the driver. Cells that lose all members
+  * drop out (k shrinks) — deterministic, and the oracle mirrors it.
+  *
+  * @param e     corpus: (vec_id, v: array<double>, nrm) — vec_dot must
+  *              be registered on the session (VecExprs.register)
+  * @param k     cell count (init takes vec_id < k)
+  * @param iters Lloyd rounds, fixed
+  * @return (cent_id, cv: array<double>, cn: L2 norm)
+  */
+object KMeans {
+
+  def train(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    for (_ <- 1 to iters) {
+      val withNorm = cent.withColumn("cn", expr("sqrt(vec_dot(cv, cv))"))
+      val assigned = e.crossJoin(broadcast(withNorm))
+        .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cn")))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") === 1)
+      val comp = assigned.selectExpr("cent_id", "posexplode(v) AS (pos, x)")
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("m"))
+      cent = comp.groupBy(col("cent_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+        .localCheckpoint(true)
+    }
+    cent.withColumn("cn", expr("sqrt(vec_dot(cv, cv))"))
+  }
+}

@@ -21,6 +21,71 @@ import org.apache.spark.unsafe.types.UTF8String
   * Injected by [[graft.functions.GraftExtensions]] via
   * injectOptimizerRule.
   */
+/** Optimizer rule: rewrite the portable Rabin–Karp rolling-hash spelling
+  *
+  *   aggregate(transform(sequence(1, length(s)), i ->
+  *     cast(ascii(substring(s, i, 1)) as bigint)),
+  *     0L, (a, c) -> (a * 31 + c) % 1000000007)
+  *
+  * into the codegen'd [[graft.functions.RabinKarpHash]] — per-character
+  * interpreted closure calls become one generated loop. Bit-exact:
+  * both sides fold codePointAt over the string's code points (see the
+  * expression's Scaladoc for the equivalence argument, including the
+  * empty-string sequence(1,0) quirk). Registered both via
+  * [[graft.functions.GraftExtensions]] and post-hoc on
+  * `spark.experimental.extraOptimizations` (VecExprs.register); in both
+  * positions the rule runs after constant folding, so the int literals
+  * 31 / 1000000007 have already collapsed to their long forms. The
+  * equivalence is pinned by RuleSpec; PlanSpec pins that
+  * doc_rolling_hash actually plans to it.
+  */
+object RollingHashRewrite extends Rule[LogicalPlan] {
+
+  private def isLongLit(e: Expression, v: Long): Boolean = e match {
+    case Literal(x: Int, _) => x.toLong == v
+    case Literal(x: Long, _) => x == v
+    case Cast(inner, _, _, _) => isLongLit(inner, v)
+    case _ => false
+  }
+
+  private def isVar(e: Expression, v: NamedExpression): Boolean = e match {
+    case n: NamedExpression => n.exprId == v.exprId
+    case Cast(inner, _, _, _) => isVar(inner, v)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg @ ArrayAggregate(
+          ArrayTransform(
+            Sequence(seqStart, Length(strA), _, _),
+            LambdaFunction(mapBody, Seq(iv: NamedExpression), _)),
+          zero,
+          LambdaFunction(mergeBody,
+            Seq(av: NamedExpression, cv: NamedExpression), _),
+          LambdaFunction(finBody, Seq(fv: NamedExpression), _))
+          if isLongLit(seqStart, 1L) && isLongLit(zero, 0L) &&
+            isVar(finBody, fv) => {
+        // map: cast(ascii(substring(s, i, 1)) as bigint)
+        val mapOk = mapBody match {
+          case Cast(Ascii(Substring(strB, ivRef, one)), dt, _, _) =>
+            dt == org.apache.spark.sql.types.LongType &&
+              isVar(ivRef, iv) && isLongLit(one, 1L) &&
+              strB.semanticEquals(strA)
+          case _ => false
+        }
+        // merge: (a * 31 + c) % 1000000007
+        val mergeOk = mergeBody match {
+          case Remainder(Add(Multiply(a, m, _), c, _), mod, _) =>
+            isVar(a, av) && isLongLit(m, 31L) && isVar(c, cv) &&
+              isLongLit(mod, 1000000007L)
+          case _ => false
+        }
+        if (mapOk && mergeOk) graft.functions.RabinKarpHash(strA) else agg
+      }
+    }
+}
+
 object ShingleRewrite extends Rule[LogicalPlan] {
 
   private def isLit(e: Expression, v: Int): Boolean = e match {

@@ -143,18 +143,24 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
-  // ann_ivf_topk — IVF (inverted-file) ANN: a coarse quantizer assigns
-  // every vector to its nearest centroid cell (here the first 8 corpus
-  // vectors stand in for k-means centroids — deterministic, so the oracle
-  // can reproduce the index); probes search only their nprobe=2 nearest
-  // cells. Assignment is N×C codegen'd dots, map-side after a centroid
-  // broadcast; search cost drops from O(Q·N) to O(Q·N·nprobe/C). This is
-  // the same plan shape a learned IVF index compiles to at 100 TB — only
-  // the centroid source changes.
+  // ann_ivf_topk — IVF (inverted-file) ANN with a TRAINED coarse
+  // quantizer: centroids come from deterministic Lloyd's k-means
+  // (ops.KMeans — fixed init = 8 lowest-id vectors, fixed 3 rounds,
+  // decimal-exact component means), so the oracle replays the training
+  // loop CTE-by-CTE and re-derives identical cells. Every vector is
+  // assigned to its nearest learned cell; probes search only their
+  // nprobe=2 nearest cells. Assignment is N×C codegen'd dots, map-side
+  // after a centroid broadcast; search cost drops from O(Q·N) to
+  // O(Q·N·nprobe/C). Same plan at 100 TB: training touches the corpus
+  // iters times map-side (or a hash-sample of it), the index is k·dim
+  // values broadcast everywhere.
+  private val IvfK = 8
+  private val IvfIters = 3
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("v").as("qv"), col("nrm").as("cn"))
+    val cent = graft.ops.KMeans.train(
+        e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
     // nearest cell per corpus vector (rank 1), nearest 2 cells per probe
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
@@ -181,10 +187,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val annIvfSql = normCte +
+  /** The k-means training loop unrolled to CTEs — one block per Lloyd
+    * round, mirroring ops.KMeans step for step (cosine assignment with
+    * lowest-cent_id ties, DECIMAL(28,12)-exact component means). */
+  private def ivfTrainingCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s", cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < $k)")
+    for (t <- 1 to iters) {
+      val prev = s"cent${t - 1}"
+      val cur = s"cent$t"
+      sb.append(s"""
+        |, ${cur}_n AS (
+        |  SELECT cent_id, cv,
+        |    sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cn
+        |  FROM $prev),
+        |${cur}_assign AS (
+        |  SELECT vec_id, v, cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+        |      list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
+        |        / (nrm * cn) DESC, cent_id) AS r
+        |  FROM n, ${cur}_n),
+        |${cur}_comp AS (
+        |  SELECT cent_id, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
+        |  FROM ${cur}_assign WHERE r = 1),
+        |$cur AS (
+        |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cent_id, pos,
+        |      CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |    FROM ${cur}_comp GROUP BY cent_id, pos)
+        |  GROUP BY cent_id)""".stripMargin)
+    }
+    sb.append(s"""
+      |, cent AS (
+      |  SELECT cent_id, cv,
+      |    sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cn
+      |  FROM cent$iters)""".stripMargin)
+    sb.toString
+  }
+
+  private val annIvfSql = normCte + ivfTrainingCtes(IvfK, IvfIters) +
     """
-      |, cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
-      |scored AS (
+      |, scored AS (
       |  SELECT n.vec_id, n.v, n.nrm, cent_id,
       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
       |      / (nrm * cn) AS ccos

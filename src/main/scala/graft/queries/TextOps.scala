@@ -320,8 +320,14 @@ object TextOps {
   // doc_rolling_hash — Rabin–Karp polynomial fingerprint over the raw
   // character stream (base 31 mod 1e9+7), the primitive under
   // content-defined chunking; identical integer fold in both engines.
+  // Deliberately written in the PORTABLE higher-order spelling: the
+  // RollingHashRewrite optimizer rule (registered by VecExprs.register)
+  // plans it to the codegen'd RabinKarpHash expression — per-character
+  // interpreted closure calls would be the scale killer on the operator
+  // that touches every byte of a 100 TB corpus. PlanSpec pins the swap.
   private def rollingHash(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
     T.documents(spark, dir)
       .select(
         col("doc_id"), col("n_chars"),

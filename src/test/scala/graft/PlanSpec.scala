@@ -117,6 +117,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), p)
   }
 
+  test("doc_rolling_hash plans the codegen'd rabin_karp, not the HOF fold") {
+    val p = plan("doc_rolling_hash")
+    assert(p.contains("rabin_karp"), p)
+    assert(!p.contains("aggregate("), p)
+  }
+
   test("similarity queries run the codegen'd vec_dot, not the HOF fold") {
     val p = plan("emb_neardup_pairs")
     assert(p.contains("vec_dot"), p)
