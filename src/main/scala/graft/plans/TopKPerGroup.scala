@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, LazilyGeneratedOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom Catalyst piece (SURVEY §4.3 option (c)): top-k
   * rows per group as a first-class physical operator.
@@ -62,12 +62,60 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Per-partition bounded-heap state shared by the interpreted
+  * (`doExecute`) and whole-stage-codegen (`doProduce`/`doConsume`)
+  * paths. Public and Java-friendly because generated code references
+  * it by class name and calls `insert`/`drain` directly. Memory is
+  * O(groups·k) live row copies regardless of input size.
+  */
+final class TopKHeapBuffer(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    inputSchema: Seq[Attribute],
+    k: Int) {
+  private val groupProj = UnsafeProjection.create(groupExprs, inputSchema)
+  // row comparator for the requested sort order (codegen'd, falls
+  // back to interpreted) — "smaller" = earlier in the top-k order
+  private val ord = new LazilyGeneratedOrdering(order, inputSchema)
+  // heap keeps the CURRENT top-k with the worst survivor on top, so
+  // admission is a single peek
+  private val worstOnTop = new java.util.Comparator[InternalRow] {
+    override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+  }
+  private val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+
+  def insert(row: InternalRow): Unit = {
+    val key = groupProj(row)
+    var heap = heaps.get(key)
+    if (heap == null) {
+      heap = new java.util.PriorityQueue[InternalRow](k + 1, worstOnTop)
+      heaps.put(key.copy(), heap)
+    }
+    if (heap.size < k) heap.add(row.copy())
+    else if (ord.compare(row, heap.peek()) < 0) {
+      heap.poll(); heap.add(row.copy())
+    }
+  }
+
+  /** Survivors, each group emitted in sort order (heap drains
+    * worst-first; reversed per group for deterministic consumption). */
+  def drain(): java.util.Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala.flatMap { h =>
+      val arr = new Array[InternalRow](h.size)
+      var i = 0
+      while (!h.isEmpty) { arr(i) = h.poll(); i += 1 }
+      arr.reverseIterator
+    }.asJava
+  }
+}
+
 final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    partial: Boolean = false) extends UnaryExecNode {
+    partial: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
 
@@ -81,43 +129,69 @@ final case class TopKPerGroupExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  /** Called from generated code (via the plan reference object), once
+    * per partition — projections/orderings are created executor-side. */
+  def createBuffer(): TopKHeapBuffer =
+    new TopKHeapBuffer(groupExprs, order, child.output, k)
+
   protected override def doExecute(): RDD[InternalRow] = {
-    val groupExprsB = groupExprs
-    val orderB = order
-    val kB = k
-    val childOutput = child.output
+    val thisPlan = this
     child.execute().mapPartitions({ it =>
-      val groupProj = UnsafeProjection.create(groupExprsB, childOutput)
-      // row comparator for the requested sort order (codegen'd, falls
-      // back to interpreted) — "smaller" = earlier in the top-k order
-      val ord = new LazilyGeneratedOrdering(orderB, childOutput)
-      // heap keeps the CURRENT top-k with the worst survivor on top, so
-      // admission is a single peek
-      val worstOnTop = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
-      }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (it.hasNext) {
-        val row = it.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kB + 1, worstOnTop)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kB) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-      }
+      val buf = thisPlan.createBuffer()
+      while (it.hasNext) buf.insert(it.next())
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { h =>
-        val arr = new Array[InternalRow](h.size)
-        var i = 0
-        while (!h.isEmpty) { arr(i) = h.poll(); i += 1 }
-        // heap drains worst-first; reverse to emit each group in order
-        arr.reverseIterator
-      }
+      buf.drain().asScala
     }, preservesPartitioning = true)
   }
+
+  // ---- whole-stage codegen (the SortExec blocking-operator shape):
+  // doConsume feeds every child row into the heap buffer; doProduce
+  // drives the child's produce loop once, then streams the drained
+  // survivors to the parent. This keeps the operator INSIDE the
+  // WholeStageCodegen span instead of breaking it at both edges.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // we consume whole rows, not individual columns — don't force the
+  // child to materialize column variables for us
+  override def usedInputs: AttributeSet = AttributeSet(Seq.empty)
+
+  private var bufferVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needToHeap =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "needToHeap", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    bufferVariable = ctx.addMutableState(classOf[TopKHeapBuffer].getName, "topkBuffer",
+      v => s"$v = $thisPlan.createBuffer();", forceInline = true)
+    val drainedIter = ctx.addMutableState("java.util.Iterator<InternalRow>", "topkDrained",
+      forceInline = true)
+    val addToBuffer = ctx.freshName("addToTopKBuffer")
+    val addToBufferFunc = ctx.addNewFunction(addToBuffer,
+      s"""
+         |private void $addToBuffer() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkOutputRow")
+    s"""
+       |if ($needToHeap) {
+       |  $addToBufferFunc();
+       |  $drainedIter = $bufferVariable.drain();
+       |  $needToHeap = false;
+       |}
+       |while ($limitNotReachedCond $drainedIter.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $drainedIter.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin.trim
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$bufferVariable.insert((UnsafeRow) ${row.value});
+     """.stripMargin
 }

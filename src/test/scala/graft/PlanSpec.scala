@@ -36,6 +36,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"), p)
   }
 
+  test("topk custom exec participates in whole-stage codegen (no span break)") {
+    // '*(n) TopKPerGroup…' = inside a WholeStageCodegen span; a bare
+    // node name means the operator fell back to the interpreted path
+    // and broke the fused span at both edges. AQE only collapses
+    // codegen stages at execution, so materialize before reading the
+    // final plan.
+    val df = SparkEntry.queries("topk_per_group_custom")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) TopKPerGroupPartial""".r.findFirstIn(p).isDefined, p)
+    assert("""\*\(\d+\) TopKPerGroupFinal""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("bucketized range join stays an equi-join — no cartesian/BNLJ") {
     val p = plan("join_range_events")
     assert(!p.contains("CartesianProduct"), p)
