@@ -31,6 +31,12 @@ class GraphSpec extends SparkSpec {
     assert(labels.size == 120)
   }
 
+  test("empty edge set converges immediately (null Σlabel is fixpoint)") {
+    // zero near-dup pairs is a reachable production state; the null
+    // DECIMAL sum from an empty aggregate must read as converged, not NPE
+    assert(cc(Seq.empty).isEmpty)
+  }
+
   test("reversed and duplicated edges change nothing") {
     val labels = cc(Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 1L)))
     assert(Seq(1L, 3L, 5L).forall(labels(_) == 1L))
