@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{Ctx, QueryDef, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation composites — the end-to-end shapes an LLM
+  * data pipeline runs nightly, each built from the engine's primitives
+  * and each with a scale story that survives 100 TB:
+  *
+  *  - '''decontamination''' — remove training docs that share n-grams
+  *    with an evaluation set. The eval side is tiny relative to the
+  *    corpus (benchmarks are KBs, corpora are TBs), so its distinct
+  *    gram set BROADCASTS and the corpus-side probe is a map-side hash
+  *    semi-join: zero shuffle of the 100 TB side.
+  *  - '''shard packing''' — assign docs to fixed-token-budget training
+  *    shards by running token count. Packing is per-source (PARTITION BY
+  *    source), so the window sort parallelizes across sources instead of
+  *    serializing the corpus through one global ordering.
+  *  - '''domain mixing''' — downsample each source to a target token
+  *    budget with a deterministic per-doc hash draw: join-free (the
+  *    per-source totals ride a window over the same shuffle), retry-safe
+  *    (re-running selects identical docs), and exact on both engines
+  *    (pure integer multiplicative hash — no float RNG).
+  *  - '''the curation funnel''' — dedup → quality gates → language
+  *    allowlist → per-(source, lang) accounting: one linear plan, every
+  *    stage a codegen'd projection/aggregate over one corpus scan.
+  */
+object Curation {
+
+  /** tokens + 3-gram shingle set, same derivation as TextOps (split on
+    * single space; codegen'd word_shingles3). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    T.documents(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingle_set", array_distinct(expr("word_shingles3(tokens)")))
+  }
+
+  private val shingleCte =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(tokens)-1),
+      |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s3
+      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS tokens FROM documents)
+      |  WHERE len(tokens) >= 3
+      |)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // curate_decontaminate — eval-overlap removal: docs sharing any
+  // 3-shingle with the held-out set (doc_id ≡ 0 mod 13 plays the
+  // benchmark suite). Inverted-index shape: explode corpus shingles,
+  // equi-join the BROADCAST eval-gram set, count hits per doc. The
+  // corpus side never shuffles; contaminated volume is bounded by
+  // gram collisions, not N².
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val evalGrams = sh.filter(col("doc_id") % 13 === 0)
+      .select(explode(col("shingle_set")).as("g")).distinct()
+    sh.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql = shingleCte +
+    """
+      |, ev AS (SELECT DISTINCT unnest(s3) AS g FROM sh WHERE doc_id % 13 = 0)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM (SELECT doc_id, unnest(s3) AS g FROM sh WHERE doc_id % 13 <> 0) t
+      |JOIN ev USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // curate_shard_pack — sequential greedy packing into 2000-token
+  // shards, independently per source: shard = which budget window the
+  // doc's FIRST token lands in (floor of the exclusive running sum).
+  // Per-source windows keep the sort width bounded by the largest
+  // source, not the corpus; the output is the shard manifest a trainer
+  // would mmap.
+  private def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("shard_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(2000)))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
+  private val shardPackSql =
+    """WITH t AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, n_tokens,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000) AS BIGINT) AS shard_id
+      |  FROM t)
+      |SELECT source, shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+      |FROM p GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // curate_domain_mix — cap every source at a 500-token budget:
+  // keep-fraction f_s = min(1, 500 / source_tokens), draw u(doc) from a
+  // multiplicative integer hash (Knuth 2654435761 mod 1000003 — exact
+  // int64 on both engines, no float RNG), keep u/1000003 < f_s. The
+  // per-source total rides a window over the grouping shuffle — no
+  // second join against an aggregate.
+  private def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val bySource = Window.partitionBy(col("source"))
+    T.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("src_tokens", sum(col("n_tokens")).over(bySource))
+      .withColumn("f", least(lit(1.0), lit(500.0) / col("src_tokens")))
+      .withColumn("u", (col("doc_id") * lit(2654435761L)) % lit(1000003L))
+      .filter(col("u").cast("double") / lit(1000003.0) < col("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val domainMixSql =
+    """WITH t AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source) AS src_tokens
+      |  FROM t)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+      |FROM s
+      |WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
+      |      < LEAST(1.0, 500.0 / src_tokens)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // curate_corpus — the funnel: exact dedup (md5 keep-first) → quality
+  // gates (length + type-token ratio) → language allowlist → per-cell
+  // accounting with funnel-stage counts. One scan, one dedup shuffle,
+  // one aggregate; every predicate is a codegen'd projection.
+  private def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("chash")).orderBy(col("doc_id"))
+    T.documents(spark, dir)
+      .withColumn("chash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // exact dedup, deterministic keep-first
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("ttr",
+        size(array_distinct(col("tokens"))).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens").between(25, 90) && col("ttr") >= 0.35)
+      .filter(col("lang").isin("en", "es", "de", "fr"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val corpusFunnelSql =
+    """WITH d AS (
+      |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, lang,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr
+      |  FROM d WHERE rn = 1)
+      |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM q
+      |WHERE n_tokens BETWEEN 25 AND 90 AND ttr >= 0.35
+      |  AND lang IN ('en', 'es', 'de', 'fr')
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("curate_shard_pack", shardPack, Some(shardPackSql)),
+    QueryDef("curate_domain_mix", domainMix, Some(domainMixSql)),
+    QueryDef("curate_corpus", corpusFunnel, Some(corpusFunnelSql)))
+}
