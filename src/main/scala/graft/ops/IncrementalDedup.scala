@@ -80,6 +80,19 @@ object IncrementalDedup {
     withPfx(sigs)
       .write.mode("overwrite").partitionBy("band", "pfx").parquet(path)
 
+  /** Build the index only if it isn't already on disk (checked via the
+    * committer's `_SUCCESS` marker, so a half-written index rebuilds).
+    * This is the operator's steady state: the corpus index is written
+    * once per compaction and then only READ by every ingest tick — the
+    * whole point of the incremental path is that ticks don't pay the
+    * corpus-sized write. Call [[writeIndex]] directly to force a
+    * rebuild (e.g. after corpus compaction). */
+  def ensureIndex(sigs: => DataFrame, spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) writeIndex(sigs, path)
+  }
+
   /** Partition-column types are INFERRED from directory names on read —
     * a small index whose pfx values happen to be all digits would come
     * back int, not string, and silently miss the delta join. Pin both. */

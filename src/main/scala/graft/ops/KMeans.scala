@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -37,14 +36,20 @@ object KMeans {
   def train(e: DataFrame, k: Int, iters: Int): DataFrame = {
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
     for (_ <- 1 to iters) {
       val withNorm = cent.withColumn("cn", expr("sqrt(vec_dot(cv, cv))"))
+      // argmax cell per vector as a max_by AGGREGATE, not a window: the
+      // ordering key struct(ccos, -cent_id) reproduces "highest cosine,
+      // ties to lowest cent_id" exactly, and partial aggregation folds
+      // the N·k scored rows to N map-side — the window spelling shuffled
+      // and sorted all N·k rows per round.
       val assigned = e.crossJoin(broadcast(withNorm))
         .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cn")))
-        .withColumn("r", row_number().over(wAssign))
-        .filter(col("r") === 1)
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+            .as("cent_id"),
+          first(col("v")).as("v")) // v is functionally determined by vec_id
       val comp = assigned.selectExpr("cent_id", "posexplode(v) AS (pos, x)")
         .groupBy(col("cent_id"), col("pos"))
         .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
@@ -52,8 +57,15 @@ object KMeans {
       cent = comp.groupBy(col("cent_id"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
           .as("cv"))
-        .localCheckpoint(true)
+      // No per-round checkpoint: iters is a small fixed constant and each
+      // round consumes the previous exactly once, so the whole training
+      // is one chain DAG — one query execution, no nested-lineage blowup
+      // (contrast Graph.connectedComponents, where rounds are unbounded).
     }
     cent.withColumn("cn", expr("sqrt(vec_dot(cv, cv))"))
+      // one tiny (k-row) materialization so every downstream broadcast
+      // of the centroids reuses the trained result instead of re-running
+      // the loop per exchange
+      .localCheckpoint(true)
   }
 }

@@ -161,20 +161,26 @@ object Similarity {
     val cent = graft.ops.KMeans.train(
         e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
-    // nearest cell per corpus vector (rank 1), nearest 2 cells per probe
+    // nearest cell per corpus vector: max_by aggregate (ordering key
+    // struct(ccos, -cent_id) = highest cosine, ties to lowest cell) —
+    // partial-aggregates the N·C scored rows to N map-side, where the
+    // old row_number window shuffled and sorted all N·C
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val corpus = scored.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+          .as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    // nearest 2 cells per probe: the rank-2 window only ever sees the
+    // 10 probe vectors × C cells — filter FIRST, then rank
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = scored
+    val probes = scored.filter(col("vec_id") < 10)
       .withColumn("crank", row_number().over(wAssign))
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        col("cent_id").as("cell"), col("crank"))
-    val corpus = assigned.filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val probes = assigned.filter(col("crank") <= 2 && col("vec_id") < 10)
+      .filter(col("crank") <= 2)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell").as("qcell"))
+        col("nrm").as("qn"), col("cent_id").as("qcell"))
     val cand = corpus.join(broadcast(probes),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))

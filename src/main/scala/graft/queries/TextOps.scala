@@ -547,8 +547,11 @@ object TextOps {
     val corpus = bandSigs(sh.filter(col("doc_id") % 20 =!= 0))
     val delta = IncrementalDedup.withPfx(
       bandSigs(sh.filter(col("doc_id") % 20 === 0)))
+    // write-once, read-every-tick: the persisted index is only (re)built
+    // when absent — the steady-state tick pays index READS proportional
+    // to the delta's bucket hits, never the corpus-sized write
     val path = IncrementalDedup.indexPath(s"minhash-$dir")
-    IncrementalDedup.writeIndex(corpus, path)
+    IncrementalDedup.ensureIndex(corpus, spark, path)
     val idx = IncrementalDedup.readIndex(spark, path)
     val known = IncrementalDedup.candidatesOn(idx, IncrementalDedup.indexBucket)
     val fresh = IncrementalDedup.newCandidatesOn(
