@@ -71,10 +71,33 @@ object Ingest {
     !dec.flush(cb).isError
   }
 
+  /** Charset decisions already paid for, keyed by (path, input
+    * fingerprint). The fingerprint — file count + max mtime + total
+    * length — changes whenever the data under the path is regenerated,
+    * so a re-used path re-validates instead of serving a stale verdict;
+    * an unchanged input skips the full distributed decode pass that
+    * repeated csv() calls were paying per invocation. */
+  private val charsetMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Charset]()
+
+  /** Cheap driver-side input fingerprint: (file count, max mtime, total
+    * length) over the files under `path` — one FS listing, no data read. */
+  private def inputFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val files = fs.getFileStatus(p) match {
+      case st if st.isDirectory => fs.listStatus(p).filter(_.isFile)
+      case st => Array(st)
+    }
+    val maxM = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+    s"${files.length}:$maxM:${files.map(_.getLen).sum}"
+  }
+
   /** Decide the charset the way the reference does — strict-UTF-8 decode
     * of the ENTIRE input, ISO-8859-1 on any malformed byte in any file —
     * but distributed: one constant-memory streaming task per file, job
-    * short-circuited by take(1) on the first offender. */
+    * short-circuited by take(1) on the first offender. Memoized per
+    * (path, input fingerprint), so steady-state re-reads of unchanged
+    * data pay one FS listing, not a second full decode pass. */
   def detectEncoding(spark: SparkSession, path: String): Charset = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -83,6 +106,9 @@ object Ingest {
       if (fs.getFileStatus(p).isDirectory &&
           !fs.listStatus(p).exists(_.isFile))
         return StandardCharsets.UTF_8
+      val key = (path, inputFingerprint(fs, p))
+      val memo = charsetMemo.get(key)
+      if (memo != null) return memo
       val anyMalformed = spark.sparkContext.binaryFiles(path)
         .map { case (_, pds) =>
           val in = pds.open()
@@ -90,7 +116,10 @@ object Ingest {
         }
         .filter(valid => !valid)
         .take(1).nonEmpty
-      if (anyMalformed) StandardCharsets.ISO_8859_1 else StandardCharsets.UTF_8
+      val cs = if (anyMalformed) StandardCharsets.ISO_8859_1
+        else StandardCharsets.UTF_8
+      charsetMemo.put(key, cs)
+      cs
     } catch {
       case e: java.io.IOException => throw new UnreadableInputException(path, e)
       case e: org.apache.spark.SparkException =>

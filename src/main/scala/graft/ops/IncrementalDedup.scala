@@ -109,9 +109,30 @@ object IncrementalDedup {
   def withPfx(sigs: DataFrame): DataFrame =
     sigs.withColumn("pfx", substring(col("sig"), 1, 1))
 
-  /** Deterministic per-corpus index location (idempotent rebuild). */
+  /** Deterministic per-corpus index location (idempotent rebuild).
+    * Include [[sourceFingerprint]] of the corpus input in `tag`: a
+    * `_SUCCESS`-marked index is otherwise trusted forever, so if the
+    * data under the same path were regenerated, ensureIndex would serve
+    * stale candidates — fingerprinted tags make regenerated inputs land
+    * at a fresh path and rebuild instead. */
   def indexPath(tag: String): String = {
     val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${sys.props("java.io.tmpdir")}/graft-index/$safe"
+  }
+
+  /** Cheap driver-side fingerprint of an index's SOURCE data — file
+    * count, max mtime, total byte length under `path` (one FS listing,
+    * no data read). Changes whenever the input is regenerated; embed it
+    * in the [[indexPath]] tag so index validity is keyed to input
+    * identity, not just input location. */
+  def sourceFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.getFileStatus(p) match {
+      case st if st.isDirectory => fs.listStatus(p).filter(_.isFile)
+      case st => Array(st)
+    }
+    val maxM = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+    s"${files.length}-$maxM-${files.map(_.getLen).sum}"
   }
 }

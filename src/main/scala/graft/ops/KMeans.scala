@@ -20,10 +20,12 @@ import org.apache.spark.sql.types.DecimalType
   * pass over the corpus against k broadcast centroids (N·k codegen'd
   * vec_dot calls, no shuffle), and the update is one posexplode +
   * (cell, component) hash aggregate — shuffle volume N·dim scalars,
-  * partial-aggregated map-side. Centroid state is k·dim values —
-  * localCheckpointed per round so the analyzer never sees a nested
-  * lineage, never collected to the driver. Cells that lose all members
-  * drop out (k shrinks) — deterministic, and the oracle mirrors it.
+  * partial-aggregated map-side. Centroid state is k·dim values — never
+  * collected to the driver, and localCheckpointed ONCE after the final
+  * round (the fixed, small iteration count keeps the whole training a
+  * single chain DAG, so no per-round checkpoint is needed — see the
+  * in-loop note). Cells that lose all members drop out (k shrinks) —
+  * deterministic, and the oracle mirrors it.
   *
   * @param e     corpus: (vec_id, v: array<double>, nrm) — vec_dot must
   *              be registered on the session (VecExprs.register)

@@ -113,8 +113,13 @@ object Curation {
   // curate_domain_mix — cap every source at a 500-token budget:
   // keep-fraction f_s = min(1, 500 / source_tokens), draw u(doc) from a
   // multiplicative integer hash (Knuth 2654435761 mod 1000003 — exact
-  // int64 on both engines, no float RNG), keep u/1000003 < f_s. The
-  // per-source total rides a window over the grouping shuffle — no
+  // int64 on both engines, no float RNG), keep u/1000003 < f_s. Both
+  // factors are reduced mod 1000003 BEFORE multiplying (427799 =
+  // 2654435761 mod 1000003), so the product stays < 2^39 for any int64
+  // doc_id — the naive doc_id*2654435761 spelling overflows past
+  // doc_id ≈ 3.5e9, where Spark (non-ANSI) wraps silently while DuckDB
+  // raises; same residue by modular arithmetic where both are defined.
+  // The per-source total rides a window over the grouping shuffle — no
   // second join against an aggregate.
   private def domainMix(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
@@ -123,7 +128,7 @@ object Curation {
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("src_tokens", sum(col("n_tokens")).over(bySource))
       .withColumn("f", least(lit(1.0), lit(500.0) / col("src_tokens")))
-      .withColumn("u", (col("doc_id") * lit(2654435761L)) % lit(1000003L))
+      .withColumn("u", ((col("doc_id") % lit(1000003L)) * lit(427799L)) % lit(1000003L))
       .filter(col("u").cast("double") / lit(1000003.0) < col("f"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
@@ -141,7 +146,7 @@ object Curation {
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
       |FROM s
-      |WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
+      |WHERE CAST(((doc_id % 1000003) * 427799) % 1000003 AS DOUBLE) / 1000003.0
       |      < LEAST(1.0, 500.0 / src_tokens)
       |GROUP BY source ORDER BY source""".stripMargin
 

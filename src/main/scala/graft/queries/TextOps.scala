@@ -549,8 +549,12 @@ object TextOps {
       bandSigs(sh.filter(col("doc_id") % 20 === 0)))
     // write-once, read-every-tick: the persisted index is only (re)built
     // when absent — the steady-state tick pays index READS proportional
-    // to the delta's bucket hits, never the corpus-sized write
-    val path = IncrementalDedup.indexPath(s"minhash-$dir")
+    // to the delta's bucket hits, never the corpus-sized write. The tag
+    // carries the SOURCE fingerprint, so regenerated data under the same
+    // dir lands at a fresh path and rebuilds instead of serving stale
+    // candidates off the old _SUCCESS marker.
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val path = IncrementalDedup.indexPath(s"minhash-$dir-$fp")
     IncrementalDedup.ensureIndex(corpus, spark, path)
     val idx = IncrementalDedup.readIndex(spark, path)
     val known = IncrementalDedup.candidatesOn(idx, IncrementalDedup.indexBucket)
