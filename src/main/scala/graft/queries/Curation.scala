@@ -190,9 +190,42 @@ object Curation {
       |  AND lang IN ('en', 'es', 'de', 'fr')
       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // curate_sample_stratified — per-language deterministic sampling at
+  // DIFFERENT rates (the corpus rebalancing move: oversample scarce
+  // languages, downsample dominant ones). The per-doc draw is the
+  // suite's content-addressed idiom (first md5 hex byte of doc_id,
+  // uniform over 256 cells); each language's keep threshold is a
+  // 2-hex-digit bound carried by a broadcast rates dim, so the corpus
+  // scan stays map-side: one broadcast hash join, no shuffle, no
+  // rand() — task retries and cluster size can't change membership,
+  // and re-runs on a grown corpus keep history's sample intact.
+  // Languages absent from the dim are dropped (inner join allowlist).
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    import spark.implicits._
+    // keep rates: en 192/256, de 128/256, fr 64/256, es 32/256
+    val rates = Seq(("en", "c0"), ("de", "80"), ("fr", "40"), ("es", "20"))
+      .toDF("lang", "thr")
+    T.documents(spark, dir)
+      .join(broadcast(rates), "lang")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE lang IN ('en', 'de', 'fr', 'es')
+      |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |      CASE lang WHEN 'en' THEN 'c0' WHEN 'de' THEN '80'
+      |                WHEN 'fr' THEN '40' WHEN 'es' THEN '20' END
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("curate_shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("curate_domain_mix", domainMix, Some(domainMixSql)),
-    QueryDef("curate_corpus", corpusFunnel, Some(corpusFunnelSql)))
+    QueryDef("curate_corpus", corpusFunnel, Some(corpusFunnelSql)),
+    QueryDef("curate_sample_stratified", sampleStratified, Some(sampleStratifiedSql)))
 }

@@ -952,7 +952,41 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY l_partkey, l_suppkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // join_bucketed_colocated — the co-located join: lineitem and orders
+  // mirrored ONCE into bucketed+sorted tables on the order key
+  // (ops.Bucketing, fingerprint-memoized like the LSH index), then
+  // fact⋈fact join + per-order aggregation both run on the bucket
+  // layout — zero shuffle before the final presentation sort
+  // (BucketingSpec + PlanSpec pin the no-exchange property). At 100 TB
+  // this converts the dominant per-query cost of a star-schema
+  // workload (re-shuffling the fact tables for every orderkey join)
+  // into a one-time ingest cost. The aggregation keys extend the
+  // bucket key, so hash-partitioning on l_orderkey already satisfies
+  // the aggregate's clustering requirement — no exchange there either.
+  private def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val lt = graft.ops.Bucketing.ensure(spark, dir, "lineitem", "l_orderkey")
+    val ot = graft.ops.Bucketing.ensure(spark, dir, "orders", "o_orderkey")
+    val l = spark.table(lt)
+    val o = spark.table(ot)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice")).as("order_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val joinBucketedSql =
+    """SELECT l_orderkey, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey, o_orderpriority
+      |ORDER BY l_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_bucketed_colocated", joinBucketed, Some(joinBucketedSql)),
     QueryDef("q1_lineitem_agg", q1, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
     QueryDef("q5_nation_revenue", q5, Some(q5Sql)),

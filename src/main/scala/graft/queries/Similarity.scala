@@ -350,11 +350,135 @@ object Similarity {
       |    / (b.nrm * a.nrm) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_semantic — cluster-representative selection (semantic dedup /
+  // coreset extraction): assign every embedding to its nearest TRAINED
+  // k-means cell (same memoized quantizer as ann_ivf_topk — train once
+  // per corpus, serve every downstream query), then keep one
+  // representative per cell: the member closest to the centroid (ties
+  // to lowest vec_id). This is the cheap end of the semantic-dedup
+  // spectrum — O(N·C) map-side assignment after a centroid broadcast,
+  // one partial-aggregated reduction per cell, no pairwise compares at
+  // all — the right first pass before any within-cluster pair mining
+  // at 100 TB. Output: per-cell survivor manifest with member counts.
+  private def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = centMemo.computeIfAbsent((spark, dir), _ =>
+        graft.ops.KMeans.train(
+          e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters))
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    // nearest cell per vector: map-side max_by partial aggregate (no
+    // window shuffle over the N·C scored rows)
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("ccos")),
+        struct(col("ccos"), (-col("cent_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"),
+        col("best.ccos").as("ccos"))
+    // manifest carries ids and counts only — NOT the centroid cosine:
+    // rep_cos would expose a double that exists on the Spark side only
+    // via the trained cv (whose components pass through a double→decimal
+    // cast that Spark performs on the shortest-string form and DuckDB on
+    // the exact binary expansion — last-ulp divergence), while the
+    // argmax itself is insensitive to last-ulp noise
+    assigned.groupBy(col("cell"))
+      .agg(
+        max_by(col("vec_id"), struct(col("ccos"), (-col("vec_id")).as("nv")))
+          .as("rep_id"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cell"))
+  }
+
+  private val dedupSemanticSql = normCte + ivfTrainingCtes(IvfK, IvfIters) +
+    """
+      |, scored AS (
+      |  SELECT n.vec_id, cent_id,
+      |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
+      |      / (nrm * cn) AS ccos
+      |  FROM n, cent),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cell, ccos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+      |  FROM scored),
+      |cells AS (SELECT vec_id, cell, ccos FROM assigned WHERE crank = 1),
+      |reps AS (
+      |  SELECT cell, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id) AS r
+      |  FROM cells),
+      |counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM cells GROUP BY cell)
+      |SELECT counts.cell AS cell, reps.vec_id AS rep_id, n_members
+      |FROM counts JOIN reps ON counts.cell = reps.cell AND reps.r = 1
+      |ORDER BY cell""".stripMargin
+
+  // -------------------------------------------------------------------
+  // emb_quantize_int8 — per-vector scalar quantization audit: snap each
+  // component to the 256-cell grid spanned by the vector's own
+  // [min, max] (the int8 storage format — 4× smaller than float32, 8×
+  // smaller than float64), reconstruct at cell midpoints, and report
+  // per-label mean/max absolute reconstruction error. The per-element
+  // work is an EXPLODE into codegen'd scalar projections + two
+  // partial-aggregated reductions — the suite's no-interpreted-HOF
+  // discipline (an aggregate(transform(...)) lambda fold here would pay
+  // the 10-25× interpreter tax on every component of every vector, the
+  // exact trap NOTES.md names). Error accounting is INTEGER-exact:
+  // each |x-recon| is floor-quantized to 1e-12 units (pure IEEE
+  // multiply + floor — identical on both engines, unlike a
+  // double→decimal cast, which Spark performs on the shortest-string
+  // form and DuckDB on the exact binary expansion — last-ulp
+  // divergence), summed as int64, and surfaced through one final
+  // double division chain; dim is 64 (constant) so the per-vector
+  // mean divides by a constant.
+  private def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val el = e
+      .withColumn("lo", array_min(col("v")))
+      .withColumn("scale", (array_max(col("v")) - array_min(col("v"))) / lit(255.0))
+      .select(col("vec_id"), col("label"), col("lo"), col("scale"),
+        explode(col("v")).as("x"))
+    val err = el
+      .withColumn("code",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(floor((col("x") - col("lo")) / col("scale"))))
+      .withColumn("recon", col("lo") + (col("code") + lit(0.5)) * col("scale"))
+      .withColumn("units", floor(abs(col("x") - col("recon")) * lit(1e12)))
+    val perVec = err.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("units")).as("vec_units"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("vec_units")).cast("double") / count(lit(1)) / lit(64.0) /
+          lit(1e12)).as("avg_abs_err"),
+        (max(col("vec_units")).cast("double") / lit(64.0) / lit(1e12))
+          .as("max_vec_err"))
+      .orderBy(col("label"))
+  }
+
+  private val quantizeInt8Sql = normCte +
+    """
+      |, b AS (
+      |  SELECT vec_id, label, list_min(v) AS lo,
+      |    (list_max(v) - list_min(v)) / 255.0 AS scale, v
+      |  FROM e),
+      |el AS (SELECT vec_id, label, lo, scale, unnest(v) AS x FROM b),
+      |err AS (
+      |  SELECT vec_id, label,
+      |    CAST(floor(abs(x - (lo + ((CASE WHEN scale = 0 THEN 0 ELSE floor((x - lo) / scale) END) + 0.5) * scale)) * 1e12) AS BIGINT) AS units
+      |  FROM el),
+      |pv AS (
+      |  SELECT vec_id, label, CAST(SUM(units) AS BIGINT) AS vec_units
+      |  FROM err GROUP BY vec_id, label)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(vec_units) AS DOUBLE) / COUNT(*) / 64.0 / 1e12 AS avg_abs_err,
+      |  CAST(MAX(vec_units) AS DOUBLE) / 64.0 / 1e12 AS max_vec_err
+      |FROM pv GROUP BY label ORDER BY label""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine_topk", annTopk, Some(annTopkSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
-    QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql))
+    QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql)),
+    QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeInt8Sql))
   )
 }

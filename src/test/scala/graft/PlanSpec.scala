@@ -49,6 +49,19 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) TopKPerGroupFinal""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("bucketed co-located join: the only exchange is the final sort") {
+    // force the planner off broadcast so the join must rely on the
+    // bucket layout (a broadcast would hide exactly the shuffle this
+    // test is about)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("join_bucketed_colocated")
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bucketized range join stays an equi-join — no cartesian/BNLJ") {
     val p = plan("join_range_events")
     assert(!p.contains("CartesianProduct"), p)
