@@ -133,6 +133,29 @@ object Events {
       |FROM e GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_variant_extract — the same JSON props through Spark 4's
+  // VARIANT type (B14, modern form): parse_json encodes the document
+  // ONCE into the binary variant format, and variant_get does typed
+  // path extraction on that encoding. At 100 TB this is the
+  // semi-structured fast path — shredded binary navigation instead of
+  // per-row string re-parsing for every accessed field, with no
+  // up-front schema declaration (contrast events_props_extract's
+  // from_json, which needs the schema and re-parses per field list).
+  private def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'int')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val variantExtractSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_funnel — per-user event-type transition counts: lead over the
   // per-user timeline, grouped by (from, to) pair.
   private def funnel(spark: SparkSession, dir: String): DataFrame = {
@@ -239,6 +262,7 @@ object Events {
     QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
     QueryDef("events_session", session, Some(sessionSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
+    QueryDef("events_variant_extract", variantExtract, Some(variantExtractSql)),
     QueryDef("events_funnel", funnel, Some(funnelSql)),
     QueryDef("events_retention", retention, Some(retentionSql)),
     QueryDef("join_asof_events", asofJoin, Some(asofJoinSql))

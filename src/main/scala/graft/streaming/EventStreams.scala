@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming mirror of the batch event-time suite
@@ -103,5 +104,46 @@ object EventStreams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** The same per-user running totals through Spark 4's
+    * transformWithState — the successor API to (flat)MapGroupsWithState.
+    * State is DECLARED as named typed slots on the processor handle
+    * (value/list/map state, per-slot TTL policy) instead of one opaque
+    * blob, so the runtime can evolve, expire, and inspect slots
+    * independently; execution requires the RocksDB state-store provider
+    * (changelog-checkpointed, spillable) — the store that actually holds
+    * up when keyed state reaches 100 TB-cluster cardinalities.
+    * Semantics are pinned to the flatMapGroupsWithState twin by
+    * StreamingSpec (identical outputs, batch after batch). */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Ev, UserRunning] {
+    @transient private var totals: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunning]("totals",
+        Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserRunning(userId, 0L, 0.0)
+      var n = prev.n_events
+      var s = BigDecimal(prev.sum_value).setScale(2)
+      rows.foreach { e =>
+        n += 1
+        s += BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val next = UserRunning(userId, n, s.toDouble)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[Ev]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -205,4 +205,34 @@ class StreamingSpec extends SparkSpec {
     assert(last.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       == Seq((1L, 3L, 11.75), (2L, 1L, 4.00)))
   }
+
+  test("transformWithState matches the flatMapGroupsWithState twin") {
+    // transformWithState runs only on the RocksDB state-store provider
+    // (named typed state slots + changelog checkpointing); scope the
+    // provider override to this query and restore the default after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev](spark)
+      val q = EventStreams.runningTotalsTws(mem.toDS())
+        .writeStream.format("memory").queryName("running_tws")
+        .outputMode("update").start()
+      mem.addData(eventsBatch1: _*)
+      q.processAllAvailable()
+      mem.addData(eventsBatch2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("running_tws")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("sum_value").as("s"))
+        .orderBy("user_id").collect()
+      // identical to the flatMapGroupsWithState totals above
+      assert(last.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        == Seq((1L, 3L, 11.75), (2L, 1L, 4.00)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
