@@ -222,7 +222,34 @@ object Curation {
       |                WHEN 'fr' THEN '40' WHEN 'es' THEN '20' END
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // scan_partition_pruned — the corpus mirrored ONCE into a
+  // lang-partitioned directory layout (ops.PartitionedLayout,
+  // fingerprint-memoized), then a language-selective aggregate that
+  // prunes at PLANNING time: the excluded languages' directories
+  // contribute zero read bytes — `PartitionFilters:` on the scan node,
+  // pinned by PlanSpec. At 100 TB this is the first-line scan
+  // optimization: "English + French only" reads |match| bytes, not the
+  // corpus.
+  private def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = graft.ops.PartitionedLayout.ensure(spark, dir, "documents", "lang")
+    spark.read.parquet(path)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val partitionPrunedSql =
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE lang IN ('en', 'fr')
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("scan_partition_pruned", partitionPruned, Some(partitionPrunedSql)),
     QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("curate_shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("curate_domain_mix", domainMix, Some(domainMixSql)),

@@ -62,6 +62,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("partitioned mirror scan prunes language partitions at planning time") {
+    val p = plan("scan_partition_pruned")
+    // the lang predicate must land in PartitionFilters (directory-level
+    // pruning), not as a data filter evaluated per row
+    val pf = "PartitionFilters: \\[[^\\]]*lang".r
+    assert(pf.findFirstIn(p).isDefined, p)
+  }
+
   test("bucketized range join stays an equi-join — no cartesian/BNLJ") {
     val p = plan("join_range_events")
     assert(!p.contains("CartesianProduct"), p)
