@@ -156,6 +156,43 @@ object Events {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_variant_stored — the parse-once/extract-many VARIANT
+  // lifecycle: events mirrored ONCE with props parsed into a STORED
+  // binary variant column (fingerprint-memoized parquet, same validity
+  // contract as the layout mirrors), then typed path navigation on the
+  // stored encoding — no JSON string parsing at query time at all. At
+  // 100 TB this is the ingest-side move that makes every downstream
+  // extraction columnar-speed; VariantStorageSpec pins the round-trip.
+  private def variantMirror(spark: SparkSession, dir: String): String = {
+    val fp = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
+    val tag = s"events_variant_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-variant/$tag"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      ev(spark, dir).withColumn("v", expr("parse_json(props)")).drop("props")
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  private def variantStored(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = variantMirror(spark, dir)
+    spark.read.parquet(path)
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val variantStoredSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_funnel — per-user event-type transition counts: lead over the
   // per-user timeline, grouped by (from, to) pair.
   private def funnel(spark: SparkSession, dir: String): DataFrame = {
@@ -263,6 +300,7 @@ object Events {
     QueryDef("events_session", session, Some(sessionSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
     QueryDef("events_variant_extract", variantExtract, Some(variantExtractSql)),
+    QueryDef("events_variant_stored", variantStored, Some(variantStoredSql)),
     QueryDef("events_funnel", funnel, Some(funnelSql)),
     QueryDef("events_retention", retention, Some(retentionSql)),
     QueryDef("join_asof_events", asofJoin, Some(asofJoinSql))

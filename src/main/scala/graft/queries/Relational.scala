@@ -985,7 +985,43 @@ object Relational {
       |GROUP BY l_orderkey, o_orderpriority
       |ORDER BY l_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // scan_dsv2_pushdown — the custom DataSource V2 connector
+  // (sources/GraftGen) under a selective aggregate. The id-range
+  // conjuncts are CONSUMED by the source (the scan's pushedRange
+  // narrows to [10000,50000) — excluded rows are never generated;
+  // GraftGenSpec pins it), the k-parity residual stays a post-scan
+  // Catalyst filter, and column pruning reaches the reader. Row content
+  // is pure int64 arithmetic on id, so the oracle replays the source
+  // from DuckDB's range().
+  private def dsv2Scan(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    spark.read.format("graftgen")
+      .option("rows", 60000L).option("partitions", 8)
+      .load()
+      .filter(col("id") >= 10000L && col("id") < 50000L && col("k") % 2 === 0)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        dsum(col("val")).as("sum_val"))
+      .orderBy(col("grp"))
+  }
+
+  private val dsv2ScanSql =
+    """WITH t AS (
+      |  SELECT range AS id,
+      |    CAST((range * 2654435761) % 97 AS INT) AS k,
+      |    'g' || CAST(range % 10 AS VARCHAR) AS grp,
+      |    CAST((range * 13 + 7) % 1000 AS DOUBLE) / 10.0 AS v
+      |  FROM range(0, 60000))
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+      |FROM t
+      |WHERE id >= 10000 AND id < 50000 AND k % 2 = 0
+      |GROUP BY grp ORDER BY grp""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("scan_dsv2_pushdown", dsv2Scan, Some(dsv2ScanSql)),
     QueryDef("join_bucketed_colocated", joinBucketed, Some(joinBucketedSql)),
     QueryDef("q1_lineitem_agg", q1, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
