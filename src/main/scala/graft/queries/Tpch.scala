@@ -358,7 +358,319 @@ object Tpch {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q2_min_bal_supplier — TPC-H Q2 shape (no partsupp: "supply cost"
+  // becomes supplier account balance, "supplies the part" becomes
+  // "shipped the part" via distinct lineitem pairs): for each size-15
+  // part, the EUROPE supplier(s) with the minimum balance among
+  // those who shipped it. The correlated MIN subquery is a window MIN
+  // over the part key — one shuffle on p_partkey, no per-row subquery,
+  // and the same plan shape DuckDB's decorrelator produces.
+  private def q2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Ctx.prep(spark)
+    val eur = T.supplier(spark, dir)
+      .join(broadcast(T.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pairs = T.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val prt = T.part(spark, dir)
+      .filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    val cand = prt.join(pairs, col("p_partkey") === col("l_partkey"))
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+    cand
+      .withColumn("min_bal", min(col("s_acctbal")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("s_acctbal") === col("min_bal"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("p_name"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  private val q2Sql =
+    """WITH cand AS (
+      |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) lp
+      |  JOIN part ON p_partkey = l_partkey AND p_size = 15
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM (SELECT *, MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal FROM cand)
+      |WHERE s_acctbal = min_bal
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q11_part_value — TPC-H Q11 shape (partsupp value → shipped revenue):
+  // parts whose total discounted revenue exceeds 0.075% of the corpus-wide
+  // total. The global threshold is a one-row broadcast (the suite's
+  // scalar-subquery idiom) computed in the SAME exact-decimal domain as
+  // the per-part values, cast to double only at the comparison — so both
+  // engines compare identical doubles. Two scans of lineitem (per-part
+  // agg + global agg), each fully partial-aggregated map-side.
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val li = T.lineitem(spark, dir)
+    val pv = li.groupBy(col("l_partkey").as("p_partkey")).agg(sum(vol).as("vdec"))
+    val tot = li.agg(sum(vol).as("tdec"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("vdec").cast("double") > col("tdec").cast("double") * lit(0.00075))
+      .select(col("p_partkey"), col("vdec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  private val q11Sql =
+    s"""SELECT l_partkey AS p_partkey, CAST(SUM($volSql) AS DOUBLE) AS part_value
+       |FROM lineitem
+       |GROUP BY l_partkey
+       |HAVING CAST(SUM($volSql) AS DOUBLE) >
+       |  (SELECT CAST(SUM($volSql) AS DOUBLE) FROM lineitem) * 0.00075
+       |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q12_priority_lines — TPC-H Q12 shape (no l_shipmode: the split key is
+  // order priority instead): for lines shipped in 1997, count
+  // high-priority (1-URGENT/2-HIGH) vs low-priority lines per line
+  // status. Conditional COUNT via null-skipping SUM-of-CASE; the orders
+  // side carries only (key, priority) into the join.
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val li = T.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+    val ord = T.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q15_top_supplier — TPC-H Q15 shape: the supplier(s) with maximum
+  // revenue in 1997Q1. The MAX is compared IN THE EXACT DECIMAL DOMAIN
+  // (never double equality — the one place a float rule would be a
+  // correctness bug, since ties must be exact); the one-row max
+  // broadcasts against the per-supplier aggregate.
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val rev = T.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(vol).as("rdec"))
+    val top = rev.agg(max(col("rdec")).as("mdec"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rdec") === col("mdec"))
+      .join(T.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rdec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q15Sql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, SUM($volSql) AS rdec
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(rdec AS DOUBLE) AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE rdec = (SELECT MAX(rdec) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q16_supplier_cnt — TPC-H Q16 shape: distinct-supplier counts per
+  // (brand, size) for non-PROMO, non-Brand#1 parts, excluding
+  // "complained-about" suppliers (here: negative balance) — the NOT IN
+  // becomes a left-anti hash join (keys are non-null, so the semantics
+  // coincide). Distinct pairs come from lineitem, deduped BEFORE the
+  // joins so the count-distinct aggregate sees minimal rows.
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val pairs = T.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val prt = T.part(spark, dir)
+      .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bad = T.supplier(spark, dir).filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    pairs.join(prt, col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) lp
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q17_small_qty — TPC-H Q17 shape: revenue from Brand#23 lineitems
+  // whose quantity is below half the part's average quantity. The
+  // correlated AVG decorrelates to a per-part aggregate joined back to
+  // the fact — the aggregate output is |parts|-sized, so at any SF the
+  // join's build side is the small one. avg = exact-decimal sum cast to
+  // double, divided by the bigint count: identical IEEE steps on both
+  // engines, then one 0.5× and one < in matching order.
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val li = T.lineitem(spark, dir)
+    val pavg = li.groupBy(col("l_partkey").as("avg_pk"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    val prt = T.part(spark, dir).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    li.join(prt, col("l_partkey") === col("p_partkey"))
+      .join(pavg, col("l_partkey") === col("avg_pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q17Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN (SELECT l_partkey AS avg_pk,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) pa ON l_partkey = avg_pk
+      |WHERE p_brand = 'Brand#23' AND l_quantity < 0.5 * avg_qty""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q20_excess_shipments — TPC-H Q20 shape (availqty → shipped quantity):
+  // suppliers who shipped more than 30% of the 1997 total of some 'gear'
+  // part. Two aggregations over the same filtered join (per-part total,
+  // per-supplier-part share), equi-joined on the part key; the qualifying
+  // supplier set then semi-joins the supplier dim. Everything after the
+  // first aggregate is |parts|+|suppliers|-sized.
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val gear = T.part(spark, dir).filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"))
+    val li97 = T.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(gear, col("l_partkey") === col("p_partkey"))
+    val tot = li97.groupBy(col("l_partkey").as("tot_pk"))
+      .agg(sum(dec(col("l_quantity"))).as("tot_qty"))
+    val bySupp = li97.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
+    val qualifying = bySupp.join(tot, col("l_partkey") === col("tot_pk"))
+      .filter(col("supp_qty").cast("double") > col("tot_qty").cast("double") * lit(0.3))
+      .select(col("l_suppkey")).distinct()
+    T.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q20Sql =
+    """WITH li97 AS (
+      |  SELECT l_suppkey, l_partkey, l_quantity
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%gear%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01'),
+      |tot AS (SELECT l_partkey AS tot_pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty
+      |        FROM li97 GROUP BY l_partkey),
+      |bysupp AS (SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      |           FROM li97 GROUP BY l_suppkey, l_partkey)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM bysupp JOIN tot ON l_partkey = tot_pk
+      |  WHERE CAST(supp_qty AS DOUBLE) > CAST(tot_qty AS DOUBLE) * 0.3)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q21_waiting_supplier — TPC-H Q21 shape (no commit/receipt dates:
+  // "late" = shipped >90 days after the order date): per supplier, count
+  // late lines in finalized multi-supplier orders where NO other supplier
+  // was also late. EXISTS → left-semi, NOT EXISTS → left-anti, both with
+  // compound conditions spanning the two sides — Catalyst evaluates them
+  // inside the hash joins; the per-order line set is never re-scanned
+  // per row.
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val ord = T.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = T.lineitem(spark, dir)
+    val lines = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+    val l1 = lines.filter(col("late"))
+    val other = lines.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
+    val otherLate = l1.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
+    l1
+      .join(other,
+        col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("o2_supp"),
+        "left_semi")
+      .join(otherLate,
+        col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("o3_supp"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(T.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """WITH lines AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_suppkey, s_name, CAST(numwait AS BIGINT) AS numwait
+      |FROM (
+      |  SELECT l1.l_suppkey, COUNT(*) AS numwait
+      |  FROM lines l1
+      |  WHERE l1.late
+      |    AND EXISTS (SELECT 1 FROM lines l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey
+      |                  AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM lines l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey
+      |                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |  GROUP BY l1.l_suppkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY numwait DESC, s_suppkey
+      |LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q2_min_bal_supplier", q2, Some(q2Sql)),
+    QueryDef("q11_part_value", q11, Some(q11Sql)),
+    QueryDef("q12_priority_lines", q12, Some(q12Sql)),
+    QueryDef("q15_top_supplier", q15, Some(q15Sql)),
+    QueryDef("q16_supplier_cnt", q16, Some(q16Sql)),
+    QueryDef("q17_small_qty", q17, Some(q17Sql)),
+    QueryDef("q20_excess_shipments", q20, Some(q20Sql)),
+    QueryDef("q21_waiting_supplier", q21, Some(q21Sql)),
     QueryDef("q4_priority_exists", q4, Some(q4Sql)),
     QueryDef("q7_nation_volume", q7, Some(q7Sql)),
     QueryDef("q8_market_share", q8, Some(q8Sql)),
