@@ -27,15 +27,25 @@ object PartitionedLayout {
 
   /** Ensure a mirror of `$dir/$base.parquet` partitioned by `key`
     * exists on disk; returns its path. */
-  def ensure(spark: SparkSession, dir: String, base: String, key: String): String = {
-    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/$base.parquet")
-    val tag = s"${base}_part_${key}_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft-partitioned/$tag"
+  def ensure(spark: SparkSession, dir: String, base: String, key: String): String =
+    ensureDerived(spark, s"$dir/$base.parquet", s"${base}_part_${key}_$dir", key)(
+      graft.T(spark, dir, base))
+
+  /** Generalization of [[ensure]] for DERIVED layouts: persist the frame
+    * produced by `build` partitioned by `key`, memoized on the SOURCE
+    * parquet's fingerprint — valid whenever `build` is a deterministic
+    * function of that source (e.g. an IVF cell assignment whose trained
+    * centroids derive from the same table). `build` is by-name: a mirror
+    * hit never constructs the frame at all. */
+  def ensureDerived(spark: SparkSession, srcPath: String, tag: String, key: String)(
+      build: => org.apache.spark.sql.DataFrame): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, srcPath)
+    val dirTag = s"${tag}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-partitioned/$dirTag"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
-      graft.T(spark, dir, base)
-        .write.mode("overwrite").partitionBy(key).parquet(path)
+      build.write.mode("overwrite").partitionBy(key).parquet(path)
     }
     path
   }

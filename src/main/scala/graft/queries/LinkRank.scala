@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{Ctx, QueryDef, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link analysis (PageRank) over the customer↔supplier shipment graph —
+  * the source-authority signal large-scale curation pipelines use to
+  * weight crawl sources (rank flows to suppliers many well-connected
+  * customers buy from, exactly how domain authority flows to documents).
+  *
+  * Deterministic by the suite's rules so a DuckDB oracle can replay the
+  * power iteration CTE-by-CTE (same discipline as the k-means trainer in
+  * [[Similarity]]):
+  *  - undirected edge set (each distinct customer—supplier shipment pair
+  *    contributes both directions), so every node has degree >= 1 and no
+  *    dangling-mass redistribution is needed;
+  *  - FIXED 3 iterations, damping 0.85, uniform 1/N init;
+  *  - per-edge contributions rank/deg are doubles, but each is
+  *    floor-quantized to 1e-15 units (pure IEEE multiply + floor —
+  *    identical both engines, unlike a double→decimal cast) and summed
+  *    as int64 ⇒ the per-node fold is EXACT and partition-order
+  *    independent; one double division + damping per round, same
+  *    operation order both engines.
+  *
+  * Scale shape: ranks are |V| rows, edges |E| rows. Each round is one
+  * equi-join (ranks ⋈ edges on src — at 100 TB this is the join you
+  * pre-bucket both sides for, see [[graft.ops.Bucketing]]) plus one
+  * partial-aggregated hash aggregate on dst. No driver actions inside
+  * the loop; 3 rounds of plan nesting stay well under the analyzer
+  * budget that forces `localCheckpoint` in the unbounded-round CC loop
+  * ([[graft.ops.Graph]]).
+  */
+object LinkRank {
+
+  private val Iters = 3
+  private val Damping = 0.85
+  private val Unit = 1e15
+
+  /** undirected (src, dst) edges over LONG-encoded nodes — customers at
+    * 2·custkey, suppliers at 2·suppkey+1. Integer keys keep every
+    * shuffle (distinct, degree, per-round contribution agg) on 8-byte
+    * codegen'd hashes; the human-readable label is reconstructed only
+    * for the final top-20 projection. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val pairs = T.orders(spark, dir)
+      .join(T.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("c_node"),
+        (col("l_suppkey") * 2 + 1).as("s_node"))
+      .distinct()
+      // the distinct is the expensive part of graph construction — one
+      // materialization feeds degree, edge, and node-count lineages
+      .persist()
+    pairs.select(col("c_node").as("src"), col("s_node").as("dst"))
+      .union(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+  }
+
+  private def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist()
+    // out-degree is a static edge property: join it onto the edge list
+    // ONCE and persist — each round then joins only the |V|-sized
+    // (node, rank) frame, which broadcasts (at web-graph |V| the hint
+    // comes off and this becomes a pre-bucketed co-located SMJ, see
+    // ops.Bucketing), so the |E|-row edge side never re-shuffles:
+    // contributions partial-aggregate map-side and only the |V|-sized
+    // per-node sums cross the wire per round
+    val eDeg = e.join(deg, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("deg")).persist()
+    val n = deg.agg(count(lit(1)).as("nn"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("nn")).as("rank"))
+    for (_ <- 1 to Iters) {
+      val contrib = eDeg
+        .join(ranks.hint("broadcast"), col("src") === col("node"))
+        .select(col("dst"),
+          floor(col("rank") / col("deg") * lit(Unit)).cast("long").as("units"))
+        .groupBy(col("dst")).agg(sum(col("units")).as("u"))
+      ranks = contrib.crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
+          // literal 0.15, NOT 1-Damping: 1.0-0.85 in IEEE is
+          // 0.15000000000000002, while the oracle's CAST(0.15 AS DOUBLE)
+          // is the nearest double to 0.15 — a last-ulp mismatch per round
+          (lit(0.15) / col("nn") +
+            lit(Damping) * (col("u").cast("double") / lit(Unit))).as("rank"))
+    }
+    ranks.filter(col("node") % 2 === 1)
+      .select(concat(lit("s"), expr("node div 2")).as("node"),
+        col("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
+  /** The power iteration unrolled to CTEs, one block per round —
+    * mirrors the Spark loop step for step. */
+  private def pagerankSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c_node AS src, s_node AS dst FROM pairs
+        |      UNION ALL SELECT s_node, c_node FROM pairs),
+        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) / n AS rank FROM deg, nn)""".stripMargin)
+    for (t <- 1 to Iters) {
+      val prev = s"r${t - 1}"
+      sb.append(s"""
+        |, c$t AS (
+        |  SELECT dst, SUM(CAST(floor(rank / deg * 1e15) AS BIGINT)) AS u
+        |  FROM $prev JOIN e ON node = src GROUP BY dst),
+        |r$t AS (
+        |  SELECT node, deg.deg AS deg,
+        |    CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) * (CAST(u AS DOUBLE) / 1e15) AS rank
+        |  FROM c$t JOIN deg ON dst = node, nn)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT 's' || CAST(node // 2 AS BIGINT) AS node, rank FROM r$Iters
+      |WHERE node % 2 = 1
+      |ORDER BY rank DESC, node
+      |LIMIT 20""".stripMargin)
+    sb.toString
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_pagerank", pagerank, Some(pagerankSql))
+  )
+}

@@ -243,8 +243,12 @@ object Similarity {
     sb.toString
   }
 
-  private val annIvfSql = normCte + ivfTrainingCtes(IvfK, IvfIters) +
-    """
+  /** IVF search SQL, parameterized on the probe-id predicate (shared by
+    * the direct and the partition-layout-backed variants — by design the
+    * layout must not change any answer). */
+  private def ivfSearchSql(probePred: String): String =
+    normCte + ivfTrainingCtes(IvfK, IvfIters) +
+      s"""
       |, scored AS (
       |  SELECT n.vec_id, n.v, n.nrm, cent_id,
       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
@@ -257,7 +261,7 @@ object Similarity {
       |corpus AS (SELECT vec_id, v, nrm, cell FROM assigned WHERE crank = 1),
       |probes AS (
       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell AS qcell
-      |  FROM assigned WHERE crank <= 2 AND vec_id < 10),
+      |  FROM assigned WHERE crank <= 2 AND ($probePred)),
       |cand AS (
       |  SELECT query_id, corpus.vec_id AS neighbor_id, cell,
       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * qv[i]), (a, b) -> a + b)
@@ -269,6 +273,62 @@ object Similarity {
       |  FROM cand)
       |WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
+
+  private val annIvfSql = ivfSearchSql("vec_id < 10")
+
+  // -------------------------------------------------------------------
+  // ann_ivf_bucketed — the IVF index AS A STORAGE LAYOUT: the assigned
+  // corpus is persisted once, Hive-partitioned by cell (one directory
+  // per coarse-quantizer cell, memoized on the source fingerprint like
+  // every graft mirror), and probe serving reads it back joined on the
+  // partition column. With the probe side broadcast, Catalyst inserts a
+  // DYNAMIC PARTITION PRUNING subquery on the scan — only the nprobe
+  // cells the probes hash to are read from disk, which is the actual
+  // serving economics of an IVF index at 100 TB: query cost scales with
+  // cells touched, not corpus size (PlanSpec pins `dynamicpruning` in
+  // the scan). Same answers as the in-memory plan, different probe set
+  // than ann_ivf_topk so the two gates stay independent.
+  private def annIvfBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = centMemo.computeIfAbsent((spark, dir), _ =>
+        graft.ops.KMeans.train(
+          e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters))
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val mirror = graft.ops.PartitionedLayout.ensureDerived(
+      spark, s"$dir/embeddings.parquet", s"emb_ivf${IvfK}x${IvfIters}_$dir", "cell") {
+      scored.groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+            .as("cell"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    }
+    // partition-column values 0..k-1 are inferred as INT on read; keep
+    // the JOIN on the raw partition column (so pruning sees it) and cast
+    // only in the output projection
+    val corpus = spark.read.parquet(mirror)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = scored.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").cast("int").as("qcell"))
+    val cand = corpus.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell").cast("long").as("cell"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annIvfBucketedSql = ivfSearchSql("vec_id >= 10 AND vec_id < 20")
 
   // -------------------------------------------------------------------
   // emb_label_stats — per-label stats. Row-order-independent avg: each
@@ -476,6 +536,7 @@ object Similarity {
     QueryDef("ann_cosine_topk", annTopk, Some(annTopkSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
+    QueryDef("ann_ivf_bucketed", annIvfBucketed, Some(annIvfBucketedSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
     QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql)),
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),

@@ -767,7 +767,169 @@ object TextOps {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_repetition — Gopher-style per-document repetition signals
+  // (Rae et al. 2021 §A1.1 quality heuristics, adapted to the
+  // word-soup corpus): fraction of tokens taken by the single most
+  // frequent token, duplicate-3-gram fraction, and top-3-gram fraction,
+  // plus the keep/drop gate a curation pipeline would apply.
+  //
+  // Plan shape: NO per-row array lambdas (the interpreted-HOF trap) —
+  // both signal families go explode → two-level codegen'd hash
+  // aggregate: (doc, word) counts re-aggregated to per-doc {sum, max,
+  // count-distinct}. Per-doc aggregate outputs are |docs|-sized, so the
+  // final doc-level equi-join is cheap at any SF; everything upstream is
+  // map-side partial aggregation. Counts are exact integers; the two
+  // divisions are the only float steps, identical IEEE order both
+  // engines.
+  private def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = withShingles(toks(spark, dir)).persist()
+    val wordStats = base
+      .select(col("doc_id"), explode(col("tokens")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), max(col("n")).as("top_word_n"))
+    val gramStats = base
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_3grams"), count(lit(1)).as("n_uni"),
+        max(col("n")).as("top_3gram_n"))
+    val twf = col("top_word_n").cast("double") / col("n_tokens")
+    val dgf = (col("n_3grams") - col("n_uni")).cast("double") / col("n_3grams")
+    wordStats.join(gramStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        twf.as("top_word_frac"),
+        dgf.as("dup_3gram_frac"),
+        (col("top_3gram_n").cast("double") / col("n_3grams")).as("top_3gram_frac"),
+        (twf <= 0.11 && dgf <= 0.1).as("keep_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |wc AS (SELECT doc_id, word, COUNT(*) AS n
+      |       FROM (SELECT doc_id, unnest(tokens) AS word FROM t) GROUP BY 1, 2),
+      |wd AS (SELECT doc_id, SUM(n) AS n_tokens, MAX(n) AS top_word_n FROM wc GROUP BY 1),
+      |gc AS (SELECT doc_id, s, COUNT(*) AS n
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(tokens)-1),
+      |               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
+      |             FROM t) GROUP BY 1, 2),
+      |gd AS (SELECT doc_id, SUM(n) AS n_3grams, COUNT(*) AS n_uni, MAX(n) AS top_3gram_n
+      |       FROM gc GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(top_word_n AS DOUBLE) / n_tokens AS top_word_frac,
+      |  CAST(n_3grams - n_uni AS DOUBLE) / n_3grams AS dup_3gram_frac,
+      |  CAST(top_3gram_n AS DOUBLE) / n_3grams AS top_3gram_frac,
+      |  (CAST(top_word_n AS DOUBLE) / n_tokens <= 0.11
+      |   AND CAST(n_3grams - n_uni AS DOUBLE) / n_3grams <= 0.1) AS keep_doc
+      |FROM wd JOIN gd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_passage_exact — passage-level exact dedup (the sub-document
+  // granularity real training pipelines dedup at: boilerplate headers /
+  // license blocks repeat across docs whose full texts differ). Docs
+  // split into consecutive 8-token passages; keep-first is the GLOBAL
+  // first occurrence ordered by (doc_id, pid) — one row_number window
+  // per content hash, exactly the dedup_docs_exact idiom one level down.
+  // Per doc: passages emitted vs passages surviving, and the duplicate
+  // fraction a filter would act on.
+  //
+  // Scale: passage construction is a per-doc projection (O(n_tokens)),
+  // the only shuffle is the hash-partitioned window — state per key is
+  // the passage's occurrence list, bounded by duplication factor, and
+  // AQE splits a pathological all-same-passage key. Passage text never
+  // leaves the map side — only its md5 shuffles.
+  private def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pass = toks(spark, dir)
+      .filter(size(col("tokens")) >= 1)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(tokens) / 8.0) as int) - 1), " +
+            "g -> array_join(slice(tokens, g * 8 + 1, 8), ' '))"))
+          .as(Seq("pid", "ptext")))
+      .withColumn("h", md5(col("ptext")))
+    val rn = row_number().over(
+      Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pid")))
+    pass.withColumn("rn", rn)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_passages"), col("n_kept"),
+        (lit(1.0) - col("n_kept").cast("double") / col("n_passages")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val passageDedupSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 1),
+      |p AS (SELECT doc_id,
+      |        unnest(range(0, CAST(ceil(len(tokens) / 8.0) AS BIGINT))) AS pid,
+      |        tokens
+      |      FROM t),
+      |h AS (SELECT doc_id, pid,
+      |        md5(array_to_string(list_slice(tokens, pid*8 + 1, pid*8 + 8), ' ')) AS h
+      |      FROM p),
+      |r AS (SELECT doc_id, pid,
+      |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pid) AS rn
+      |      FROM h)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_passages,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  1.0 - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+      |FROM r
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_hash_embed — feature-hashing ("hashing trick") document
+  // vectorizer: every token hashes to one of 16 dimensions via the
+  // codegen'd rabin_karp polynomial hash, per-dim counts L2-normalize
+  // into a sparse embedding, emitted as (doc_id, dim, weight) rows.
+  // This is the documents→embeddings bridge a training pipeline runs
+  // when no learned encoder is in the loop (dedup features, cheap
+  // similarity, collision-tolerant by design — Weinberger et al. 2009).
+  //
+  // Scale: explode → codegen'd hash → one (doc, dim) hash aggregate
+  // (partial map-side) → one 16-row-per-doc window for the norm. Counts
+  // and the sum of squares are exact integers; the single sqrt+divide
+  // is the only float step, identical IEEE order both engines. The
+  // doc_id probe filter sits on the scan (pushed down) — the operator
+  // itself is corpus-wide.
+  private def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+    toks(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(col("tokens")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("dim", pmod(expr("rabin_karp(word)"), lit(16)).cast("int"))
+      .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("c"))
+      .withColumn("norm2", sum(col("c") * col("c")).over(w))
+      .select(col("doc_id"), col("dim"),
+        (col("c").cast("double") / sqrt(col("norm2").cast("double"))).as("weight"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  private val hashEmbedSql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents WHERE doc_id < 50),
+      |d AS (SELECT doc_id,
+      |        CAST(list_reduce(list_transform(range(1, length(word) + 1),
+      |               i -> CAST(ascii(substr(word, i, 1)) AS BIGINT)),
+      |             (a, c) -> (a * 31 + c) % 1000000007) % 16 AS INT) AS dim
+      |      FROM w WHERE word <> ''),
+      |c AS (SELECT doc_id, dim, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |n AS (SELECT doc_id, dim, c, SUM(c * c) OVER (PARTITION BY doc_id) AS norm2 FROM c)
+      |SELECT doc_id, dim, CAST(c AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)) AS weight
+      |FROM n ORDER BY doc_id, dim""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_hash_embed", hashEmbed, Some(hashEmbedSql)),
+    QueryDef("text_repetition", repetition, Some(repetitionSql)),
+    QueryDef("dedup_passage_exact", passageDedup, Some(passageDedupSql)),
     QueryDef("doc_sample_hash", sampleHash, Some(sampleHashSql)),
     QueryDef("text_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),

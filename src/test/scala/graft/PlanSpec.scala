@@ -151,6 +151,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), p)
   }
 
+  test("ann_ivf_bucketed: probe join dynamically prunes cell partitions") {
+    // the IVF-layout serving contract: the scan of the cell-partitioned
+    // corpus mirror must carry a dynamic pruning subquery from the
+    // broadcast probe side — query IO scales with cells probed, not
+    // corpus size
+    val p = plan("ann_ivf_bucketed")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"cell-partitioned scan shows no dynamic partition pruning:\n$p")
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("doc_rolling_hash plans the codegen'd rabin_karp, not the HOF fold") {
     val p = plan("doc_rolling_hash")
     assert(p.contains("rabin_karp"), p)
