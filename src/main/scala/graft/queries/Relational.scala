@@ -602,6 +602,106 @@ object Relational {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // salted_join_suppliers — graft.ops.Skew.saltedJoin through the gate:
+  // lineitem⋈supplier on l_suppkey with an 8-way salt. 100 suppliers
+  // over 600k+ lines is exactly the hot-key shape where one reducer
+  // inherits a whole key's rows; the salt spreads each key over 8 tasks
+  // by replicating the (small, but not broadcast-safe at real scale)
+  // right side. The oracle is the PLAIN unsalted join — the rewrite
+  // must be answer-identical on real data, including duplicate keys.
+  private def saltedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val dec = DecimalType(18, 2)
+    val li = T.lineitem(spark, dir)
+      .select(col("l_suppkey").as("k"),
+        (col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).as("v"))
+    val sup = T.supplier(spark, dir)
+      .select(col("s_suppkey").as("k"), col("s_nationkey"))
+    graft.ops.Skew.saltedJoin(li, sup, "k", buckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("v")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val saltedJoinSql =
+    """SELECT s_nationkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // sketch_countmin_custkey — Count-Min sketch (Cormode & Muthukrishnan
+  // 2005) as a pure aggregation: depth 3 × width 128 counters, hash row
+  // d of key k = rabin_karp("d:k") mod 128 (the codegen'd polynomial
+  // hash, replayable in any engine). The sketch build is one explode +
+  // hash aggregate — 3·|rows| increments partial-aggregated map-side
+  // down to 384 cells, the mergeable-summary shape that answers
+  // frequency queries over 100 TB without a per-key GROUP BY. The query
+  // audits the estimate contract on 6 probe keys: est >= exact always
+  // (counters only overcount), and est - exact <= ⌊(e/W)·N⌋ is the
+  // Markov bound, checked as a column so the gate pins BOTH engines to
+  // the same sketch, same estimates, same bound verdicts.
+  private val CmsW = 128
+  private def cmsCell(keyExpr: String): org.apache.spark.sql.Column =
+    pmod(expr(
+      s"rabin_karp(concat(cast(d as string), ':', cast($keyExpr as string)))"),
+      lit(CmsW))
+
+  private def countMin(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    val o = T.orders(spark, dir)
+    val depths = array(lit(0), lit(1), lit(2))
+    val cms = o.select(col("o_custkey"))
+      .withColumn("d", explode(depths))
+      .withColumn("cell", cmsCell("o_custkey"))
+      .groupBy(col("d"), col("cell")).agg(count(lit(1)).as("n"))
+    val probes = o.filter(col("o_custkey") <= 5)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("exact_n"))
+    val ph = probes
+      .withColumn("d", explode(depths))
+      .withColumn("cell", cmsCell("k"))
+    val ntot = o.agg(count(lit(1)).as("ntot"))
+    ph.join(cms, Seq("d", "cell"))
+      .groupBy(col("k"), col("exact_n")).agg(min(col("n")).as("cms_est"))
+      .crossJoin(broadcast(ntot))
+      .select(col("k").as("o_custkey"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"),
+        (col("cms_est") - col("exact_n") <=
+          floor(lit(2.718281828459045) / lit(CmsW) * col("ntot")).cast("long"))
+          .as("within_bound"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val countMinSql =
+    s"""WITH rows_d AS (
+       |  SELECT o_custkey, d,
+       |    list_reduce(list_transform(
+       |      range(1, length(CAST(d AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)) + 1),
+       |      i -> CAST(ascii(substr(CAST(d AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR), i, 1)) AS BIGINT)),
+       |      (a, c) -> (a * 31 + c) % 1000000007) % $CmsW AS cell
+       |  FROM orders, unnest([0,1,2]) AS t(d)),
+       |cms AS (SELECT d, cell, COUNT(*) AS n FROM rows_d GROUP BY 1, 2),
+       |probes AS (SELECT o_custkey AS k, COUNT(*) AS exact_n
+       |           FROM orders WHERE o_custkey <= 5 GROUP BY 1),
+       |ph AS (
+       |  SELECT k, exact_n, d,
+       |    list_reduce(list_transform(
+       |      range(1, length(CAST(d AS VARCHAR) || ':' || CAST(k AS VARCHAR)) + 1),
+       |      i -> CAST(ascii(substr(CAST(d AS VARCHAR) || ':' || CAST(k AS VARCHAR), i, 1)) AS BIGINT)),
+       |      (a, c) -> (a * 31 + c) % 1000000007) % $CmsW AS cell
+       |  FROM probes, unnest([0,1,2]) AS t(d)),
+       |est AS (SELECT k, exact_n, MIN(n) AS cms_est FROM ph JOIN cms USING (d, cell) GROUP BY 1, 2)
+       |SELECT k AS o_custkey, exact_n, cms_est, cms_est - exact_n AS overcount,
+       |  cms_est - exact_n <= CAST(floor(CAST(2.718281828459045 AS DOUBLE) / $CmsW
+       |    * (SELECT COUNT(*) FROM orders)) AS BIGINT) AS within_bound
+       |FROM est ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // unpivot_lineitem — wide→long melt (the inverse of pivot above): the
   // four lineitem measures unpivot into (measure, val) rows, then
   // aggregate per returnflag × measure. Spark's native Dataset.unpivot
@@ -1051,6 +1151,8 @@ object Relational {
     QueryDef("approx_distinct_parts", approxDistinct, None),
     QueryDef("approx_distinct_check", approxDistinctCheck, Some(approxDistinctCheckSql)),
     QueryDef("salted_agg_orders", saltedAgg, Some(saltedAggSql)),
+    QueryDef("salted_join_suppliers", saltedJoinQ, Some(saltedJoinSql)),
+    QueryDef("sketch_countmin_custkey", countMin, Some(countMinSql)),
     QueryDef("unpivot_lineitem", unpivotQ, Some(unpivotSql)),
     QueryDef("histogram_orders", histogramQ, Some(histogramSql)),
     QueryDef("stats_orders", statsQ, Some(statsSql)),
