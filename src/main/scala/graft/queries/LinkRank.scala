@@ -61,26 +61,29 @@ object LinkRank {
     val e = edges(spark, dir)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .persist()
-    // out-degree is a static edge property: join it onto the edge list
-    // ONCE and persist — each round then joins only the |V|-sized
-    // (node, rank) frame, which broadcasts (at web-graph |V| the hint
-    // comes off and this becomes a pre-bucketed co-located SMJ, see
-    // ops.Bucketing), so the |E|-row edge side never re-shuffles:
-    // contributions partial-aggregate map-side and only the |V|-sized
-    // per-node sums cross the wire per round
-    val eDeg = e.join(deg, col("src") === col("node"))
-      .select(col("src"), col("dst"), col("deg")).persist()
     val n = deg.agg(count(lit(1)).as("nn"))
+    // the iteration state carries (node, deg, rank) — |V| rows — so the
+    // per-round contribution is rank/deg computed INSIDE the broadcast
+    // state and the |E|-row edge list is joined as-is from cache. The
+    // alternative (materializing a deg-annotated |E|-row edge list up
+    // front) pays an extra |E|-sized join + persist for nothing: deg is
+    // a |V|-sized property, keep it on the |V|-sized side. At web-graph
+    // |V| the broadcast hint comes off and the per-round join becomes a
+    // pre-bucketed co-located SMJ (see ops.Bucketing); contributions
+    // partial-aggregate map-side either way, so only |V|-sized per-node
+    // sums cross the wire per round.
     var ranks = deg.crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("nn")).as("rank"))
+      .select(col("node"), col("deg"), (lit(1.0) / col("nn")).as("rank"))
     for (_ <- 1 to Iters) {
-      val contrib = eDeg
+      val contrib = e
         .join(ranks.hint("broadcast"), col("src") === col("node"))
         .select(col("dst"),
           floor(col("rank") / col("deg") * lit(Unit)).cast("long").as("units"))
         .groupBy(col("dst")).agg(sum(col("units")).as("u"))
-      ranks = contrib.crossJoin(broadcast(n))
-        .select(col("dst").as("node"),
+      ranks = contrib
+        .join(deg.hint("broadcast"), col("dst") === col("node"))
+        .crossJoin(broadcast(n))
+        .select(col("node"), col("deg"),
           // literal 0.15, NOT 1-Damping: 1.0-0.85 in IEEE is
           // 0.15000000000000002, while the oracle's CAST(0.15 AS DOUBLE)
           // is the nearest double to 0.15 — a last-ulp mismatch per round
