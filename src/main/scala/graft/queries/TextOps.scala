@@ -926,7 +926,114 @@ object TextOps {
       |SELECT doc_id, dim, CAST(c AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)) AS weight
       |FROM n ORDER BY doc_id, dim""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_boilerplate_ngrams — frequency-based boilerplate flagging, the
+  // Common-Crawl cleaning primitive: shingles that recur across many
+  // documents (navigation chrome, templates, licence blurbs) carry no
+  // training signal, so per doc we measure how much of its distinct
+  // shingle mass falls in the corpus-wide top-20 most document-frequent
+  // 3-grams. Downstream filters drop or rewrite docs above a ratio
+  // threshold; the ratio is emitted in integer basis points (b·10000
+  // div n — exact on both engines, no float division).
+  //
+  // Scale shape: the boilerplate list is a TOP-K aggregate over the
+  // (already persisted) shingle index — k rows, broadcast to the
+  // per-doc membership join. Corpus pass count: one for DF counts, one
+  // for the membership join; both hash aggregates partial map-side.
+  private def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docShingle = withShingles(toks(spark, dir))
+      .select(col("doc_id"), explode(col("shingle_set")).as("ngram"))
+    val top = docShingle
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+    docShingle
+      .join(broadcast(top.select(col("ngram"), lit(1).as("hit"))), Seq("ngram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(coalesce(col("hit"), lit(0))).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        expr("(n_boiler * 10000) div n_shingles").as("boiler_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val boilerplateNgramsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))) AS ngram
+      |  FROM tok),
+      |top AS (
+      |  SELECT ngram, COUNT(*) AS df FROM sh GROUP BY ngram
+      |  ORDER BY df DESC, ngram LIMIT 20)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN top.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(SUM(CASE WHEN top.ngram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+      |    // COUNT(*) AS BIGINT) AS boiler_bp
+      |FROM sh LEFT JOIN top ON sh.ngram = top.ngram
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_lm_score — unigram language-model quality scoring (the
+  // CCNet/Gopher-style perplexity filter, with the corpus itself as the
+  // LM): each doc scores the mean log-probability of its tokens under
+  // corpus unigram frequencies; low scores flag gibberish and
+  // vocabulary outliers for the curation funnel.
+  //
+  // Cross-engine float discipline (the LinkRank trick, NOTES.md): the
+  // per-TERM log-prob ln(tf/N) is floor-quantized to int64 millionths
+  // — ln may differ by an ULP between libm and the JVM, but the
+  // quantization boundary case is ~1e-10 per distinct tf value — and
+  // the per-doc fold then SUMS int64 exactly, so it is partition- and
+  // order-independent (double summation would not be). One final
+  // correctly-rounded int→double division per doc on both engines.
+  //
+  // Scale shape: term log-probs are a vocabulary-sized aggregate (tf
+  // via one partial-aggregated shuffle; N in-plan via broadcast one-row
+  // aggregate, NOT a driver count); the scoring join shuffles on term
+  // hash, then one per-doc aggregate. No driver-side state.
+  private def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = toks(spark, dir)
+      .select(col("doc_id"), explode(col("tokens")).as("term"))
+      .filter(col("term") =!= "")
+    val n = tok.agg(count(lit(1)).cast("double").as("n_tok_corpus"))
+    val lp = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        floor(log(col("tf").cast("double") / col("n_tok_corpus")) * lit(1e6))
+          .cast("long").as("lp_units"))
+    tok.join(lp, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_units")).as("u"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("u").cast("double") / (col("n_tok").cast("double") * lit(1e6)), 6)
+          .as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok_corpus FROM tok2),
+      |lp AS (
+      |  SELECT term,
+      |    CAST(floor(ln(CAST(COUNT(*) AS DOUBLE) / n.n_tok_corpus) * 1e6) AS BIGINT)
+      |      AS lp_units
+      |  FROM tok2, n GROUP BY term, n.n_tok_corpus)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  ROUND(CAST(SUM(lp_units) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS lm_score
+      |FROM tok2 JOIN lp USING (term)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
+    QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_hash_embed", hashEmbed, Some(hashEmbedSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("dedup_passage_exact", passageDedup, Some(passageDedupSql)),

@@ -174,6 +174,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"), p)
   }
 
+  test("scan_orc_mirror: status filter pushed to the ORC scan, schema pruned") {
+    val p = plan("scan_orc_mirror")
+    assert(p.toLowerCase.contains("orc"), p)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_orderstatus"), p)
+    // untouched columns never leave the scan regardless of format
+    assert(!p.contains("o_custkey"), p)
+  }
+
+  test("graph_triangles: oriented-edge closure joins are equi-joins — no cartesian/BNLJ") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ETL pipeline clean path shuffles only for the final sort") {
     val p = plan("pipeline_clean")
     val exchanges = "Exchange".r.findAllIn(p).length
