@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Copy-on-write MERGE (upsert by key) into a Hive-partitioned parquet
+  * table — the Delta/Iceberg `MERGE INTO` execution shape, reduced to
+  * its storage primitive: only the partitions the delta touches are
+  * rewritten; every other partition's files are left byte-identical on
+  * disk (LakeCowSpec pins this).
+  *
+  * Per touched partition: new data = (existing rows anti-joined on the
+  * delta's keys) ∪ (delta rows for that partition) — i.e. matched keys
+  * are REPLACED, unmatched delta keys are inserts, and a delta
+  * partition value absent from the base simply materializes as a new
+  * directory. The rewrite goes to a sibling temp dir first and is
+  * swapped in with renames ([[Compaction]]'s crash-safety argument:
+  * readers observe the old or the new complete partition, never a mix).
+  *
+  * Scale notes: the loop is over TOUCHED PARTITIONS (driver state =
+  * the delta's distinct partition values — catalog-sized, not
+  * data-sized); each iteration is one distributed anti-join + write
+  * over a single partition's data. The single-job alternative —
+  * dynamic partition overwrite of the merged frame — needs a snapshot
+  * layer to avoid reading the path being overwritten, which is
+  * precisely the metadata layer table formats add on top of this
+  * primitive. Deletes (the third MERGE clause) are the same anti-join
+  * with no union; omitted here because the engine's reference surface
+  * has no delete feed.
+  */
+object CopyOnWrite {
+
+  /** Upsert `delta` into the partitioned table at `tablePath` by
+    * `keyCol`. Returns the partition values rewritten. */
+  def merge(spark: SparkSession, tablePath: String, partCol: String,
+      keyCol: String, delta: DataFrame): Seq[String] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataCols = delta.columns.filter(_ != partCol)
+    val touched = delta.select(col(partCol)).distinct()
+      .collect().map(_.get(0).toString).sorted.toSeq
+    touched.foreach { p =>
+      val partDir = new Path(tablePath, s"$partCol=$p")
+      val tmpDir = new Path(tablePath, s".merge-tmp-$partCol=$p")
+      val deltaP = delta.filter(col(partCol) === p).select(dataCols.map(col): _*)
+      val merged =
+        if (fs.exists(partDir)) {
+          val existing = spark.read.parquet(partDir.toString)
+            .select(dataCols.map(col): _*)
+          existing.join(deltaP.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .unionByName(deltaP)
+        } else deltaP
+      merged.write.mode("overwrite").parquet(tmpDir.toString)
+      // swap: drop the old dir, promote the tmp dir. A crash between
+      // the two renames loses availability of one partition, never
+      // serves half-merged data.
+      if (fs.exists(partDir)) fs.delete(partDir, true)
+      fs.rename(tmpDir, partDir)
+    }
+    touched
+  }
+
+  /** Re-read a merged table, restoring the partition column that the
+    * directory layout carries. */
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.option("basePath", tablePath).parquet(tablePath)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Ctx, QueryDef, T}
-import graft.ops.{DenseIds, IncrementalDedup}
+import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, ZOrder}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -94,8 +94,146 @@ object Lake {
       |FROM documents
       |ORDER BY dense_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // scan_zorder_cells — Z-order (Morton curve) layout serving a 2-D box
+  // query: orders mirrored into 16 grid-cell partition directories
+  // (cell = 2 scaled bits per dimension, Morton-coded) and
+  // Morton-sorted within each file. The query decomposes its box
+  // [custkey 101..400] x [orderdate 1996] into covering cells
+  // DRIVER-SIDE from table min/max stats (z-range decomposition — pure
+  // arithmetic, no data read) and plans `zcell IN (...)`, so partition
+  // pruning skips the non-intersecting directories at planning time;
+  // the residual predicate keeps the answer exact regardless of how
+  // coarse the covering is. A linear sort on either column can prune
+  // for that column only — the curve serves both.
+  private val zMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Long, Long)]
+
+  private val Day0 = java.time.LocalDate.of(1970, 1, 1)
+  private def days(d: java.time.LocalDate): Long = d.toEpochDay
+
+  /** table min/max of the two z dimensions — the stats a catalog would
+    * carry; memoized per sf dir (one O(1)-row aggregate on a miss). */
+  private def zStats(spark: SparkSession, dir: String): (Long, Long, Long, Long) =
+    zMemo.computeIfAbsent(dir, _ => {
+      val r = T.orders(spark, dir)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit(Day0.toString).cast("date"))
+            .cast("long").as("d"))
+        .agg(min("o_custkey"), max("o_custkey"), min("d"), max("d")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    })
+
+  private def zMirror(spark: SparkSession, dir: String): String = {
+    val (xLo, xHi, yLo, yHi) = zStats(spark, dir)
+    graft.ops.PartitionedLayout.ensureDerived(
+      spark, s"$dir/orders.parquet", s"orders_zorder_$dir", "zcell") {
+      ZOrder.withZ(
+        T.orders(spark, dir).withColumn("o_days",
+          datediff(col("o_orderdate").cast("date"), lit(Day0.toString).cast("date"))
+            .cast("long")),
+        col("o_custkey"), col("o_days"), xLo, xHi, yLo, yHi)
+        .repartition(col("zcell"))
+        .sortWithinPartitions("z32")
+    }
+  }
+
+  private def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val (xLo, xHi, yLo, yHi) = zStats(spark, dir)
+    val (x1, x2) = (101L, 400L)
+    val (y1, y2) = (days(java.time.LocalDate.of(1996, 1, 1)),
+      days(java.time.LocalDate.of(1996, 12, 31)))
+    val cells = ZOrder.coveringCells(x1, x2, xLo, xHi, y1, y2, yLo, yHi)
+    spark.read.parquet(zMirror(spark, dir))
+      .filter(col("zcell").isin(cells: _*)) // planning-time dir pruning
+      .filter(col("o_custkey").between(x1, x2) &&
+        col("o_days").between(y1, y2)) // exact residual
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val zorderScanSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_custkey BETWEEN 101 AND 400
+      |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // lake_merge_upsert — copy-on-write MERGE over a partitioned orders
+  // table: a delta of updates (urgent orders with key % 97 = 0 get a
+  // 1000.00 price adjustment) and inserts (key % 499 = 0 re-keyed to
+  // 20M+key) lands entirely in the '1-URGENT' partition, so the merge
+  // rewrites exactly that directory and leaves the other four
+  // partitions byte-identical (LakeCowSpec pins the file listing).
+  // The merged table is memoized per source fingerprint behind a
+  // marker file; the query aggregates the merged result and the oracle
+  // replays the merge relationally (base minus matched keys, union
+  // delta) on the original table.
+  private def mergedOrdersPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val tag = s"orders_cow_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-cow/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_MERGED")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      T.orders(spark, dir).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+      CopyOnWrite.merge(spark, path, "o_orderpriority", "o_orderkey",
+        mergeDelta(spark, dir))
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  /** updates ∪ inserts, all in the '1-URGENT' partition. */
+  private def mergeDelta(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = T.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    val updates = urgent.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    val inserts = urgent.filter(col("o_orderkey") % 499 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+    updates.unionByName(inserts)
+  }
+
+  private def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    CopyOnWrite.read(spark, mergedOrdersPath(spark, dir))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH delta AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 499 = 0),
+      |merged AS (
+      |  SELECT o_orderpriority, o_totalprice FROM orders
+      |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0)
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_totalprice FROM delta)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM merged
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
-    QueryDef("ids_dense_assign", idsAssign, Some(idsAssignSql))
+    QueryDef("ids_dense_assign", idsAssign, Some(idsAssignSql)),
+    QueryDef("scan_zorder_cells", zorderScan, Some(zorderScanSql)),
+    QueryDef("lake_merge_upsert", mergeUpsert, Some(mergeUpsertSql))
   )
 }

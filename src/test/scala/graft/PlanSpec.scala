@@ -70,6 +70,16 @@ class PlanSpec extends SparkSpec {
     assert(pf.findFirstIn(p).isDefined, p)
   }
 
+  test("z-order box query prunes grid-cell partitions at planning time") {
+    val p = plan("scan_zorder_cells")
+    // the covering-cell IN list must land in PartitionFilters
+    // (directory pruning); the box residual stays a pushed data filter
+    val pf = "PartitionFilters: \\[[^\\]]*zcell".r
+    assert(pf.findFirstIn(p).isDefined, p)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_custkey"), p)
+  }
+
   test("bucketized range join stays an equi-join — no cartesian/BNLJ") {
     val p = plan("join_range_events")
     assert(!p.contains("CartesianProduct"), p)
