@@ -52,7 +52,68 @@ object SqlSurface {
       |    (a, c) -> (a * 31 + c) % 1000000007) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sql_recursive_months — WITH RECURSIVE (new in Spark 4) generating a
+  // month spine over the full order-date domain, left-joined to per-
+  // month order aggregates: the canonical gap-filling time-series shape
+  // (TPC-H orders stop 1998-08, so the spine's 1998-09..12 rows
+  // materialize with zero counts — rows a plain GROUP BY can never
+  // emit). The recursion is O(#months) single rows — driver-trivial
+  // state; the aggregate side is the usual partial-aggregated hash
+  // aggregate, joined on an equi month key (a string key, because
+  // Spark's date_trunc returns TIMESTAMP while DuckDB's returns DATE —
+  // date_format/strftime give an engine-identical join key).
+  private val recMonthsText =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1992-01-01'
+      |  UNION ALL SELECT m + INTERVAL '1' MONTH FROM months
+      |  WHERE m < DATE '1998-12-01')
+      |SELECT date_format(m, 'yyyy-MM') AS month_key,
+      |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+      |    AS total_price
+      |FROM months LEFT JOIN orders
+      |  ON date_format(o_orderdate, 'yyyy-MM') = date_format(m, 'yyyy-MM')
+      |GROUP BY month_key
+      |ORDER BY month_key""".stripMargin
+
+  private def recMonths(spark: SparkSession, dir: String): DataFrame =
+    Views.sql(spark, dir, recMonthsText)
+
+  private val recMonthsSql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1992-01-01'
+      |  UNION ALL SELECT m + INTERVAL '1' MONTH FROM months
+      |  WHERE m < DATE '1998-12-01')
+      |SELECT strftime(m, '%Y-%m') AS month_key,
+      |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+      |    AS total_price
+      |FROM months LEFT JOIN orders
+      |  ON strftime(o_orderdate, '%Y-%m') = strftime(m, '%Y-%m')
+      |GROUP BY month_key
+      |ORDER BY month_key""".stripMargin
+
+  // -------------------------------------------------------------------
+  // sql_lateral_topk — LATERAL correlated subquery: top-3 customers by
+  // balance per nation, the "for each row, run this parameterized
+  // query" shape. Catalyst decorrelates the LATERAL into a ranked
+  // window join (no per-row re-execution); the SAME text runs on
+  // DuckDB, so the statement itself is the oracle, q6-style.
+  private val lateralTopkText =
+    """SELECT n_name AS nation, c_name, c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+      |ORDER BY nation, c_acctbal DESC, c_name""".stripMargin
+
+  private def lateralTopk(spark: SparkSession, dir: String): DataFrame =
+    Views.sql(spark, dir, lateralTopkText)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sql_q6_forecast", q6, Some(q6Text)),
-    QueryDef("sql_rabin_karp", sqlRabin, Some(sqlRabinSql)))
+    QueryDef("sql_rabin_karp", sqlRabin, Some(sqlRabinSql)),
+    QueryDef("sql_recursive_months", recMonths, Some(recMonthsSql)),
+    QueryDef("sql_lateral_topk", lateralTopk, Some(lateralTopkText)))
 }
