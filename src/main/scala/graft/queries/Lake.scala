@@ -230,10 +230,120 @@ object Lake {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_snapshot_diff — CDC between two table snapshots (the base
+  // orders table vs the copy-on-write-merged one): a full-outer join on
+  // the key classifies every row as insert / delete / update /
+  // unchanged — the change feed a downstream sync consumes after a
+  // merge. The oracle replays the merge relationally and classifies the
+  // same way; the engine side diffs the ACTUAL on-disk snapshots, so
+  // the gate also re-proves the CoW merge wrote exactly the logical
+  // result. At scale both sides shuffle on the key once — or zero
+  // times when both snapshots share a bucketed layout (ops.Bucketing).
+  private def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val base = T.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
+    val cur = CopyOnWrite.read(spark, mergedOrdersPath(spark, dir))
+      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("v_new"))
+    base.join(cur, col("k") === col("k2"), "full_outer")
+      .select(
+        when(col("k").isNull, "insert")
+          .when(col("k2").isNull, "delete")
+          .when(col("v_old") =!= col("v_new"), "update")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("change_type"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1000.0 FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, o_totalprice FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 499 = 0),
+      |d AS (
+      |  SELECT CASE
+      |    WHEN b.o_orderkey IS NULL THEN 'insert'
+      |    WHEN m.o_orderkey IS NULL THEN 'delete'
+      |    WHEN b.o_totalprice <> m.o_totalprice THEN 'update'
+      |    ELSE 'unchanged' END AS change_type
+      |  FROM orders b FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey)
+      |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // meta_parquet_stats — footer-statistics audit over the events table:
+  // per-column value and null counts read from the parquet FOOTERS
+  // (file listing is driver-side catalog work; the footer reads are a
+  // distributed mapPartitions over the file list, one open per file —
+  // at 100 TB this is how table-stats collection runs, touching
+  // metadata pages only, zero data pages). The oracle RECOUNTS the same
+  // quantities from the rows, so the gate is "trust but verify": a
+  // writer that misdeclared its footer stats would fail here before a
+  // stats-driven optimizer ever trusted it. Byte-level quantities
+  // (compressed/uncompressed sizes) have no row-level oracle and are
+  // asserted in ParquetMetaSpec instead.
+  private def parquetStats(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      (if (fs.getFileStatus(root).isDirectory) fs.listStatus(root).toSeq
+       else Seq(fs.getFileStatus(root)))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getBlocks.asScala.flatMap(b =>
+              b.getColumns.asScala.map(c =>
+                (c.getPath.toDotString, c.getValueCount,
+                  Option(c.getStatistics).map(_.getNumNulls).getOrElse(-1L)))).toList
+          } finally r.close()
+        }
+      }
+      .toDF("col_name", "vals", "nulls")
+      .groupBy(col("col_name"))
+      .agg(sum(col("vals")).as("n_values"), sum(col("nulls")).as("n_nulls"))
+      .orderBy(col("col_name"))
+  }
+
+  private val parquetStatsSql =
+    """WITH t AS (
+      |  SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_values,
+      |    CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls FROM events
+      |  UNION ALL SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(ts) AS BIGINT) FROM events
+      |  UNION ALL SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(user_id) AS BIGINT) FROM events
+      |  UNION ALL SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(event_type) AS BIGINT) FROM events
+      |  UNION ALL SELECT 'value', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(value) AS BIGINT) FROM events
+      |  UNION ALL SELECT 'props', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(props) AS BIGINT) FROM events)
+      |SELECT col_name, n_values, n_nulls FROM t ORDER BY col_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("ids_dense_assign", idsAssign, Some(idsAssignSql)),
     QueryDef("scan_zorder_cells", zorderScan, Some(zorderScanSql)),
-    QueryDef("lake_merge_upsert", mergeUpsert, Some(mergeUpsertSql))
+    QueryDef("lake_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QueryDef("lake_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("meta_parquet_stats", parquetStats, Some(parquetStatsSql))
   )
 }
