@@ -303,7 +303,57 @@ object Functions {
       |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
       |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------------------------
+  // fn_try_battery — the ANSI-safe try_* family (Spark 3.2+/4): each
+  // returns NULL where the strict operator would raise — division by
+  // zero, int64 overflow, malformed cast, out-of-bounds element — which
+  // is the semantics a fault-tolerant 100 TB pipeline wants (one bad row
+  // must not kill a 10-hour job; the null routes to the dead-letter
+  // split instead). The engine pins ANSI OFF session-wide for the
+  // reference's coerce contract, but try_* documents intent per
+  // EXPRESSION and keeps the same answer if a consumer turns ANSI on.
+  // Counts + 6dp-rounded min/max keep the oracle float-safe (no
+  // cross-engine sum of division doubles).
+  private def tryBattery(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.orders(spark, dir)
+      .select(
+        (col("o_orderkey") % 5).as("m"),
+        expr("try_divide(o_totalprice, o_orderkey % 5)").as("d"),
+        expr("try_add(o_orderkey, 9223372036854775807L)").as("a"),
+        expr("try_cast(o_orderpriority AS INT)").as("c"),
+        expr("try_element_at(array(o_orderstatus), 5)").as("e"))
+      .groupBy(col("m"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("d")).as("n_div_ok"),
+        round(min(col("d")), 6).as("min_div"),
+        round(max(col("d")), 6).as("max_div"),
+        count(col("a")).as("n_add_ok"),
+        count(col("c")).as("n_cast_ok"),
+        count(col("e")).as("n_elem_ok"))
+      .orderBy(col("m"))
+  }
+
+  private val tryBatterySql =
+    """WITH b AS (
+      |  SELECT o_orderkey % 5 AS m,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |         ELSE o_totalprice / (o_orderkey % 5) END AS d,
+      |    CASE WHEN o_orderkey = 0 THEN 9223372036854775807 END AS a,
+      |    TRY_CAST(o_orderpriority AS INT) AS c,
+      |    ([o_orderstatus])[5] AS e
+      |  FROM orders)
+      |SELECT m, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(d) AS BIGINT) AS n_div_ok,
+      |  ROUND(MIN(d), 6) AS min_div, ROUND(MAX(d), 6) AS max_div,
+      |  CAST(COUNT(a) AS BIGINT) AS n_add_ok,
+      |  CAST(COUNT(c) AS BIGINT) AS n_cast_ok,
+      |  CAST(COUNT(e) AS BIGINT) AS n_elem_ok
+      |FROM b GROUP BY m ORDER BY m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_try_battery", tryBattery, Some(tryBatterySql)),
     QueryDef("fn_null_battery", nullBattery, Some(nullBatterySql)),
     QueryDef("fn_percentile_battery", percentileBattery, Some(percentileBatterySql)),
     QueryDef("fn_datetrunc_battery", datetruncBattery, Some(datetruncBatterySql)),
