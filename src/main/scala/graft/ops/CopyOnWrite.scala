@@ -32,9 +32,18 @@ import org.apache.spark.sql.functions.{col, lit}
 object CopyOnWrite {
 
   /** Upsert `delta` into the partitioned table at `tablePath` by
-    * `keyCol`. Returns the partition values rewritten. */
+    * `keyCol`. Returns the partition values rewritten.
+    *
+    * `archiveTo`: when set, replaced partition directories are RENAMED
+    * under this path (keeping their `partCol=value` names) instead of
+    * deleted — data files stay immutable, which is what makes a
+    * pre-merge [[Manifest]] snapshot readable forever (time travel).
+    * The archive is an O(1) metadata rename per touched partition, not
+    * a copy; a retention job prunes archives once no live snapshot
+    * references them (the GC half a table format's VACUUM does). */
   def merge(spark: SparkSession, tablePath: String, partCol: String,
-      keyCol: String, delta: DataFrame): Seq[String] = {
+      keyCol: String, delta: DataFrame,
+      archiveTo: Option[String] = None): Seq[String] = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataCols = delta.columns.filter(_ != partCol)
     val touched = delta.select(col(partCol)).distinct()
@@ -51,10 +60,16 @@ object CopyOnWrite {
             .unionByName(deltaP)
         } else deltaP
       merged.write.mode("overwrite").parquet(tmpDir.toString)
-      // swap: drop the old dir, promote the tmp dir. A crash between
-      // the two renames loses availability of one partition, never
-      // serves half-merged data.
-      if (fs.exists(partDir)) fs.delete(partDir, true)
+      // swap: move the old dir aside (archive or drop), promote the tmp
+      // dir. A crash between the two renames loses availability of one
+      // partition, never serves half-merged data.
+      if (fs.exists(partDir)) archiveTo match {
+        case Some(arch) =>
+          val archRoot = new Path(arch)
+          if (!fs.exists(archRoot)) fs.mkdirs(archRoot)
+          fs.rename(partDir, new Path(archRoot, s"$partCol=$p"))
+        case None => fs.delete(partDir, true)
+      }
       fs.rename(tmpDir, partDir)
     }
     touched

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Ctx, QueryDef, T}
-import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, ZOrder}
+import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, Manifest, ZOrder}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -338,12 +338,128 @@ object Lake {
       |    CAST(COUNT(*) - COUNT(props) AS BIGINT) FROM events)
       |SELECT col_name, n_values, n_nulls FROM t ORDER BY col_name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_manifest_prune — manifest-driven FILE-level pruning without
+  // any directory layout: a flat orders mirror is written range-
+  // partitioned on o_orderkey (disjoint key ranges per file), a
+  // manifest records each file's footer [min,max] key, and a key-range
+  // query keeps only intersecting files — O(#files) driver arithmetic,
+  // zero data reads for the pruning decision, residual predicate for
+  // exactness (ManifestSpec pins that files actually drop out). This is
+  // the table-format alternative to Hive directories: stats-based
+  // skipping composes with ANY predicate dimension the footers cover.
+  // populated at every SF (sf0.001's key domain tops out ~6k), and a
+  // strict subset of the 8 range files at each
+  private val PruneLo = 1000L
+  private val PruneHi = 3000L
+
+  private def manifestTable(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val tag = s"orders_ranged_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-manifest/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_manifest/v0.json")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      T.orders(spark, dir)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(path)
+      val entries = Manifest.collectStats(
+        spark, Manifest.dataFiles(spark, path), "o_orderkey")
+      Manifest.write(spark, path, 0, entries)
+    }
+    path
+  }
+
+  private def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = manifestTable(spark, dir)
+    val entries = Manifest.read(spark, path, 0)
+    val picked = Manifest.prune(entries, PruneLo, PruneHi).map(_.path)
+    // a range outside every file's stats legitimately prunes ALL files;
+    // the empty relation still needs the table schema
+    val base =
+      if (picked.nonEmpty) spark.read.parquet(picked: _*)
+      else spark.read.parquet(path).filter(lit(false))
+    base
+      .filter(col("o_orderkey").between(PruneLo, PruneHi))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val manifestPruneSql =
+    s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_orderkey BETWEEN $PruneLo AND $PruneHi
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // lake_time_travel — versioned reads over the copy-on-write table:
+  // the merge runs in ARCHIVE mode (replaced partition dirs are renamed
+  // aside, never deleted — data files stay immutable), and manifests v0
+  // (pre-merge file set, with replaced partitions at their archive
+  // locations) / v1 (live file set) each name a complete consistent
+  // snapshot. Reading "as of v0" is reading exactly v0's files: the
+  // query aggregates the v0 snapshot and must equal the ORIGINAL orders
+  // table — proving the merge left history intact. Grouping is on a
+  // DATA column (o_orderstatus) so the mixed-root file list needs no
+  // partition-column reconstruction.
+  private def timeTravelPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val tag = s"orders_tt_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-timetravel/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_manifest/v1.json")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      T.orders(spark, dir).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+      val archive = s"$path/_archive/v0"
+      val touched = CopyOnWrite.merge(spark, path, "o_orderpriority",
+        "o_orderkey", mergeDelta(spark, dir), archiveTo = Some(archive))
+      val touchedDirs = touched.map(p => s"o_orderpriority=$p").toSet
+      val live = Manifest.dataFiles(spark, path)
+      val v0Files = Manifest.dataFiles(spark, archive) ++
+        live.filterNot(f => touchedDirs.exists(d => f.contains(s"/$d/")))
+      Manifest.write(spark, path, 0,
+        Manifest.collectStats(spark, v0Files, "o_orderkey"))
+      Manifest.write(spark, path, 1,
+        Manifest.collectStats(spark, live, "o_orderkey"))
+    }
+    path
+  }
+
+  private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = timeTravelPath(spark, dir)
+    val v0 = Manifest.read(spark, path, 0).map(_.path)
+    spark.read.parquet(v0: _*)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val timeTravelSql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("ids_dense_assign", idsAssign, Some(idsAssignSql)),
     QueryDef("scan_zorder_cells", zorderScan, Some(zorderScanSql)),
     QueryDef("lake_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("lake_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
-    QueryDef("meta_parquet_stats", parquetStats, Some(parquetStatsSql))
+    QueryDef("meta_parquet_stats", parquetStats, Some(parquetStatsSql)),
+    QueryDef("lake_manifest_prune", manifestPrune, Some(manifestPruneSql)),
+    QueryDef("lake_time_travel", timeTravel, Some(timeTravelSql))
   )
 }
