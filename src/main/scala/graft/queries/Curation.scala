@@ -248,7 +248,74 @@ object Curation {
       |WHERE lang IN ('en', 'fr')
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // curate_split_hash — reproducible train/val/test partition by
+  // content-addressed draw: the first md5 byte of the doc id routes
+  // each document to train (<0xcc ≈ 80%), val (<0xe6 ≈ 10%) or test —
+  // deterministic (re-runs and backfills land every doc in the same
+  // split, no rand()), disjoint and complete BY CONSTRUCTION (the three
+  // ranges tile [00,ff]), stable under corpus growth (a new doc's split
+  // never depends on other docs). Shuffle-free: the split label is a
+  // map-side projection; only the per-split audit aggregate shuffles
+  // 3 groups. The audit emits per-split doc/char counts — the numbers a
+  // dataset card reports.
+  private def splitHash(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val draw = substring(md5(col("doc_id").cast("string")), 1, 2)
+    T.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(draw < "cc", "train").when(draw < "e6", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
+  private val splitHashSql =
+    """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY split ORDER BY split""".stripMargin
+
+  // -------------------------------------------------------------------
+  // curate_length_buckets — padding-efficiency audit for batched
+  // inference/training: docs bucketed by power-of-two length class
+  // (the standard length-bucketing serving trick), and per bucket the
+  // padding waste a naive pad-to-bucket-max batch would pay. The bucket
+  // ceiling (smallest power of two >= n) is computed as
+  // 1 << bitlen(n-1) — PURE INTEGER arithmetic via the binary-string
+  // length, because ceil(log2(x)) through doubles can land on either
+  // side of an exact power of two depending on the engine's ln (a
+  // 1-ULP wobble that ceil amplifies into a 2x bucket error).
+  private def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.documents(spark, dir)
+      .select(col("n_chars"),
+        expr("shiftleft(1L, length(bin(n_chars - 1)))").as("bucket_cap"))
+      .groupBy(col("bucket_cap"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("payload_chars"),
+        (sum(col("bucket_cap")) - sum(col("n_chars"))).as("padding_chars"))
+      .orderBy(col("bucket_cap"))
+  }
+
+  private val lengthBucketsSql =
+    """WITH b AS (
+      |  SELECT n_chars,
+      |    CAST(1 << length(bin(n_chars - 1)) AS BIGINT) AS bucket_cap
+      |  FROM documents)
+      |SELECT bucket_cap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS payload_chars,
+      |  CAST(SUM(bucket_cap) - SUM(n_chars) AS BIGINT) AS padding_chars
+      |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curate_split_hash", splitHash, Some(splitHashSql)),
+    QueryDef("curate_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     QueryDef("scan_partition_pruned", partitionPruned, Some(partitionPrunedSql)),
     QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("curate_shard_pack", shardPack, Some(shardPackSql)),

@@ -294,7 +294,41 @@ object Events {
       |FROM act JOIN cohort ON act.user_id = cohort.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  // -------------------------------------------------------------------
+  // events_topk_daily — heavy hitters per time window: daily event-type
+  // leaderboard (top-3 by count, count-desc/type-asc determinism). The
+  // composite every ops dashboard runs: windowed aggregate (map-side
+  // partial) then a SMALL ranked window over the aggregated groups —
+  // the row_number sees |windows|x|types| rows, never raw events, so
+  // the full-sort cost of the rank is bounded by the aggregate's output
+  // at any scale.
+  private def topkDaily(spark: SparkSession, dir: String): DataFrame = {
+    val counts = ev(spark, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+    val w = Window.partitionBy(col("win_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("win_start"), col("rank"))
+  }
+
+  private val topkDailySql =
+    """WITH c AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT win_start, event_type, n_events, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY win_start ORDER BY n_events DESC, event_type) AS rank
+      |  FROM c)
+      |WHERE rank <= 3
+      |ORDER BY win_start, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("events_topk_daily", topkDaily, Some(topkDailySql)),
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),
     QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
     QueryDef("events_session", session, Some(sessionSql)),

@@ -869,6 +869,36 @@ object Relational {
   // rows≤cur/n — are identical integer-division results in both
   // engines; ntile's uneven-bucket rule (earlier buckets get the extra
   // row) is the SQL-standard one both implement.
+  // -------------------------------------------------------------------
+  // window_share_of_total — percent-of-total composite: revenue share
+  // per priority via an unbounded window over the AGGREGATED groups.
+  // The empty-partition window is a scale trap on raw rows (single
+  // partition), but here it sees exactly |groups| rows (5), which is
+  // the correct and bounded place for it at any corpus size. Shares
+  // divide exact-decimal sums cast to double — one IEEE division,
+  // identical both engines — and round to 6dp.
+  private def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val g = T.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("tp"))
+    g.withColumn("grand", sum(col("tp")).over(Window.partitionBy()))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("tp").cast("double").as("total_price"),
+        round(col("tp").cast("double") / col("grand").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val shareOfTotalSql =
+    """WITH g AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n_orders, CAST(tp AS DOUBLE) AS total_price,
+      |  ROUND(CAST(tp AS DOUBLE) / CAST(SUM(tp) OVER () AS DOUBLE), 6) AS share
+      |FROM g ORDER BY o_orderpriority""".stripMargin
+
   private def windowRankStats(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val w = Window.partitionBy(col("o_orderstatus"))
@@ -1158,6 +1188,7 @@ object Relational {
     QueryDef("stats_orders", statsQ, Some(statsSql)),
     QueryDef("topk_per_group_custom", topkCustom, Some(topkCustomSql)),
     QueryDef("window_rank_stats", windowRankStats, Some(windowRankStatsSql)),
+    QueryDef("window_share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     QueryDef("join_nullsafe_priority", joinNullsafe, Some(joinNullsafeSql)),
     QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))
   )
