@@ -295,6 +295,14 @@ object VecExprs {
       val cur = spark.experimental.extraOptimizations
       if (!cur.contains(graft.plans.RollingHashRewrite))
         spark.experimental.extraOptimizations = cur :+ graft.plans.RollingHashRewrite
+      val cur2 = spark.experimental.extraOptimizations
+      if (!cur2.contains(graft.plans.WindowTopKRewrite))
+        spark.experimental.extraOptimizations = cur2 :+ graft.plans.WindowTopKRewrite
+      // the rewrite emits the TopKPerGroup logical node — its planner
+      // strategy must ride along or the swapped plan cannot be planned
+      val strats = spark.experimental.extraStrategies
+      if (!strats.contains(graft.plans.TopKStrategy))
+        spark.experimental.extraStrategies = strats :+ graft.plans.TopKStrategy
     }
   }
 }
@@ -326,6 +334,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         RabinKarpHash(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.ShingleRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RollingHashRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

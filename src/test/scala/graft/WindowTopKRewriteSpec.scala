@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.WindowTopKRewrite]] — the portable row_number idiom
+  * must plan to the bounded-heap operator exactly when the rank column
+  * is dropped, and the rewrite must not change any row. */
+class WindowTopKRewriteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def base = {
+    graft.functions.VecExprs.register(spark) // post-hoc rule + strategy
+    spark.range(0, 1000).select(
+      (col("id") % 7).as("g"),
+      (col("id") * 131 % 997).as("v"),
+      col("id").as("tie"))
+  }
+
+  private val w = Window.partitionBy("g").orderBy(col("v").desc, col("tie"))
+
+  test("drop-rank idiom rewrites to TopKPerGroup and keeps the same rows") {
+    val idiom = base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).drop("rank")
+    val plan = idiom.queryExecution.optimizedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Window"), plan)
+    // same rows as the un-rewritten spelling (computed via the real
+    // window by keeping the rank column, which blocks the rewrite)
+    val expected = base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("g", "v", "tie").as[(Long, Long, Long)].collect().sorted.toSeq
+    val got = idiom.as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    assert(got.size == 21)
+  }
+
+  test("keeping the rank column blocks the rewrite (consumer needs the number)") {
+    val kept = base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains("Window") || plan.contains("window"), plan)
+  }
+
+  test("rank/dense_rank do not rewrite (ties admit more than k rows)") {
+    val r = base.withColumn("rank", rank().over(w))
+      .filter(col("rank") <= 3).drop("rank")
+    val plan = r.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("TopKPerGroup"), plan)
+  }
+
+  test("rn = 1 (keep-first dedup idiom) rewrites with k = 1") {
+    val first = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val plan = first.queryExecution.optimizedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(first.count() == 7)
+  }
+}
