@@ -98,6 +98,38 @@ object Manifest {
     }
   }
 
+  /** Retention — the VACUUM half of snapshot management: delete every
+    * archived data file that NO retained version's manifest references,
+    * plus the manifests of dropped versions. Live (non-archive) files
+    * are never touched — they belong to the current table; archives
+    * exist only to serve historical manifests, so once the last
+    * manifest naming them is dropped they are garbage. Returns the
+    * deleted paths. Driver state is manifest-sized; deletes are
+    * filesystem metadata calls. */
+  def vacuum(spark: SparkSession, tablePath: String,
+      retainVersions: Seq[Int], allVersions: Seq[Int]): Seq[String] = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced: Set[String] = retainVersions
+      .flatMap(v => read(spark, tablePath, v)).map(_.path).toSet
+    val archRoot = s"$tablePath/_archive"
+    val deletable = dataFiles(spark, archRoot)
+      .filterNot(referenced.contains)
+    deletable.foreach(f => fs.delete(new Path(f), false))
+    val droppedManifests = allVersions.diff(retainVersions).map { v =>
+      val p = manifestPath(tablePath, v)
+      fs.delete(p, false)
+      p.toString
+    }
+    // sweep now-empty archive directories (bottom-up)
+    def sweep(p: Path): Unit = if (fs.exists(p)) {
+      fs.listStatus(p).filter(_.isDirectory).foreach(s => sweep(s.getPath))
+      if (fs.listStatus(p).isEmpty) fs.delete(p, false)
+    }
+    sweep(new Path(archRoot))
+    deletable ++ droppedManifests
+  }
+
   /** All data files under `dir`, recursively, skipping `_`/`.` names;
     * empty for a missing directory (e.g. an archive no merge touched). */
   def dataFiles(spark: SparkSession, dir: String): Seq[String] = {

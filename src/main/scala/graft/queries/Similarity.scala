@@ -532,7 +532,58 @@ object Similarity {
       |  CAST(MAX(vec_units) AS DOUBLE) / 64.0 / 1e12 AS max_vec_err
       |FROM pv GROUP BY label ORDER BY label""".stripMargin
 
+  // -------------------------------------------------------------------
+  // emb_dim_stats — per-DIMENSION moment statistics over the corpus:
+  // the calibration pass every quantization scheme runs first (int8
+  // scale factors come from per-dim ranges/moments; dimension collapse
+  // shows up as near-zero variance). posexplode fans each vector into
+  // (dim, x) pairs — shuffle keyed on 16 dims, partial-aggregated
+  // map-side, so the wire carries 16 rows per task regardless of
+  // corpus size.
+  //
+  // Cross-engine float discipline (NOTES ladder, rung 2): x and x·x are
+  // IEEE-identical on both engines (float→double cast is exact; one
+  // multiply is correctly rounded), so floor-quantizing to int64 units
+  // (1e6 for x, 1e9 for x²) gives identical integers whose SUM is
+  // exact and order-independent; the final divisions and 6dp rounds
+  // land identically.
+  private def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    vecs(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr("CAST(floor(x * 1e6) AS BIGINT)").as("ux"),
+        expr("CAST(floor(x * x * 1e9) AS BIGINT)").as("qx"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("ux")).as("su"), sum(col("qx")).as("sq"))
+      // m spelled once, squared by explicit multiply: pow(x, 2) is not
+      // guaranteed ULP-identical across libms, x*x is
+      .withColumn("m",
+        col("su").cast("double") / (col("n").cast("double") * lit(1e6)))
+      .select(col("dim"), col("n"),
+        round(col("m"), 6).as("mean"),
+        round(col("sq").cast("double") / (col("n").cast("double") * lit(1e9)) -
+          col("m") * col("m"), 6).as("variance"))
+      .orderBy(col("dim"))
+  }
+
+  private val dimStatsSql = normCte +
+    """
+      |, d AS (
+      |  SELECT CAST(i - 1 AS INT) AS dim,
+      |    CAST(floor(v[i] * 1e6) AS BIGINT) AS ux,
+      |    CAST(floor(v[i] * v[i] * 1e9) AS BIGINT) AS qx
+      |  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r)
+      |, g AS (
+      |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ux) AS DOUBLE) AS su, CAST(SUM(qx) AS DOUBLE) AS sq
+      |  FROM d GROUP BY dim),
+      |m AS (SELECT dim, n, su / (n * 1e6) AS m, sq FROM g)
+      |SELECT dim, n, ROUND(m, 6) AS mean,
+      |  ROUND(sq / (n * 1e9) - m * m, 6) AS variance
+      |FROM m ORDER BY dim""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_dim_stats", dimStats, Some(dimStatsSql)),
     QueryDef("ann_cosine_topk", annTopk, Some(annTopkSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
