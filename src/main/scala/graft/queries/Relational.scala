@@ -899,6 +899,97 @@ object Relational {
       |  ROUND(CAST(tp AS DOUBLE) / CAST(SUM(tp) OVER () AS DOUBLE), 6) AS share
       |FROM g ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // profile_key_skew — the skew DIAGNOSTIC that decides when ops.Skew's
+  // salting is worth its overhead: per-key cardinality histogram in
+  // power-of-two buckets over lineitem's join key. Two partial-
+  // aggregated passes (per-key counts, then |keys| rows into ≤64
+  // buckets); the integer bit-length bucketing from curate_length_
+  // buckets (no float log2). A healthy key prints a tight histogram;
+  // a hot key surfaces as a lonely high bucket — the trigger for
+  // salted_agg_orders / salted_join_suppliers.
+  private def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k_n"))
+      .select(
+        when(col("k_n") === 1, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin(k_n - 1)))"))
+          .as("bucket_cap"),
+        col("k_n"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("k_n")).as("n_rows"))
+      .orderBy(col("bucket_cap"))
+  }
+
+  private val keySkewSql =
+    """WITH k AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k_n
+      |  FROM lineitem GROUP BY l_orderkey),
+      |b AS (
+      |  SELECT CASE WHEN k_n = 1 THEN 1
+      |              ELSE CAST(1 << length(bin(k_n - 1)) AS BIGINT) END AS bucket_cap,
+      |    k_n
+      |  FROM k)
+      |SELECT bucket_cap, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(k_n) AS BIGINT) AS n_rows
+      |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
+
+  // -------------------------------------------------------------------
+  // audit_fk_integrity — referential-integrity sweep across the whole
+  // star schema: for every FK edge, the orphan count (child keys with
+  // no parent) via anti-join aggregates. This is the data-quality gate
+  // a warehouse runs after every load (the reference's dead-letter
+  // split is the row-level version; this is the cross-table one). Each
+  // edge is one anti join; the small parents broadcast, the fact-side
+  // edges shuffle on the key — all seven run in one job tree. Zero
+  // orphans on the generator's data; the query's value is the SHAPE
+  // (the count is the assertion a production run would alert on).
+  private def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    def orphans(edge: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck)).join(parent.select(col(pk)),
+          col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(edge).as("fk_edge"), col("n_orphans"))
+    val li = T.lineitem(spark, dir); val o = T.orders(spark, dir)
+    val c = T.customer(spark, dir); val s = T.supplier(spark, dir)
+    val p = T.part(spark, dir); val n = T.nation(spark, dir)
+    val r = T.region(spark, dir)
+    orphans("customer.nation", c, "c_nationkey", n, "n_nationkey")
+      .unionByName(orphans("lineitem.order", li, "l_orderkey", o, "o_orderkey"))
+      .unionByName(orphans("lineitem.part", li, "l_partkey", p, "p_partkey"))
+      .unionByName(orphans("lineitem.supplier", li, "l_suppkey", s, "s_suppkey"))
+      .unionByName(orphans("nation.region", n, "n_regionkey", r, "r_regionkey"))
+      .unionByName(orphans("orders.customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(orphans("supplier.nation", s, "s_nationkey", n, "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  private val fkIntegritySql =
+    """SELECT 'customer.nation' AS fk_edge, CAST(COUNT(*) AS BIGINT) AS n_orphans
+      |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      |UNION ALL
+      |SELECT 'lineitem.order', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |UNION ALL
+      |SELECT 'lineitem.part', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      |UNION ALL
+      |SELECT 'lineitem.supplier', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      |UNION ALL
+      |SELECT 'nation.region', CAST(COUNT(*) AS BIGINT) FROM nation
+      |WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+      |UNION ALL
+      |SELECT 'orders.customer', CAST(COUNT(*) AS BIGINT) FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |UNION ALL
+      |SELECT 'supplier.nation', CAST(COUNT(*) AS BIGINT) FROM supplier
+      |WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      |ORDER BY fk_edge""".stripMargin
+
   private def windowRankStats(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val w = Window.partitionBy(col("o_orderstatus"))
@@ -1189,6 +1280,8 @@ object Relational {
     QueryDef("topk_per_group_custom", topkCustom, Some(topkCustomSql)),
     QueryDef("window_rank_stats", windowRankStats, Some(windowRankStatsSql)),
     QueryDef("window_share_of_total", shareOfTotal, Some(shareOfTotalSql)),
+    QueryDef("profile_key_skew", keySkew, Some(keySkewSql)),
+    QueryDef("audit_fk_integrity", fkIntegrity, Some(fkIntegritySql)),
     QueryDef("join_nullsafe_priority", joinNullsafe, Some(joinNullsafeSql)),
     QueryDef("dedup_lineitem", dedupExact, Some(dedupExactSql))
   )
