@@ -327,7 +327,71 @@ object Events {
       |WHERE rank <= 3
       |ORDER BY win_start, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // events_anomaly_hourly — trailing z-score anomaly detection: each
+  // (hour, type) count is scored against the mean/std of the SAME
+  // type's previous 24 hourly counts (rows-frame window, no leakage of
+  // the current value into its own baseline). The ops-monitoring shape:
+  // |z| >= 2 rows are the alert feed. Determinism: the baseline moments
+  // derive from INTEGER count sums, and every double step after —
+  // divisions, the explicit mu*mu square, subtraction, sqrt — is an
+  // IEEE-exact-or-correctly-rounded op computed identically by both
+  // engines, so even the 6dp-rounded z agrees bit-for-bit. greatest(,0)
+  // clamps the tiny negative variances float cancellation can produce.
+  // Scale: one hash aggregate to |hours|x|types| rows, then a window
+  // over that aggregate — never over raw events.
+  private def anomalyHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("sq", sum(col("n") * col("n")).over(w))
+      .filter(col("k") >= 12)
+      .withColumn("mu", col("s").cast("double") / col("k").cast("double"))
+      .withColumn("sd", sqrt(greatest(
+        col("sq").cast("double") / col("k").cast("double") -
+          col("mu") * col("mu"), lit(0.0))))
+      .filter(col("sd") > 0)
+      .withColumn("z", round((col("n").cast("double") - col("mu")) / col("sd"), 6))
+      .filter(abs(col("z")) >= 2)
+      .select(col("win_start"), col("event_type"), col("n"),
+        round(col("mu"), 6).as("mu"), col("z"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  private val anomalyHourlySql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS win_start, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |base AS (
+      |  SELECT win_start, event_type, n,
+      |    COUNT(*) OVER tw AS k, SUM(n) OVER tw AS s, SUM(n * n) OVER tw AS sq
+      |  FROM hourly
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY win_start
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT win_start, event_type, n,
+      |    CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+      |    sqrt(greatest(CAST(sq AS DOUBLE) / CAST(k AS DOUBLE) -
+      |      (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)),
+      |      0)) AS sd
+      |  FROM base WHERE k >= 12),
+      |z AS (
+      |  SELECT win_start, event_type, n, mu,
+      |    ROUND((CAST(n AS DOUBLE) - mu) / sd, 6) AS z
+      |  FROM m WHERE sd > 0)
+      |SELECT win_start, event_type, n, ROUND(mu, 6) AS mu, z
+      |FROM z WHERE abs(z) >= 2
+      |ORDER BY win_start, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("events_anomaly_hourly", anomalyHourly, Some(anomalyHourlySql)),
     QueryDef("events_topk_daily", topkDaily, Some(topkDailySql)),
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),
     QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
