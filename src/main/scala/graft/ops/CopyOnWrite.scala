@@ -54,10 +54,15 @@ object CopyOnWrite {
       val deltaP = delta.filter(col(partCol) === p).select(dataCols.map(col): _*)
       val merged =
         if (fs.exists(partDir)) {
+          // allowMissingColumns = schema evolution through the merge: a
+          // delta column the base lacks null-fills surviving base rows
+          // (and vice versa on a narrowing delta). Untouched partitions
+          // keep their old file schema — readers reconcile with
+          // mergeSchema ([[read]]), exactly Delta/Iceberg's add-column
+          // semantics (metadata-only for old files).
           val existing = spark.read.parquet(partDir.toString)
-            .select(dataCols.map(col): _*)
           existing.join(deltaP.select(col(keyCol)), Seq(keyCol), "left_anti")
-            .unionByName(deltaP)
+            .unionByName(deltaP, allowMissingColumns = true)
         } else deltaP
       merged.write.mode("overwrite").parquet(tmpDir.toString)
       // swap: move the old dir aside (archive or drop), promote the tmp
@@ -76,7 +81,10 @@ object CopyOnWrite {
   }
 
   /** Re-read a merged table, restoring the partition column that the
-    * directory layout carries. */
+    * directory layout carries; mergeSchema reconciles partitions whose
+    * files predate a schema-evolving merge (their missing columns read
+    * as null). */
   def read(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.option("basePath", tablePath).parquet(tablePath)
+    spark.read.option("basePath", tablePath)
+      .option("mergeSchema", "true").parquet(tablePath)
 }

@@ -50,6 +50,24 @@ class LakeCowSpec extends SparkSpec {
       (5L, "c", 50.0), (7L, "d", 70.0), (9L, "b", 90.0)))
   }
 
+  test("schema-evolving delta adds a column; prior rows read it as null") {
+    val dir = freshTable()
+    // delta carries a new column w: k=3 updated with w, k=9 inserted with w
+    val delta = Seq((3L, "b", 99.0, 7.5), (9L, "b", 90.0, 8.5))
+      .toDF("k", "p", "v", "w")
+    CopyOnWrite.merge(spark, dir, "p", "k", delta)
+    val out = CopyOnWrite.read(spark, dir)
+      .select(col("k"), col("v"), col("w"))
+      .as[(Long, Double, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 10.0, None),        // untouched partition: old file schema, null w
+      (2L, 20.0, None),
+      (3L, 99.0, Some(7.5)),   // updated row carries the new column
+      (4L, 40.0, None),        // survivor in the rewritten partition
+      (5L, 50.0, None),
+      (9L, 90.0, Some(8.5))))  // insert carries the new column
+  }
+
   test("merging an empty delta touches nothing") {
     val dir = freshTable()
     val empty = Seq.empty[(Long, String, Double)].toDF("k", "p", "v")
