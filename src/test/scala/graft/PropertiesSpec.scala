@@ -162,4 +162,46 @@ class PropertiesSpec extends SparkSpec {
     }
     check(prop, n = 6)
   }
+
+  test("property: dense ids equal the sort rank for any unique key set") {
+    val prop = Prop.forAll(
+      Gen.listOfN(60, Gen.choose(-100000L, 100000L)).map(_.distinct),
+      Gen.choose(1, 7)) { (keys, parts) =>
+      keys.isEmpty || {
+        val df = keys.toDF("k").repartition(parts)
+        val got = graft.ops.DenseIds.assign(df, "k", "id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expected = keys.sorted.zipWithIndex
+          .map { case (k, i) => k -> i.toLong }.toMap
+        got == expected
+      }
+    }
+    check(prop, n = 8)
+  }
+
+  test("property: z-order covering cells always contain every in-box point") {
+    val genBounds = for {
+      lo <- Gen.choose(-1000L, 1000L)
+      w <- Gen.choose(1L, 5000L)
+    } yield (lo, lo + w)
+    val prop = Prop.forAll(genBounds, genBounds, Gen.choose(0L, 1L << 40)) {
+      case ((xLo, xHi), (yLo, yHi), seed) =>
+        // a deterministic pseudo-random box + point set inside the domain
+        def mix(i: Long) = (seed + i * 2654435761L) & Long.MaxValue
+        val (x1, x2) = { val a = xLo + mix(1) % (xHi - xLo + 1)
+          val b = xLo + mix(2) % (xHi - xLo + 1); (a.min(b), a.max(b)) }
+        val (y1, y2) = { val a = yLo + mix(3) % (yHi - yLo + 1)
+          val b = yLo + mix(4) % (yHi - yLo + 1); (a.min(b), a.max(b)) }
+        val pts = (0 until 200).map(i =>
+          (xLo + mix(10 + i) % (xHi - xLo + 1), yLo + mix(300 + i) % (yHi - yLo + 1)))
+        val covering = graft.ops.ZOrder
+          .coveringCells(x1, x2, xLo, xHi, y1, y2, yLo, yHi).toSet
+        val cells = graft.ops.ZOrder.withZ(
+            pts.toDF("x", "y"), col("x"), col("y"), xLo, xHi, yLo, yHi)
+          .filter(col("x").between(x1, x2) && col("y").between(y1, y2))
+          .select("zcell").distinct().collect().map(_.getInt(0)).toSet
+        cells.subsetOf(covering)
+    }
+    check(prop, n = 10)
+  }
 }
