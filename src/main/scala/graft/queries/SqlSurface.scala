@@ -111,9 +111,35 @@ object SqlSurface {
   private def lateralTopk(spark: SparkSession, dir: String): DataFrame =
     Views.sql(spark, dir, lateralTopkText)
 
+  // -------------------------------------------------------------------
+  // sql_udaf_weighted_avg — a typed Aggregator invoked from SQL TEXT:
+  // `functions.udaf` wraps graft's exact-decimal WeightedAvg and
+  // `spark.udf.register` puts it in the session registry, so plain SQL
+  // users get the custom aggregate (partial/merge/finish runs as a real
+  // two-phase hash aggregate — same shuffle shape as any built-in agg).
+  // Completes the SQL-surface story: custom scalar expressions
+  // (sql_rabin_karp) AND custom aggregates are both SQL-callable.
+  // Oracle replays the exact-decimal fold relationally.
+  private def sqlUdafWavg(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("wavg",
+      org.apache.spark.sql.functions.udaf(graft.functions.Udafs.WeightedAvg))
+    Views.sql(spark, dir,
+      """SELECT l_returnflag, wavg(l_extendedprice, l_quantity) AS wavg_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val sqlUdafWavgSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sql_q6_forecast", q6, Some(q6Text)),
     QueryDef("sql_rabin_karp", sqlRabin, Some(sqlRabinSql)),
     QueryDef("sql_recursive_months", recMonths, Some(recMonthsSql)),
-    QueryDef("sql_lateral_topk", lateralTopk, Some(lateralTopkText)))
+    QueryDef("sql_lateral_topk", lateralTopk, Some(lateralTopkText)),
+    QueryDef("sql_udaf_weighted_avg", sqlUdafWavg, Some(sqlUdafWavgSql)))
 }
