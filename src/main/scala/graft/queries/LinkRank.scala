@@ -23,13 +23,21 @@ import org.apache.spark.sql.functions._
   *    independent; one double division + damping per round, same
   *    operation order both engines.
   *
-  * Scale shape: ranks are |V| rows, edges |E| rows. Each round is one
-  * equi-join (ranks ⋈ edges on src — at 100 TB this is the join you
-  * pre-bucket both sides for, see [[graft.ops.Bucketing]]) plus one
-  * partial-aggregated hash aggregate on dst. No driver actions inside
-  * the loop; 3 rounds of plan nesting stay well under the analyzer
-  * budget that forces `localCheckpoint` in the unbounded-round CC loop
-  * ([[graft.ops.Graph]]).
+  * Scale shape: ranks are |V| rows, edges |E| rows. The edge list lives
+  * as a bucketed+sorted catalog mirror keyed on `src`
+  * ([[graft.ops.Bucketing]]), so each round's equi-join (ranks ⋈ edges
+  * on src) never re-shuffles the |E|-row side — only the |V|-row state
+  * moves per round. Whether the state side broadcasts is SIZE-GATED at
+  * plan construction (`graft.linkrank.broadcastMaxNodes`, default 5e6):
+  * under the gate a broadcast skips even the state shuffle; over it (a
+  * web-scale graph whose |V|-row state would OOM a forced broadcast)
+  * the join plans as a co-located SMJ against the bucketed edge scan.
+  * PlanSpec pins the over-gate path: no BroadcastExchange of the state.
+  * Contributions partial-aggregate map-side either way, so only
+  * |V|-sized per-node sums cross the wire per round. No driver actions
+  * inside the loop; 3 rounds of plan nesting stay well under the
+  * analyzer budget that forces `localCheckpoint` in the unbounded-round
+  * CC loop ([[graft.ops.Graph]]).
   */
 object LinkRank {
 
@@ -37,76 +45,81 @@ object LinkRank {
   private val Damping = 0.85
   private val Unit = 1e15
 
-  /** undirected (src, dst) edges over LONG-encoded nodes — customers at
-    * 2·custkey, suppliers at 2·suppkey+1. Integer keys keep every
-    * shuffle (degree, per-round contribution agg) on 8-byte codegen'd
-    * hashes; the human-readable label is reconstructed only for the
-    * final top-20 projection.
+  /** Nodes are LONG-encoded — customers at 2·custkey, suppliers at
+    * 2·suppkey+1. Integer keys keep every shuffle (degree, per-round
+    * contribution agg) on 8-byte codegen'd hashes; the human-readable
+    * label is reconstructed only for the final top-20 projection.
     *
     * Graph CONSTRUCTION (the orders⋈lineitem join + distinct — the
-    * expensive part) is a write-once, fingerprint-memoized disk mirror,
-    * like every other graft layout: at 100 TB the edge list is built at
+    * expensive part) is a write-once, fingerprint-memoized BUCKETED
+    * catalog mirror of the directed edge list (both directions),
+    * bucketed+sorted on `src`: at 100 TB the edge list is built at
     * ingest/compaction time and every analytics run starts from the
-    * materialized graph, not the raw fact tables. The tag carries BOTH
-    * sources' fingerprints, so regenerating either table rebuilds. */
-  private def pairsMirror(spark: SparkSession, dir: String): String = {
+    * co-located materialized graph, not the raw fact tables — the
+    * per-round join then shuffles only the |V|-row state. The tag
+    * carries BOTH sources' fingerprints, so regenerating either table
+    * rebuilds. */
+  private def edgesTable(spark: SparkSession, dir: String): String = {
     val fpO = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
     val fpL = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/lineitem.parquet")
-    val tag = s"linkrank_pairs_${dir}_${fpO}_$fpL".replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft-graph/$tag"
-    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) {
-      T.orders(spark, dir)
+    val t = s"linkrank_edges_${dir}_${fpO}_$fpL".replaceAll("[^A-Za-z0-9_]", "_")
+    if (!spark.catalog.tableExists(t)) {
+      val path = s"${sys.props("java.io.tmpdir")}/graft-graph/$t"
+      val pairs = T.orders(spark, dir)
         .join(T.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
         .select(
           (col("o_custkey") * 2).as("c_node"),
           (col("l_suppkey") * 2 + 1).as("s_node"))
         .distinct()
-        .write.mode("overwrite").parquet(path)
+      pairs.select(col("c_node").as("src"), col("s_node").as("dst"))
+        .union(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+        .repartition(graft.ops.Bucketing.Buckets, col("src"))
+        .write.mode("overwrite")
+        .bucketBy(graft.ops.Bucketing.Buckets, "src").sortBy("src")
+        .option("path", path)
+        .saveAsTable(t)
     }
-    path
+    t
   }
 
   private def edges(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
-    // one materialization feeds degree, edge, and node-count lineages
-    val pairs = spark.read.parquet(pairsMirror(spark, dir)).persist()
-    pairs.select(col("c_node").as("src"), col("s_node").as("dst"))
-      .union(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+    spark.table(edgesTable(spark, dir))
   }
 
   private def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
+    // the iteration state carries (node, deg, rank) — |V| rows — so the
+    // per-round contribution is rank/deg computed INSIDE the state and
+    // the |E|-row edge list is read as-is from the bucketed mirror: deg
+    // is a |V|-sized property, keep it on the |V|-sized side.
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .persist()
-    val n = deg.agg(count(lit(1)).as("nn"))
-    // the iteration state carries (node, deg, rank) — |V| rows — so the
-    // per-round contribution is rank/deg computed INSIDE the broadcast
-    // state and the |E|-row edge list is joined as-is from cache. The
-    // alternative (materializing a deg-annotated |E|-row edge list up
-    // front) pays an extra |E|-sized join + persist for nothing: deg is
-    // a |V|-sized property, keep it on the |V|-sized side. At web-graph
-    // |V| the broadcast hint comes off and the per-round join becomes a
-    // pre-bucketed co-located SMJ (see ops.Bucketing); contributions
-    // partial-aggregate map-side either way, so only |V|-sized per-node
-    // sums cross the wire per round.
-    var ranks = deg.crossJoin(broadcast(n))
-      .select(col("node"), col("deg"), (lit(1.0) / col("nn")).as("rank"))
+    // |V|, counted once off the persisted degree state. Feeds both the
+    // uniform-init/damping constants (driver-side IEEE divides, same
+    // ops as the oracle's `CAST(0.15 AS DOUBLE)/n`) and the broadcast
+    // gate: a forced hint on a web-scale |V|-row state is a driver OOM,
+    // so over the gate the state joins as a plain shuffle/SMJ against
+    // the co-located bucketed edge scan instead.
+    val nV = deg.count()
+    val gateMax = spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong
+    val gate: DataFrame => DataFrame =
+      if (nV <= gateMax) df => df.hint("broadcast") else df => df
+    var ranks = deg.select(col("node"), col("deg"), lit(1.0 / nV).as("rank"))
     for (_ <- 1 to Iters) {
       val contrib = e
-        .join(ranks.hint("broadcast"), col("src") === col("node"))
+        .join(gate(ranks), col("src") === col("node"))
         .select(col("dst"),
           floor(col("rank") / col("deg") * lit(Unit)).cast("long").as("units"))
         .groupBy(col("dst")).agg(sum(col("units")).as("u"))
       ranks = contrib
-        .join(deg.hint("broadcast"), col("dst") === col("node"))
-        .crossJoin(broadcast(n))
+        .join(gate(deg), col("dst") === col("node"))
         .select(col("node"), col("deg"),
-          // literal 0.15, NOT 1-Damping: 1.0-0.85 in IEEE is
-          // 0.15000000000000002, while the oracle's CAST(0.15 AS DOUBLE)
-          // is the nearest double to 0.15 — a last-ulp mismatch per round
-          (lit(0.15) / col("nn") +
+          // driver-side 0.15/nV, NOT lit(1-Damping)/nn: 1.0-0.85 in IEEE
+          // is 0.15000000000000002, while Scala's 0.15 literal and the
+          // oracle's CAST(0.15 AS DOUBLE) are both the nearest double to
+          // 0.15 — and the / nV divide is the same IEEE op both sides
+          (lit(0.15 / nV) +
             lit(Damping) * (col("u").cast("double") / lit(Unit))).as("rank"))
     }
     ranks.filter(col("node") % 2 === 1)
@@ -155,24 +168,26 @@ object LinkRank {
   // numerator — the link-analysis primitive next to PageRank for
   // weighting crawl sources by how tightly knit their neighborhood is.
   //
-  // Shape at scale: edges are ORIENTED low-id → high-id, so every
-  // triangle {a,b,c} (a<b<c) is enumerated exactly once as the wedge
-  // (a,b)+(b,c) closed by the single lookup (a,c) — two equi-joins on
-  // the oriented edge list, never an all-pairs expansion. Edge
-  // generation is bucket-collect (suppliers per order, sorted, ordered
-  // pairs exploded), not an |order|-keyed self-join that would evaluate
-  // the scan subplan twice (NOTES.md). On power-law graphs the
-  // production refinement is DEGREE-order orientation (low-degree →
-  // high-degree, the Chiba–Nishizeki/Schank ordering), which bounds
-  // per-node wedge fan-out by the arboricity; id-order is sufficient at
-  // this graph's near-uniform supplier degrees and keeps the oracle a
-  // plain SQL replay.
+  // Shape at scale: edges are ORIENTED low-degree → high-degree with id
+  // tie-break — the Chiba–Nishizeki/Schank ordering — so every triangle
+  // {a,b,c} (a<b<c in the (deg,id) total order) is enumerated exactly
+  // once as the wedge (a,b)+(b,c) closed by the single lookup (a,c):
+  // two equi-joins on the oriented edge list, never an all-pairs
+  // expansion. Degree-orientation is what survives power-law graphs —
+  // under id-order a hot node's wedge fan-out is unbounded (every
+  // lower-id neighbor pairs with every higher-id one), while
+  // degree-order bounds per-node out-degree by O(sqrt(|E|))/arboricity.
+  // GraphSpec's ScalaCheck property pins count-equivalence of the two
+  // orientations on generated power-law graphs. Edge generation is
+  // bucket-collect (suppliers per order, sorted, ordered pairs
+  // exploded), not an |order|-keyed self-join that would evaluate the
+  // scan subplan twice (NOTES.md).
   private def triangles(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val hi = T.lineitem(spark, dir)
       .filter(col("l_quantity") >= 45)
       .select(col("l_orderkey"), col("l_suppkey"))
-    val e = hi.groupBy(col("l_orderkey"))
+    val und = hi.groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
       .select(explode(expr(
         "flatten(transform(ss, (x, i) -> " +
@@ -180,7 +195,39 @@ object LinkRank {
         .as("p"))
       .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .distinct()
-      .persist()
+    trianglesOf(orientByDegree(und))
+      .orderBy(col("triangles").desc, col("suppkey"))
+      .limit(10)
+  }
+
+  /** Re-orient an undirected edge set (given id-oriented, s1 < s2) into
+    * the degree total order: low-(degree, id) endpoint first. The
+    * degree join is |E| ⋈ |V| twice — at scale the |V|-row degree side
+    * is exactly the frame the planner may broadcast on its own size
+    * estimate; no forced hint. */
+  private[graft] def orientByDegree(und: DataFrame): DataFrame = {
+    val d = und.select(col("s1").as("node"))
+      .union(und.select(col("s2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val d1 = d.select(col("node").as("n1"), col("deg").as("deg1"))
+    val d2 = d.select(col("node").as("n2"), col("deg").as("deg2"))
+    val firstIsLower = col("deg1") < col("deg2") ||
+      (col("deg1") === col("deg2") && col("s1") < col("s2"))
+    und.join(d1, col("s1") === col("n1"))
+      .join(d2, col("s2") === col("n2"))
+      .select(
+        when(firstIsLower, col("s1")).otherwise(col("s2")).as("s1"),
+        when(firstIsLower, col("s2")).otherwise(col("s1")).as("s2"))
+  }
+
+  /** Wedge-closure triangle count over an edge list oriented by any
+    * strict total order: ab ⋈ bc on the middle node, closed by the
+    * single ac lookup — per-node triangle counts via the 3-way node
+    * explode. Orientation-agnostic (any total order enumerates each
+    * triangle exactly once), which is what GraphSpec's equivalence
+    * property exercises. */
+  private[graft] def trianglesOf(oriented: DataFrame): DataFrame = {
+    val e = oriented.persist()
     val ab = e.select(col("s1").as("a"), col("s2").as("b"))
     val bc = e.select(col("s1").as("bb"), col("s2").as("c"))
     val ac = e.select(col("s1").as("aa"), col("s2").as("cc"))
@@ -190,17 +237,28 @@ object LinkRank {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
       .groupBy(col("suppkey"))
       .agg(count(lit(1)).as("triangles"))
-      .orderBy(col("triangles").desc, col("suppkey"))
-      .limit(10)
   }
 
   private val trianglesSql =
     """WITH hi AS (
       |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
-      |e AS (
+      |und AS (
       |  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
       |  FROM hi a JOIN hi b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT s1 AS node FROM und UNION ALL SELECT s2 AS node FROM und)
+      |  GROUP BY node),
+      |e AS (
+      |  SELECT
+      |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.s1 < u.s2)
+      |         THEN u.s1 ELSE u.s2 END AS s1,
+      |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.s1 < u.s2)
+      |         THEN u.s2 ELSE u.s1 END AS s2
+      |  FROM und u
+      |  JOIN deg d1 ON u.s1 = d1.node
+      |  JOIN deg d2 ON u.s2 = d2.node),
       |tri AS (
       |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
       |  FROM e e1

@@ -41,4 +41,35 @@ class GraphSpec extends SparkSpec {
     val labels = cc(Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 1L)))
     assert(Seq(1L, 3L, 5L).forall(labels(_) == 1L))
   }
+
+  test("property: degree-ordered triangle counts ≡ id-ordered on power-law graphs") {
+    // graph_triangles orients edges by (degree, id) — the
+    // Chiba–Nishizeki ordering that bounds wedge fan-out on power-law
+    // graphs. Any strict total order enumerates each triangle exactly
+    // once, so the per-node counts must match the id-order spelling on
+    // ANY simple graph; generate preferential-attachment-ish edge sets
+    // (endpoint ∝ skewed draw) so hubs with big fan-out are covered.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(4, 24)
+      m <- Gen.choose(3, 60)
+      // skewed endpoint draw: square of a uniform concentrates on low ids
+      edges <- Gen.listOfN(m, for {
+        u <- Gen.choose(0.0, 1.0)
+        v <- Gen.choose(0.0, 1.0)
+      } yield ((u * u * n).toInt.min(n - 1), (v * v * n).toInt.min(n - 1)))
+    } yield edges.collect { case (a, b) if a != b => (a.min(b), a.max(b)) }.distinct
+    val prop = Prop.forAll(genGraph) { edges =>
+      edges.isEmpty || {
+        val und = edges.toDF("s1", "s2") // already id-oriented: s1 < s2
+        def counts(e: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+          graft.queries.LinkRank.trianglesOf(e)
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        try counts(graft.queries.LinkRank.orientByDegree(und)) == counts(und)
+        finally spark.sharedState.cacheManager.clearCache()
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -199,6 +199,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("graph_pagerank scale path: over the gate, no forced broadcast of the |V| state") {
+    // the broadcast of the rank/degree state is SIZE-GATED
+    // (graft.linkrank.broadcastMaxNodes): force the gate to 0 — the
+    // web-graph regime where a forced broadcast of a data-sized state
+    // frame would OOM — and the per-round join must plan shuffle/SMJ
+    // against the bucketed edge mirror, with no BroadcastExchange
+    // anywhere (autoBroadcastJoinThreshold off isolates the gate from
+    // the planner's own small-table choice). Results must match the
+    // broadcast path bit-for-bit.
+    spark.conf.set("graft.linkrank.broadcastMaxNodes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("graph_pagerank")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"gated-off state still plans a broadcast:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      val shuffled = df.collect().toSeq
+      spark.conf.set("graft.linkrank.broadcastMaxNodes", "5000000")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val broadcasted = SparkEntry.queries("graph_pagerank")(spark, sf).collect().toSeq
+      assert(shuffled == broadcasted,
+        "shuffle-path and broadcast-path ranks diverge")
+    } finally {
+      spark.conf.set("graft.linkrank.broadcastMaxNodes", "5000000")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("graph_pagerank: per-round state join reads the bucketed edge mirror co-located") {
+    // the |E|-row side must come from the bucketed catalog mirror (one
+    // bucketing shuffle paid at build, none per query): the scan
+    // reports its bucket selection, and with broadcast off the only
+    // exchanges are on the |V|-row state side, never under a scan of
+    // the edge table
+    spark.conf.set("graft.linkrank.broadcastMaxNodes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("graph_pagerank")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"),
+        s"edge side is not a bucketed scan:\n$p")
+    } finally {
+      spark.conf.set("graft.linkrank.broadcastMaxNodes", "5000000")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("ETL pipeline clean path shuffles only for the final sort") {
     val p = plan("pipeline_clean")
     val exchanges = "Exchange".r.findAllIn(p).length
