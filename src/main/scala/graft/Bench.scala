@@ -50,10 +50,28 @@ object Bench {
       .mkString("{", ",", "}")
     val fullQs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val stamp = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
-    try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","queries":$fullQs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
+    // BENCH_FULL.json = latest run; BENCH_FULL_HISTORY.jsonl accumulates
+    // EVERY run (timestamped, append-only), so judge/builder reruns never
+    // clobber the driver's record and per-query medians across runs are
+    // computable after the fact. SPARK_GRAFT_TAG=r05 additionally writes
+    // a round-stamped BENCH_FULL_<tag>.json.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_HISTORY.jsonl"),
+        (fullLine + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      sys.env.get("SPARK_GRAFT_TAG").foreach { tag =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"BENCH_FULL_${tag}.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+      }
+    }
     catch { case _: Throwable => () } // bench must still report if cwd is read-only
     val budget = 1600 // bytes available for the queries dict within the window
     val bySlowest = results.sortBy(-_._2)

@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object CopyOnWrite {
 
+  /** One touched partition's outcome: its value and, in archive mode,
+    * the directory its replaced files actually landed in (unique-
+    * suffixed on collision, so callers doing manifest pointer fixup
+    * must use THIS path, not the canonical one). */
+  final case class MergedPartition(value: String, archivedTo: Option[String])
+
   /** Upsert `delta` into the partitioned table at `tablePath` by
     * `keyCol`. Returns the partition values rewritten.
     *
@@ -43,12 +49,32 @@ object CopyOnWrite {
     * references them (the GC half a table format's VACUUM does). */
   def merge(spark: SparkSession, tablePath: String, partCol: String,
       keyCol: String, delta: DataFrame,
-      archiveTo: Option[String] = None): Seq[String] = {
+      archiveTo: Option[String] = None): Seq[String] =
+    mergeDetailed(spark, tablePath, partCol, keyCol, delta, archiveTo)
+      .map(_.value)
+
+  /** [[merge]], reporting per-partition archive destinations. */
+  def mergeDetailed(spark: SparkSession, tablePath: String, partCol: String,
+      keyCol: String, delta: DataFrame,
+      archiveTo: Option[String] = None): Seq[MergedPartition] = {
+    // the partition value round-trips value -> directory name -> filter
+    // literal; that round-trip is exact for strings only (dates,
+    // decimals, floats all have formatting degrees of freedom), and a
+    // null can neither name a directory nor equal itself in the filter
+    require(delta.schema(partCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"CoW merge requires a string-typed partition column, " +
+        s"got $partCol: ${delta.schema(partCol).dataType.simpleString}")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataCols = delta.columns.filter(_ != partCol)
     val touched = delta.select(col(partCol)).distinct()
-      .collect().map(_.get(0).toString).sorted.toSeq
-    touched.foreach { p =>
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"CoW merge delta contains a null $partCol value — null cannot " +
+            "name a partition directory")
+        r.getString(0)
+      }.sorted.toSeq
+    touched.map { p =>
       val partDir = new Path(tablePath, s"$partCol=$p")
       val tmpDir = new Path(tablePath, s".merge-tmp-$partCol=$p")
       val deltaP = delta.filter(col(partCol) === p).select(dataCols.map(col): _*)
@@ -67,17 +93,37 @@ object CopyOnWrite {
       merged.write.mode("overwrite").parquet(tmpDir.toString)
       // swap: move the old dir aside (archive or drop), promote the tmp
       // dir. A crash between the two renames loses availability of one
-      // partition, never serves half-merged data.
-      if (fs.exists(partDir)) archiveTo match {
-        case Some(arch) =>
-          val archRoot = new Path(arch)
-          if (!fs.exists(archRoot)) fs.mkdirs(archRoot)
-          fs.rename(partDir, new Path(archRoot, s"$partCol=$p"))
-        case None => fs.delete(partDir, true)
-      }
-      fs.rename(tmpDir, partDir)
+      // partition, never serves half-merged data. Hadoop rename signals
+      // failure by RETURNING FALSE, not throwing — an unchecked false
+      // here would leave the old partition in place and silently drop
+      // the merge's data on the follow-up rename, so both renames are
+      // checked and a colliding archive destination (the same partition
+      // merged twice against one archive root) gets a unique suffix
+      // instead of failing the swap.
+      def renameOrThrow(src: Path, dst: Path): Unit =
+        if (!fs.rename(src, dst)) throw new java.io.IOException(
+          s"rename failed: $src -> $dst")
+      val archivedTo =
+        if (!fs.exists(partDir)) None
+        else archiveTo match {
+          case Some(arch) =>
+            val archRoot = new Path(arch)
+            if (!fs.exists(archRoot)) fs.mkdirs(archRoot)
+            var dest = new Path(archRoot, s"$partCol=$p")
+            var n = 0
+            while (fs.exists(dest)) {
+              n += 1
+              dest = new Path(archRoot, s"$partCol=$p-$n")
+            }
+            renameOrThrow(partDir, dest)
+            Some(fs.makeQualified(dest).toString)
+          case None =>
+            fs.delete(partDir, true)
+            None
+        }
+      renameOrThrow(tmpDir, partDir)
+      MergedPartition(p, archivedTo)
     }
-    touched
   }
 
   /** Re-read a merged table, restoring the partition column that the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Snapshot manifests — the minimal metadata layer a table format adds
@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * distributed reads, the [[graft.queries.Lake]] `meta_parquet_stats`
   * shape).
   *
-  * Two capabilities fall out:
+  * Three capabilities fall out:
   *  - FILE-LEVEL PRUNING without directory layouts: a key-range query
   *    keeps only files whose [min,max] intersects the range — the
   *    manifest is the index, O(#files) driver arithmetic, zero data
@@ -20,6 +20,15 @@ import org.apache.spark.sql.SparkSession
   *    data files are immutable, which [[CopyOnWrite.merge]]'s archive
   *    mode guarantees by renaming replaced partition directories aside
   *    instead of deleting them (`lake_time_travel` gates it).
+  *  - OPTIMISTIC CONCURRENT COMMITS: the version chain advances by
+  *    compare-and-swap — [[tryCommit]] publishes v(n+1) only if vn is
+  *    still current, using an atomic no-overwrite rename of the
+  *    manifest file as the arbiter (the Delta-on-HDFS protocol: the
+  *    filesystem's create-exclusive rename decides races, not a lock
+  *    service). A loser re-reads the new current version, rebases its
+  *    file-set delta, and retries ([[commitWithRetry]]). ManifestSpec
+  *    drives two interleaved writers and pins both rows durable on a
+  *    linearizable chain.
   *
   * At 100 TB the manifest itself becomes a dataset (Iceberg's manifest
   * lists); the JSON-lines file here is the same structure at catalog
@@ -32,29 +41,45 @@ object Manifest {
       minKey: Long, maxKey: Long)
 
   /** Per-file footer stats of an int64 key column — distributed: the
-    * driver holds file NAMES, executors open footers (no data pages). */
+    * driver holds file NAMES, executors open footers (no data pages).
+    * Files with no key-column chunk, null/empty statistics, or a
+    * non-numeric key type (all reachable through schema-evolving
+    * merges) get the CONSERVATIVE [Long.MinValue, Long.MaxValue]
+    * span — they intersect every range, so pruning never drops a file
+    * it cannot prove safe to drop. Executors read through the
+    * session's Hadoop configuration (broadcast once), not a bare
+    * default one that would lose FS-specific settings. */
   def collectStats(spark: SparkSession, files: Seq[String], keyCol: String)
       : Seq[FileEntry] = {
     import spark.implicits._
     if (files.isEmpty) return Seq.empty
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.createDataset(files)
       .repartition(math.min(files.size, 32))
       .map { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(f), conf)
+          .fromPath(new Path(f), confB.value.value)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           import scala.jdk.CollectionConverters._
           val blocks = r.getFooter.getBlocks.asScala
           val chunks = blocks.flatMap(_.getColumns.asScala)
             .filter(_.getPath.toDotString == keyCol)
-          val mins = chunks.map(_.getStatistics.genericGetMin
-            .asInstanceOf[Number].longValue)
-          val maxs = chunks.map(_.getStatistics.genericGetMax
-            .asInstanceOf[Number].longValue)
+          val spans = chunks.flatMap { c =>
+            scala.util.Try {
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue)
+                Some((st.genericGetMin.asInstanceOf[Number].longValue,
+                  st.genericGetMax.asInstanceOf[Number].longValue))
+              else None
+            }.toOption.flatten
+          }
+          val (lo, hi) =
+            if (spans.isEmpty) (Long.MinValue, Long.MaxValue)
+            else (spans.map(_._1).min, spans.map(_._2).max)
           (f, chunks.map(_.getTotalSize).sum, blocks.map(_.getRowCount).sum,
-            mins.min, maxs.max)
+            lo, hi)
         } finally r.close()
       }
       .collect()
@@ -70,16 +95,22 @@ object Manifest {
   private def manifestPath(tablePath: String, version: Int) =
     new Path(tablePath, s"_manifest/v$version.json")
 
+  private def render(entries: Seq[FileEntry]): Array[Byte] =
+    entries.map { e =>
+      s"""{"path":"${e.path}","bytes":${e.bytes},""" +
+        s""""rows":${e.rows},"min_key":${e.minKey},"max_key":${e.maxKey}}""" + "\n"
+    }.mkString.getBytes("UTF-8")
+
+  private def writeBytes(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   def write(spark: SparkSession, tablePath: String, version: Int,
       entries: Seq[FileEntry]): Unit = {
     val p = manifestPath(tablePath, version)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try entries.foreach { e =>
-      out.write((s"""{"path":"${e.path}","bytes":${e.bytes},""" +
-        s""""rows":${e.rows},"min_key":${e.minKey},"max_key":${e.maxKey}}""" +
-        "\n").getBytes("UTF-8"))
-    } finally out.close()
+    writeBytes(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+      render(entries))
   }
 
   def read(spark: SparkSession, tablePath: String, version: Int): Seq[FileEntry] = {
@@ -97,6 +128,103 @@ object Manifest {
         FileEntry(p0, b.toLong, n.toLong, lo.toLong, hi.toLong)
     }
   }
+
+  /** The committed version chain, ascending; empty for a table with no
+    * manifests yet. One directory listing — metadata-only. */
+  def versions(spark: SparkSession, tablePath: String): Seq[Int] = {
+    val mdir = new Path(tablePath, "_manifest")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mdir)) return Seq.empty
+    val V = """v(\d+)\.json""".r
+    fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .collect { case V(n) => n.toInt }.sorted
+  }
+
+  /** Current version, or -1 when the chain is empty (so `expected = -1`
+    * commits v0). */
+  def currentVersion(spark: SparkSession, tablePath: String): Int =
+    versions(spark, tablePath).lastOption.getOrElse(-1)
+
+  /** Optimistic CAS publish of `entries` as version `expected + 1`:
+    * succeeds only if `expected` is still the head of the chain at
+    * publish time. The arbiter is an atomic NO-OVERWRITE rename of the
+    * fully-written temp manifest onto the versioned name
+    * (`Options.Rename.NONE` — fails if the destination exists), so two
+    * racing writers can never both own a version and readers never see
+    * a partially-written manifest. Returns Right(newVersion) for the
+    * winner, Left(actualCurrentVersion) for a loser (who should rebase
+    * on the new head and retry). */
+  def tryCommit(spark: SparkSession, tablePath: String, expected: Int,
+      entries: Seq[FileEntry]): Either[Int, Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val next = expected + 1
+    val dst = manifestPath(tablePath, next)
+    val fs = dst.getFileSystem(conf)
+    // fast-path stale check (cheap listing); the rename below is the
+    // authoritative arbiter either way
+    val cur = currentVersion(spark, tablePath)
+    if (cur != expected) return Left(cur)
+    val tmp = new Path(tablePath,
+      s"_manifest/.tmp-${java.util.UUID.randomUUID()}-v$next.json")
+    writeBytes(fs, tmp, render(entries))
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      Right(next)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        Left(currentVersion(spark, tablePath))
+      case e: java.io.IOException if fs.exists(dst) =>
+        // some FileContext impls surface the exists-conflict as a
+        // generic IOException; the destination existing is the proof
+        fs.delete(tmp, false)
+        Left(currentVersion(spark, tablePath))
+    }
+  }
+
+  /** CAS retry loop: read the current head, let `recompute` rebuild the
+    * entry list against that base (current version, its entries — empty
+    * at -1), and try to commit; on a lost race, rebase on the new head
+    * and retry. Returns the committed version. */
+  def commitWithRetry(spark: SparkSession, tablePath: String,
+      maxAttempts: Int = 10)(
+      recompute: (Int, Seq[FileEntry]) => Seq[FileEntry]): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, tablePath)
+      val baseEntries =
+        if (base >= 0) read(spark, tablePath, base) else Seq.empty
+      tryCommit(spark, tablePath, base, recompute(base, baseEntries)) match {
+        case Right(v) => return v
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"manifest commit lost $maxAttempts consecutive races at $tablePath")
+  }
+
+  /** Pointer fixup after a directory rename: every manifest entry whose
+    * path starts with `fromPrefix` is rewritten to `toPrefix` + rest.
+    * This is what keeps HISTORICAL manifests readable when
+    * [[CopyOnWrite.merge]]'s archive mode renames a replaced partition
+    * directory aside — the files are untouched, only their address
+    * changed, so the fixup is O(manifest) driver string work and no
+    * data moves. (Iceberg avoids the need by never moving data files;
+    * with directory-granularity CoW the remap is the equivalent
+    * metadata operation.) */
+  def remapPrefix(spark: SparkSession, tablePath: String,
+      fromPrefix: String, toPrefix: String): Unit =
+    versions(spark, tablePath).foreach { v =>
+      val es = read(spark, tablePath, v)
+      if (es.exists(_.path.startsWith(fromPrefix)))
+        write(spark, tablePath, v, es.map { e =>
+          if (e.path.startsWith(fromPrefix))
+            e.copy(path = toPrefix + e.path.stripPrefix(fromPrefix))
+          else e
+        })
+    }
 
   /** Retention — the VACUUM half of snapshot management: delete every
     * archived data file that NO retained version's manifest references,

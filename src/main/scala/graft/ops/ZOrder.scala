@@ -49,11 +49,16 @@ object ZOrder {
   def morton(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
-  /** Scale `v` in [lo, hi] to a `CellBitsPerDim`-bit grid coordinate. */
+  /** Scale `v` in [lo, hi] to a `CellBitsPerDim`-bit grid coordinate —
+    * clamped at BOTH ends, mirroring the driver-side clamp in
+    * [[coveringCells]]: a row outside the stated [lo, hi] (stale
+    * catalog stats, late data) must land in an edge cell the covering
+    * enumeration can still name, never in a negative/overflow cell it
+    * would silently skip. */
   def gridCoord(v: Column, lo: Long, hi: Long): Column = {
     val cells = 1L << CellBitsPerDim
-    least(lit(cells - 1),
-      (v - lit(lo)) * lit(cells) / lit(hi - lo + 1)).cast("int")
+    greatest(lit(0L), least(lit(cells - 1),
+      (v - lit(lo)) * lit(cells) / lit(hi - lo + 1))).cast("int")
   }
 
   private def mortonSmall(x: Int, y: Int): Int = {

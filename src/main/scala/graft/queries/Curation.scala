@@ -290,11 +290,18 @@ object Curation {
   // length, because ceil(log2(x)) through doubles can land on either
   // side of an exact power of two depending on the engine's ln (a
   // 1-ULP wobble that ceil amplifies into a 2x bucket error).
+  // n_chars <= 1 is special-cased to bucket 1 (matching
+  // profile_key_skew): bitlen(0) would give bucket 2 for n=1, and
+  // bin(-1) for n=0 is 64 ones, whose shiftleft(1, 64) wraps to 1 in
+  // Spark but evaluates as 1<<64 in DuckDB — an empty document would
+  // break the oracle without the guard.
   private def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     T.documents(spark, dir)
       .select(col("n_chars"),
-        expr("shiftleft(1L, length(bin(n_chars - 1)))").as("bucket_cap"))
+        when(col("n_chars") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(n_chars - 1)))"))
+          .as("bucket_cap"))
       .groupBy(col("bucket_cap"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -306,7 +313,8 @@ object Curation {
   private val lengthBucketsSql =
     """WITH b AS (
       |  SELECT n_chars,
-      |    CAST(1 << length(bin(n_chars - 1)) AS BIGINT) AS bucket_cap
+      |    CASE WHEN n_chars <= 1 THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(1 << length(bin(n_chars - 1)) AS BIGINT) END AS bucket_cap
       |  FROM documents)
       |SELECT bucket_cap, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS payload_chars,

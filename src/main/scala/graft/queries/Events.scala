@@ -127,7 +127,7 @@ object Events {
 
   private val propsSql =
     """WITH e AS (
-      |  SELECT CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k FROM events)
+      |  SELECT CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
       |SELECT CAST(k // 10 AS INT) AS k_bucket, CAST(COUNT(*) AS BIGINT) AS n,
       |  MIN(k) AS min_k, MAX(k) AS max_k
       |FROM e GROUP BY k_bucket ORDER BY k_bucket""".stripMargin

@@ -113,9 +113,14 @@ object Lake {
   private def days(d: java.time.LocalDate): Long = d.toEpochDay
 
   /** table min/max of the two z dimensions — the stats a catalog would
-    * carry; memoized per sf dir (one O(1)-row aggregate on a miss). */
-  private def zStats(spark: SparkSession, dir: String): (Long, Long, Long, Long) =
-    zMemo.computeIfAbsent(dir, _ => {
+    * carry; memoized per SOURCE FINGERPRINT (not per dir — a
+    * regenerated source must refresh the bounds along with the mirror
+    * itself, or the rebuilt mirror would grid rows against stale
+    * min/max and the covering enumeration would miss cells). One
+    * O(1)-row aggregate on a miss. */
+  private def zStats(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    zMemo.computeIfAbsent(s"${dir}_$fp", _ => {
       val r = T.orders(spark, dir)
         .select(col("o_custkey"),
           datediff(col("o_orderdate").cast("date"), lit(Day0.toString).cast("date"))
@@ -123,6 +128,7 @@ object Lake {
         .agg(min("o_custkey"), max("o_custkey"), min("d"), max("d")).head()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     })
+  }
 
   private def zMirror(spark: SparkSession, dir: String): String = {
     val (xLo, xHi, yLo, yHi) = zStats(spark, dir)
@@ -231,22 +237,36 @@ object Lake {
       |ORDER BY o_orderpriority""".stripMargin
 
   // -------------------------------------------------------------------
-  // lake_snapshot_diff — CDC between two table snapshots (the base
-  // orders table vs the copy-on-write-merged one): a full-outer join on
-  // the key classifies every row as insert / delete / update /
-  // unchanged — the change feed a downstream sync consumes after a
-  // merge. The oracle replays the merge relationally and classifies the
-  // same way; the engine side diffs the ACTUAL on-disk snapshots, so
-  // the gate also re-proves the CoW merge wrote exactly the logical
-  // result. At scale both sides shuffle on the key once — or zero
-  // times when both snapshots share a bucketed layout (ops.Bucketing).
-  private def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    Ctx.prep(spark)
-    val base = T.orders(spark, dir)
-      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
-    val cur = CopyOnWrite.read(spark, mergedOrdersPath(spark, dir))
-      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("v_new"))
-    base.join(cur, col("k") === col("k2"), "full_outer")
+  // lake_snapshot_diff — CDC between two table snapshot VERSIONS,
+  // computed from their MANIFESTS: files named by both v0 and v1 are
+  // immutable and shared, so every row in them is provably unchanged
+  // and contributes via the manifests' footer row counts WITHOUT being
+  // read; only the symmetric difference (files the merge archived +
+  // files it wrote) is opened, and a full-outer join on the key
+  // classifies those rows as insert / delete / update / unchanged — the
+  // change feed a downstream sync consumes after a merge. At 100 TB a
+  // merge touches a sliver of the table, so the diff's IO scales with
+  // the DELTA, not the table (ManifestSpec pins that untouched files
+  // never enter the scan). The oracle replays the merge relationally
+  // over the full table and classifies the same way, so the gate also
+  // re-proves both the CoW merge's output and the manifests'
+  // row-count honesty.
+  private[graft] def diffFromManifests(spark: SparkSession, path: String,
+      vOld: Int, vNew: Int, keyCol: String, valCol: String): DataFrame = {
+    import spark.implicits._
+    val v0 = Manifest.read(spark, path, vOld)
+    val v1 = Manifest.read(spark, path, vNew)
+    val v0p = v0.map(_.path).toSet
+    val v1p = v1.map(_.path).toSet
+    val removed = v0.collect { case e if !v1p.contains(e.path) => e.path }
+    val added = v1.collect { case e if !v0p.contains(e.path) => e.path }
+    val commonRows = v0.collect { case e if v1p.contains(e.path) => e.rows }.sum
+    def side(paths: Seq[String], k: String, v: String) =
+      (if (paths.nonEmpty) spark.read.parquet(paths: _*)
+       else spark.read.parquet(v1.map(_.path): _*).filter(lit(false)))
+        .select(col(keyCol).as(k), col(valCol).as(v))
+    val touched = side(removed, "k", "v_old")
+      .join(side(added, "k2", "v_new"), col("k") === col("k2"), "full_outer")
       .select(
         when(col("k").isNull, "insert")
           .when(col("k2").isNull, "delete")
@@ -254,7 +274,18 @@ object Lake {
           .otherwise("unchanged").as("change_type"))
       .groupBy(col("change_type"))
       .agg(count(lit(1)).as("n_rows"))
+    touched
+      .unionByName(Seq(("unchanged", commonRows)).toDF("change_type", "n_rows"))
+      .groupBy(col("change_type"))
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .filter(col("n_rows") > 0)
       .orderBy(col("change_type"))
+  }
+
+  private def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    diffFromManifests(spark, timeTravelPath(spark, dir), 0, 1,
+      "o_orderkey", "o_totalprice")
   }
 
   private val snapshotDiffSql =
@@ -299,10 +330,12 @@ object Lake {
        else Seq(fs.getFileStatus(root)))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)
+    val confB = spark.sparkContext.broadcast(new graft.ops.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration))
     spark.createDataset(files)
       .repartition(math.min(files.size, 32))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confB.value.value
         it.flatMap { f =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(f), conf)

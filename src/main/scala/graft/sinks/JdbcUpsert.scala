@@ -203,14 +203,19 @@ object JdbcUpsert {
   private def rollbackQuietly(conn: Connection, cause: Throwable): Unit =
     try conn.rollback() catch { case r: Throwable => cause.addSuppressed(r) }
 
+  /** The dead-letter INSERT's statement text — exposed (like
+    * [[createTableSql]]) so the psql-driven live-Postgres e2e executes
+    * the exact SQL the sink emits. */
+  def insertSql(table: String, schema: StructType): String =
+    s"INSERT INTO $table (${schema.fieldNames.mkString(", ")}) " +
+      s"VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})"
+
   /** Dead-letter append (reference src/load.py:106-141): plain batched
     * INSERT — no conflict handling, every rejected row is preserved. */
   def append(df: DataFrame, url: String, table: String,
       batchSize: Int = 1000): Unit = {
     val schema = df.schema
-    val cols = schema.fieldNames
-    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val sql = insertSql(table, schema)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url)
@@ -247,11 +252,14 @@ object JdbcUpsert {
     *    PRIMARY KEY` on rejected_rows, src/load.py:45); becomes the PK
     *    when no natural `keyCols` are given, which is what lets the
     *    dead-letter table keep duplicate rejected rows apart. */
-  def ensureTable(url: String, table: String, schema: StructType,
-      keyCols: Seq[String], ifNotExistsSyntax: Boolean = true,
+  /** The CREATE TABLE statement text [[ensureTable]] executes — exposed
+    * so a harness without a JDBC driver on the classpath (the
+    * psql-driven live-Postgres e2e, PostgresLiveSpec) can run the SAME
+    * DDL the production path emits. */
+  def createTableSql(table: String, schema: StructType, keyCols: Seq[String],
       identityCol: Option[String] = None,
       auditTimestampCol: Option[String] = None,
-      dialect: Dialect = Postgres): Unit = {
+      dialect: Dialect = Postgres): String = {
     val idDef = identityCol.map { c =>
       val pk = if (keyCols.isEmpty) " PRIMARY KEY" else ""
       s"${dialect.identityColSql(c)}$pk"
@@ -264,7 +272,16 @@ object JdbcUpsert {
     val colDefs = idDef.toSeq ++ dataDefs ++ tsDef.toSeq
     val pk =
       if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
-    val ddl = s"CREATE TABLE $table (${colDefs.mkString(", ")}$pk)"
+    s"CREATE TABLE $table (${colDefs.mkString(", ")}$pk)"
+  }
+
+  def ensureTable(url: String, table: String, schema: StructType,
+      keyCols: Seq[String], ifNotExistsSyntax: Boolean = true,
+      identityCol: Option[String] = None,
+      auditTimestampCol: Option[String] = None,
+      dialect: Dialect = Postgres): Unit = {
+    val ddl = createTableSql(table, schema, keyCols, identityCol,
+      auditTimestampCol, dialect)
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()

@@ -36,6 +36,28 @@ class LakeStreamSpec extends SparkSpec {
       q.processAllAvailable()
       assert(table() == Seq(
         (1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0), (4L, "a", 40.0)))
+
+      // --- the manifest chain: one committed version per micro-batch,
+      // each a complete consistent snapshot of its batch boundary
+      import graft.ops.Manifest
+      assert(Manifest.versions(spark, dir) == Seq(0, 1))
+      def snapshot(v: Int): Seq[(Long, Double)] =
+        spark.read.parquet(Manifest.read(spark, dir, v).map(_.path): _*)
+          .select(col("k"), col("v")).as[(Long, Double)]
+          .collect().sortBy(_._1).toSeq
+      // v1 = current table state
+      assert(snapshot(1) == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+      // v0 = the state at batch 1's boundary — batch 2 later rewrote
+      // partitions a/b/c, but archive mode + manifest pointer remap
+      // keep the old snapshot fully readable (streaming time travel)
+      assert(snapshot(0) == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+      // a third batch extends the chain
+      mem.addData(Rec(5L, "c", 50.0))
+      q.processAllAvailable()
+      assert(Manifest.versions(spark, dir) == Seq(0, 1, 2))
+      assert(snapshot(2) == Seq(
+        (1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)))
+      assert(snapshot(0) == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
     } finally q.stop()
   }
 }

@@ -44,4 +44,51 @@ class ZOrderSpec extends SparkSpec {
     // and the whole-domain box covers all 16 cells
     assert(ZOrder.coveringCells(xLo, xHi, xLo, xHi, yLo, yHi, yLo, yHi).size == 16)
   }
+
+  test("morton-sorted files skip row groups a linear sort cannot (scan metrics)") {
+    // the FINE half of the clustering story (scan_zorder_cells pins the
+    // coarse directory-pruning half): within a file, Morton order gives
+    // every parquet row group tight min/max on BOTH dimensions, so a
+    // 2-D box probe decodes fewer rows than the same data sorted
+    // linearly — same rows, same file count, same row-group size, only
+    // the ORDER differs. The scan's numOutputRows metric counts rows
+    // the reader actually produced after row-group/page skipping.
+    import java.nio.file.Files
+    val n = 1 << 16 // 256 x 256 grid, one point per cell
+    val pts = spark.range(n).select(
+      (col("id") % 256).as("x"), expr("id div 256").as("y"),
+      col("id").as("payload"))
+    val z = ops.ZOrder.withZ(pts, col("x"), col("y"), 0, 255, 0, 255)
+    val dirZ = Files.createTempDirectory("graft-zrg-morton").toString
+    val dirL = Files.createTempDirectory("graft-zrg-linear").toString
+    // ~16 KiB row groups -> ~100+ groups per file: enough granularity
+    // for skipping to show up at test scale
+    z.orderBy("z32").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024).parquet(dirZ)
+    z.orderBy("x", "y").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024).parquet(dirL)
+
+    def probe(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter(col("x").between(64, 71) && col("y").between(64, 71))
+        .select(col("x"), col("y"), col("payload"))
+      val got = df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val read = plan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.getOrElse(fail("no FileSourceScan leaf in the probe plan"))
+      (got.map(_.getLong(2)).sum, read)
+    }
+    val (zSum, zRead) = probe(dirZ)
+    val (lSum, lRead) = probe(dirL)
+    assert(zSum == lSum, "the two layouts disagree on the box contents")
+    assert(zRead < n && lRead < n, s"no skipping at all: z=$zRead linear=$lRead")
+    assert(zRead < lRead,
+      s"morton order should decode fewer rows than linear: z=$zRead linear=$lRead")
+  }
 }
