@@ -35,20 +35,49 @@ object Bucketing {
       .replaceAll("[^A-Za-z0-9_]", "_")
 
   /** Ensure a bucketed+sorted mirror of `$dir/$base.parquet` keyed on
-    * `key` exists in the session catalog; returns its table name.
-    * `repartition(Buckets, key)` before the write gives one file per
-    * bucket, so the sortBy order survives to the reader and the join
-    * needs no re-sort either. */
-  def ensure(spark: SparkSession, dir: String, base: String, key: String): String = {
-    val t = mirrorName(base, dir, spark)
+    * `key` exists in the session catalog; returns its table name. */
+  def ensure(spark: SparkSession, dir: String, base: String, key: String): String =
+    ensureTable(spark, mirrorName(base, dir, spark), key)(
+      graft.T(spark, dir, base))
+
+  /** Ensure an arbitrary frame exists as a bucketed+sorted EXTERNAL
+    * catalog table named `t` (the name must already carry the source
+    * fingerprint). Three steady states:
+    *  - catalog hit: nothing to do (same session, every bench tick);
+    *  - FILES exist but the catalog entry doesn't (a NEW session over a
+    *    surviving tmpdir): re-REGISTER the existing bucketed files with
+    *    a `CREATE TABLE … CLUSTERED BY … LOCATION` DDL — metadata-only,
+    *    no rewrite. Spark's bucket ids ride in the file names, so a
+    *    re-registered table bucket-joins exactly like the original
+    *    (BucketingSpec pins no-rewrite + still shuffle-free);
+    *  - nothing exists: build once. `repartition(Buckets, key)` before
+    *    the write gives one file per bucket, so the sortBy order
+    *    survives to the reader and the join needs no re-sort either.
+    * This is the ingest-time economics at 100 TB: the bucketing shuffle
+    * is paid once when the layout is FIRST materialized; every later
+    * session re-attaches to the files. */
+  def ensureTable(spark: SparkSession, t: String, key: String)(
+      build: => org.apache.spark.sql.DataFrame): String = {
     if (!spark.catalog.tableExists(t)) {
       val path = s"${sys.props("java.io.tmpdir")}/graft-buckets/$t"
-      graft.T(spark, dir, base)
-        .repartition(Buckets, org.apache.spark.sql.functions.col(key))
-        .write.mode("overwrite")
-        .bucketBy(Buckets, key).sortBy(key)
-        .option("path", path)
-        .saveAsTable(t)
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(success)) {
+        val schema = spark.read.parquet(path).schema
+        val cols = schema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(
+          s"CREATE TABLE `$t` ($cols) USING parquet " +
+            s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $Buckets BUCKETS " +
+            s"LOCATION '$path'")
+      } else {
+        build
+          .repartition(Buckets, org.apache.spark.sql.functions.col(key))
+          .write.mode("overwrite")
+          .bucketBy(Buckets, key).sortBy(key)
+          .option("path", path)
+          .saveAsTable(t)
+      }
     }
     t
   }

@@ -63,8 +63,7 @@ object LinkRank {
     val fpO = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
     val fpL = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/lineitem.parquet")
     val t = s"linkrank_edges_${dir}_${fpO}_$fpL".replaceAll("[^A-Za-z0-9_]", "_")
-    if (!spark.catalog.tableExists(t)) {
-      val path = s"${sys.props("java.io.tmpdir")}/graft-graph/$t"
+    graft.ops.Bucketing.ensureTable(spark, t, "src") {
       val pairs = T.orders(spark, dir)
         .join(T.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
         .select(
@@ -73,13 +72,7 @@ object LinkRank {
         .distinct()
       pairs.select(col("c_node").as("src"), col("s_node").as("dst"))
         .union(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
-        .repartition(graft.ops.Bucketing.Buckets, col("src"))
-        .write.mode("overwrite")
-        .bucketBy(graft.ops.Bucketing.Buckets, "src").sortBy("src")
-        .option("path", path)
-        .saveAsTable(t)
     }
-    t
   }
 
   private def edges(spark: SparkSession, dir: String): DataFrame = {

@@ -42,4 +42,41 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_dims_b")
     }
   }
+
+  test("mirror re-registers over existing files in a fresh catalog — no rewrite") {
+    // the cross-SESSION steady state: a new JVM finds the bucketed files
+    // on disk and re-attaches with metadata-only DDL instead of paying
+    // the bucketing shuffle again — and the re-registered table still
+    // carries the bucket layout the planner needs for shuffle-free joins
+    val sf = "/root/testdata/sf0.001"
+    val t = ops.Bucketing.ensure(spark, sf, "supplier", "s_suppkey")
+    def fileStates(): Seq[(String, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      spark.table(t).inputFiles.toSeq.sorted.map { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+        (f, st.getModificationTime)
+      }
+    }
+    val before = fileStates()
+    assert(before.nonEmpty)
+    // dropping the EXTERNAL table entry simulates a fresh session:
+    // catalog gone, files untouched
+    spark.sql(s"DROP TABLE `$t`")
+    assert(!spark.catalog.tableExists(t))
+    val t2 = ops.Bucketing.ensure(spark, sf, "supplier", "s_suppkey")
+    assert(t2 == t)
+    assert(fileStates() == before, "re-registration must not rewrite files")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = spark.table(t).select(col("s_suppkey"), col("s_name"))
+      val r = spark.table(t).select(col("s_suppkey").as("k2"), col("s_acctbal"))
+      val j = l.join(r, col("s_suppkey") === col("k2"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"re-registered bucketed join should not shuffle:\n$plan")
+      assert(j.count() == spark.table(t).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
 }
