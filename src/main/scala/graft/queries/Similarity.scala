@@ -158,19 +158,40 @@ object Similarity {
   private val IvfIters = 3
 
   /** Trained coarse quantizers, one per (session, corpus dir). Training
-    * is deterministic (fixed init/rounds/tie-breaks) and the result is a
-    * localCheckpointed k-row frame, so repeated ann_ivf_topk calls in one
-    * session — every bench tick, every Verify rerun — reuse the trained
-    * index instead of re-running the Lloyd loop. This is the real IVF
-    * lifecycle: train once per corpus build, serve from the index. */
+    * is deterministic (fixed init/rounds/tie-breaks), so the trained
+    * k-row frame is PERSISTED as a fingerprint-keyed parquet sidecar:
+    * within a session repeated calls reuse the in-memory frame, and a
+    * NEW session reads the sidecar back (doubles round-trip parquet
+    * losslessly) instead of re-running the Lloyd loop — the real IVF
+    * lifecycle: train once per corpus build, serve from the index
+    * forever. A regenerated corpus changes the fingerprint and
+    * retrains. */
   private val centMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
+    centMemo.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.ops.IncrementalDedup
+        .sourceFingerprint(spark, s"$dir/embeddings.parquet")
+      val tag = s"ivf_cent_${IvfK}x${IvfIters}_${dir}_$fp"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success)) {
+        val e = vecs(spark, dir)
+        graft.ops.KMeans.train(
+          e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters)
+          .write.mode("overwrite").parquet(path)
+      }
+      // k rows — eager-materialize once so every downstream broadcast
+      // reuses the same tiny frame instead of re-reading the sidecar
+      spark.read.parquet(path).localCheckpoint(true)
+    })
+
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = centMemo.computeIfAbsent((spark, dir), _ =>
-        graft.ops.KMeans.train(
-          e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters))
+    val cent = trainedCentroids(spark, dir)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
     // nearest cell per corpus vector: max_by aggregate (ordering key
     // struct(ccos, -cent_id) = highest cosine, ties to lowest cell) —
@@ -290,9 +311,7 @@ object Similarity {
   // than ann_ivf_topk so the two gates stay independent.
   private def annIvfBucketed(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = centMemo.computeIfAbsent((spark, dir), _ =>
-        graft.ops.KMeans.train(
-          e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters))
+    val cent = trainedCentroids(spark, dir)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
@@ -423,9 +442,7 @@ object Similarity {
   // at 100 TB. Output: per-cell survivor manifest with member counts.
   private def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = centMemo.computeIfAbsent((spark, dir), _ =>
-        graft.ops.KMeans.train(
-          e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters))
+    val cent = trainedCentroids(spark, dir)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
