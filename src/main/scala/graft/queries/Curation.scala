@@ -321,7 +321,56 @@ object Curation {
       |  CAST(SUM(bucket_cap) - SUM(n_chars) AS BIGINT) AS padding_chars
       |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
 
+  // -------------------------------------------------------------------
+  // curate_sample_weighted — probability-proportional-to-size (PPS)
+  // SYSTEMATIC sampling: ~50 docs drawn with probability proportional to
+  // n_chars, the draw a curation pipeline uses when "sample 1% of the
+  // corpus" must mean 1% of the TOKENS, not 1% of the documents (doc
+  // length varies 100×; uniform doc sampling under-represents long
+  // docs' content). Classic survey-sampling PPS: lay all docs on the
+  // cumulative-weight line in doc_id order, drop a grid of equally
+  // spaced points (step = total div k), select every doc whose weight
+  // interval contains a grid point. INTEGER-EXACT end to end — the
+  // cumulative line, the step, and the containment test are all int64
+  // arithmetic, so the oracle replays it with no float-draw to disagree
+  // on (contrast hash-draw Bernoulli sampling in doc_sample_hash, which
+  // is uniform per doc, not per char).
+  //
+  // Scale: the cumulative line is ops.PrefixSums — range-partition +
+  // two-pass offsets, O(#partitions) driver state — NOT the
+  // single-partition global window `SUM OVER (ORDER BY doc_id)` the
+  // oracle spells (same spec/impl split as ids_dense_assign).
+  private val PpsK = 50L
+
+  private def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val d = T.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val withCum = graft.ops.PrefixSums.cumsum(d, "doc_id", "n_chars", "cum")
+    val tot = withCum.agg(max(col("cum")).as("tot"))
+    withCum.crossJoin(broadcast(tot))
+      .withColumn("step", expr(s"tot div $PpsK"))
+      // the doc's interval (cum - n_chars, cum] contains a grid point
+      // iff the multiple-of-step count increases across it
+      .filter(expr("cum div step > (cum - n_chars) div step"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleWeightedSql =
+    s"""WITH c AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents),
+      |t AS (SELECT MAX(cum) AS tot FROM c)
+      |SELECT doc_id, lang, n_chars
+      |FROM c, t
+      |WHERE cum // (tot // $PpsK) > (cum - n_chars) // (tot // $PpsK)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curate_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("curate_split_hash", splitHash, Some(splitHashSql)),
     QueryDef("curate_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     QueryDef("scan_partition_pruned", partitionPruned, Some(partitionPrunedSql)),

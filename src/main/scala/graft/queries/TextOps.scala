@@ -1031,7 +1031,59 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_containment — DIRECTED shingle containment |A∩B| / |A| ≥ 0.8:
+  // the quote/subset detector symmetric Jaccard structurally misses
+  // (a short doc fully quoted inside a long one has containment 1 but
+  // Jaccard |A|/|B| ≈ 0) — the primitive behind "is this training doc
+  // substantially contained in an eval doc" decontamination sweeps.
+  // Candidates come from the same (lang, shingle) inverted-index
+  // bucket-collect as dedup_near_jaccard (containment ≥ t > 0 ⇒ the
+  // pair shares a shingle, so recall is exactly 1; prefix filtering
+  // does NOT apply — it's a Jaccard bound, asymmetric containment has
+  // no short prefix certificate), then each unordered candidate is
+  // verified in BOTH directions with integer set sizes; the division is
+  // one int/int → double, engine-exact. Quadratic only inside posting
+  // lists — the 100 TB shape.
+  private def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(toks(spark, dir))
+      .select(col("doc_id"), col("lang"), col("shingle_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("doc_id"), col("lang"),
+      explode(col("shingle_set")).as("s"))
+    val cand = inv.groupBy(col("lang"), col("s"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle_set").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle_set").as("sb"))
+    val verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter") > 0)
+    verified
+      .select(col("doc_a").as("src_doc"), col("doc_b").as("within_doc"),
+        (col("inter").cast("double") / size(col("sa"))).as("containment"))
+      .unionByName(verified
+        .select(col("doc_b").as("src_doc"), col("doc_a").as("within_doc"),
+          (col("inter").cast("double") / size(col("sb"))).as("containment")))
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("src_doc"), col("within_doc"))
+  }
+
+  private val containmentPairsSql = shingleCte +
+    """
+      |SELECT src_doc, within_doc, containment FROM (
+      |  SELECT a.doc_id AS src_doc, b.doc_id AS within_doc,
+      |    CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) / len(a.s3) AS containment
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+      |WHERE containment >= 0.8
+      |ORDER BY src_doc, within_doc""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_containment", containmentPairs, Some(containmentPairsSql)),
     QueryDef("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_hash_embed", hashEmbed, Some(hashEmbedSql)),
