@@ -119,8 +119,12 @@ object Manifest {
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    // fixed five-field JSON lines written by `write` — parsed by shape,
-    // no JSON library dependency
+    parseEntries(text)
+  }
+
+  // fixed five-field JSON lines written by `render` — parsed by shape,
+  // no JSON library dependency
+  private def parseEntries(text: String): Seq[FileEntry] = {
     val Line = ("""\{"path":"(.*)","bytes":(\d+),"rows":(\d+),""" +
       """"min_key":(-?\d+),"max_key":(-?\d+)\}""").r
     text.split('\n').filter(_.nonEmpty).toSeq.map {
@@ -203,6 +207,188 @@ object Manifest {
     }
     throw new java.io.IOException(
       s"manifest commit lost $maxAttempts consecutive races at $tablePath")
+  }
+
+  // -------------------------------------------------------------------
+  // Two-level manifests (manifest lists) — the Iceberg snapshot layout.
+  //
+  // The single-level chain above rewrites the FULL file list on every
+  // commit: O(#files) metadata per commit, which at 100 TB (millions of
+  // data files) makes commit cost grow with TABLE size rather than
+  // DELTA size. One more level of indirection fixes the economics:
+  // data files are named by IMMUTABLE manifest files (`m-<uuid>.json`,
+  // same JSON-lines entry format), and a version is a manifest LIST
+  // (`v<N>.list.json`) naming the manifest files it comprises, each
+  // with aggregated span/count stats. A commit then
+  //   - appends by writing ONE new manifest for the added files plus a
+  //     new list that shares every existing manifest BY NAME — O(delta)
+  //     bytes written and ZERO existing manifests opened
+  //     (ManifestListSpec pins both);
+  //   - removes by rewriting ONLY the manifests that actually name a
+  //     removed file (located by reading manifest entries — manifest-
+  //     scale metadata, never data); untouched manifests are shared.
+  // Reads prune at BOTH levels: list-level span stats drop whole
+  // manifests before any manifest file is opened, then per-file stats
+  // prune within the survivors ([[pruneTwoLevel]]). The commit arbiter
+  // is the same atomic no-overwrite rename as the single-level chain,
+  // applied to the list file — both chains are independent, so a table
+  // can carry either (or both, during a migration).
+  //
+  // Losers of a CAS race may leave orphaned `m-*.json` files behind;
+  // they are unreferenced metadata (never data), swept by the same
+  // retention pass that drops expired list versions.
+
+  /** One manifest file as named by a list: aggregate stats let the
+    * planner drop the whole manifest without opening it. */
+  final case class ManifestRef(name: String, files: Long, bytes: Long,
+      rows: Long, minKey: Long, maxKey: Long)
+
+  private def refOf(name: String, entries: Seq[FileEntry]): ManifestRef =
+    ManifestRef(name, entries.size, entries.map(_.bytes).sum,
+      entries.map(_.rows).sum, entries.map(_.minKey).min,
+      entries.map(_.maxKey).max)
+
+  /** Write `entries` as a fresh immutable manifest file. */
+  def writeManifestFile(spark: SparkSession, tablePath: String,
+      entries: Seq[FileEntry]): ManifestRef = {
+    require(entries.nonEmpty, "empty manifest files are never written")
+    val name = s"m-${java.util.UUID.randomUUID()}.json"
+    val p = new Path(tablePath, s"_manifest/$name")
+    writeBytes(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+      render(entries))
+    refOf(name, entries)
+  }
+
+  def readManifestFile(spark: SparkSession, tablePath: String,
+      name: String): Seq[FileEntry] = {
+    val p = new Path(tablePath, s"_manifest/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseEntries(text)
+  }
+
+  private def listPath(tablePath: String, version: Int) =
+    new Path(tablePath, s"_manifest/v$version.list.json")
+
+  private def renderList(refs: Seq[ManifestRef]): Array[Byte] =
+    refs.map { r =>
+      s"""{"manifest":"${r.name}","files":${r.files},"bytes":${r.bytes},""" +
+        s""""rows":${r.rows},"min_key":${r.minKey},"max_key":${r.maxKey}}""" +
+        "\n"
+    }.mkString.getBytes("UTF-8")
+
+  def readList(spark: SparkSession, tablePath: String,
+      version: Int): Seq[ManifestRef] = {
+    val p = listPath(tablePath, version)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Line = ("""\{"manifest":"(.*)","files":(\d+),"bytes":(\d+),""" +
+      """"rows":(\d+),"min_key":(-?\d+),"max_key":(-?\d+)\}""").r
+    text.split('\n').filter(_.nonEmpty).toSeq.map {
+      case Line(n, f, b, r, lo, hi) =>
+        ManifestRef(n, f.toLong, b.toLong, r.toLong, lo.toLong, hi.toLong)
+    }
+  }
+
+  /** The committed manifest-list chain, ascending. */
+  def listVersions(spark: SparkSession, tablePath: String): Seq[Int] = {
+    val mdir = new Path(tablePath, "_manifest")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mdir)) return Seq.empty
+    val V = """v(\d+)\.list\.json""".r
+    fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .collect { case V(n) => n.toInt }.sorted
+  }
+
+  def currentListVersion(spark: SparkSession, tablePath: String): Int =
+    listVersions(spark, tablePath).lastOption.getOrElse(-1)
+
+  /** CAS publish of `refs` as list version `expected + 1` — same
+    * no-overwrite-rename arbiter as [[tryCommit]]. */
+  def tryCommitList(spark: SparkSession, tablePath: String, expected: Int,
+      refs: Seq[ManifestRef]): Either[Int, Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val next = expected + 1
+    val dst = listPath(tablePath, next)
+    val fs = dst.getFileSystem(conf)
+    val cur = currentListVersion(spark, tablePath)
+    if (cur != expected) return Left(cur)
+    val tmp = new Path(tablePath,
+      s"_manifest/.tmp-${java.util.UUID.randomUUID()}-v$next.list.json")
+    writeBytes(fs, tmp, renderList(refs))
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      Right(next)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        Left(currentListVersion(spark, tablePath))
+      case _: java.io.IOException if fs.exists(dst) =>
+        fs.delete(tmp, false)
+        Left(currentListVersion(spark, tablePath))
+    }
+  }
+
+  /** One delta commit against the list chain: `added` files enter as
+    * one fresh manifest; manifests naming a `removed` path are
+    * rewritten without it (dropped entirely if emptied); every other
+    * manifest is shared by name, unread and unwritten. Race losers
+    * rebase on the new head and retry — the rebase is recomputed from
+    * the head's refs, so concurrent disjoint deltas all land. Returns
+    * the committed list version. */
+  def commitDelta(spark: SparkSession, tablePath: String,
+      added: Seq[FileEntry], removed: Set[String] = Set.empty,
+      maxAttempts: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentListVersion(spark, tablePath)
+      val baseRefs =
+        if (base >= 0) readList(spark, tablePath, base) else Seq.empty
+      val carried =
+        if (removed.isEmpty) baseRefs // pure append: nothing is opened
+        else baseRefs.flatMap { ref =>
+          val entries = readManifestFile(spark, tablePath, ref.name)
+          if (!entries.exists(e => removed.contains(e.path))) Some(ref)
+          else {
+            val kept = entries.filterNot(e => removed.contains(e.path))
+            if (kept.isEmpty) None
+            else Some(writeManifestFile(spark, tablePath, kept))
+          }
+        }
+      val refs = carried ++
+        (if (added.nonEmpty) Seq(writeManifestFile(spark, tablePath, added))
+         else Nil)
+      tryCommitList(spark, tablePath, base, refs) match {
+        case Right(v) => return v
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"manifest-list commit lost $maxAttempts consecutive races at $tablePath")
+  }
+
+  /** All file entries of a list version — reads every named manifest. */
+  def readAll(spark: SparkSession, tablePath: String,
+      version: Int): Seq[FileEntry] =
+    readList(spark, tablePath, version)
+      .flatMap(r => readManifestFile(spark, tablePath, r.name))
+
+  /** Two-level key-range pruning: list-level spans drop whole manifests
+    * unopened, then per-file stats prune within the survivors. Returns
+    * the kept entries and the names of the manifests actually read. */
+  def pruneTwoLevel(spark: SparkSession, tablePath: String, version: Int,
+      lo: Long, hi: Long): (Seq[FileEntry], Seq[String]) = {
+    val hit = readList(spark, tablePath, version)
+      .filter(r => r.maxKey >= lo && r.minKey <= hi)
+    val kept = hit.flatMap(r =>
+      prune(readManifestFile(spark, tablePath, r.name), lo, hi))
+    (kept, hit.map(_.name))
   }
 
   /** Pointer fixup after a directory rename: every manifest entry whose

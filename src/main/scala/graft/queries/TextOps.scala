@@ -1037,38 +1037,49 @@ object TextOps {
   // (a short doc fully quoted inside a long one has containment 1 but
   // Jaccard |A|/|B| ≈ 0) — the primitive behind "is this training doc
   // substantially contained in an eval doc" decontamination sweeps.
-  // Candidates come from the same (lang, shingle) inverted-index
-  // bucket-collect as dedup_near_jaccard (containment ≥ t > 0 ⇒ the
-  // pair shares a shingle, so recall is exactly 1; prefix filtering
-  // does NOT apply — it's a Jaccard bound, asymmetric containment has
-  // no short prefix certificate), then each unordered candidate is
-  // verified in BOTH directions with integer set sizes; the division is
-  // one int/int → double, engine-exact. Quadratic only inside posting
-  // lists — the 100 TB shape.
+  //
+  // Prefix filtering adapts to the asymmetric threshold ONE-SIDED
+  // (Vernica et al.'s R-S join variant of AllPairs): containment ≥ t
+  // needs |A∩B| ≥ ⌈t·|A|⌉, so under the global md5 order B must hold
+  // one of A's first |A| − ⌈t·|A|⌉ + 1 shingles — only the SOURCE side
+  // prunes to its prefix; the containee side indexes every shingle
+  // (any of them may be the witness). Each (lang, shingle) posting
+  // list therefore carries the full member ids plus the subset that
+  // hold the shingle in-prefix, and directed candidates are
+  // prefix-holder × member — recall is exactly 1 (⌈·⌉ kept integer as
+  // (4n+4) div 5; a candidate the oracle keeps at the 4/5 double
+  // boundary always clears the integer bound). Exact |A∩B| verifies;
+  // one int/int → double division, engine-exact. Quadratic only
+  // inside posting lists — the 100 TB shape.
   private def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(toks(spark, dir))
       .select(col("doc_id"), col("lang"), col("shingle_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = sh.select(col("doc_id"), col("lang"),
-      explode(col("shingle_set")).as("s"))
-    val cand = inv.groupBy(col("lang"), col("s"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+    val posts = sh
+      .withColumn("hs", expr("array_md5_sorted(shingle_set)"))
+      .withColumn("plen",
+        size(col("shingle_set")) - expr("(4 * size(shingle_set) + 4) div 5") + lit(1))
+      .select(col("doc_id"), col("lang"), col("plen"),
+        posexplode(col("hs")))
+      .select(col("doc_id"), col("lang"), col("col").as("s"),
+        (col("pos") < col("plen")).as("pfx"))
+    // collect_list skips nulls: `when(pfx, doc_id)` keeps only
+    // prefix-holders in `srcs` while `alls` carries the full list
+    val cand = posts.groupBy(col("lang"), col("s"))
+      .agg(
+        sort_array(collect_list(when(col("pfx"), col("doc_id")))).as("srcs"),
+        sort_array(collect_list(col("doc_id"))).as("alls"))
+      .filter(size(col("srcs")) >= 1 && size(col("alls")) >= 2)
       .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+        "flatten(transform(srcs, a -> transform(filter(alls, b -> b <> a), b -> struct(a AS src_doc, b AS within_doc))))")).as("p"))
+      .select(col("p.src_doc"), col("p.within_doc"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle_set").as("sa"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle_set").as("sb"))
-    val verified = cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .filter(col("inter") > 0)
-    verified
-      .select(col("doc_a").as("src_doc"), col("doc_b").as("within_doc"),
-        (col("inter").cast("double") / size(col("sa"))).as("containment"))
-      .unionByName(verified
-        .select(col("doc_b").as("src_doc"), col("doc_a").as("within_doc"),
-          (col("inter").cast("double") / size(col("sb"))).as("containment")))
+    val sa = sh.select(col("doc_id").as("src_doc"), col("shingle_set").as("sa"))
+    val sb = sh.select(col("doc_id").as("within_doc"), col("shingle_set").as("sb"))
+    cand.join(sa, "src_doc").join(sb, "within_doc")
+      .select(col("src_doc"), col("within_doc"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa"))).as("containment"))
       .filter(col("containment") >= 0.8)
       .orderBy(col("src_doc"), col("within_doc"))
   }
