@@ -263,8 +263,100 @@ object LinkRank {
       |ORDER BY triangles DESC, suppkey
       |LIMIT 10""".stripMargin
 
+  // -------------------------------------------------------------------
+  // graph_hits — HITS hubs & authorities (Kleinberg 1999) on the
+  // BIPARTITE customer→supplier graph: authority flows to suppliers
+  // that well-connected customers buy from, hub weight to customers
+  // that buy from authoritative suppliers — the two-sided source-
+  // quality signal where PageRank's single rank conflates the roles.
+  // Directed edges are the even-src half of the same bucketed edge
+  // mirror PageRank serves from (customers sit at 2k, so src%2=0 IS
+  // the customer→supplier direction — no rebuild).
+  //
+  // Determinism: FIXED 2 rounds; each half-step sums int64-quantized
+  // contributions (floor(score·1e12) — exact, order-independent) and
+  // L1-normalizes with one int/int→double division, same IEEE ops both
+  // engines. With the state always normalized to ~1e12 total units, a
+  // per-node sum is bounded by maxdeg·1e12 — int64-safe to maxdeg
+  // ~9e6 (document-graph territory; a hotter node needs a bigger
+  // quantum, not a different algorithm). Scale shape as PageRank: the
+  // |V|-row state joins the mirror's bucketed |E| side under the same
+  // size-gated broadcast (`graft.linkrank.broadcastMaxNodes`); the L1
+  // totals are 1-row broadcasts, never a driver collect.
+  private val HitsIters = 2
+
+  private def hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).filter(col("src") % 2 === 0)
+    val hubs0 = e.select(col("src").as("node")).distinct().persist()
+    val nC = hubs0.count()
+    val gateMax =
+      spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong
+    val gate: DataFrame => DataFrame =
+      if (nC <= gateMax) df => df.hint("broadcast") else df => df
+    var h = hubs0.select(col("node"), lit(1.0 / nC).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val araw = e.join(gate(h), col("src") === col("node"))
+        .select(col("dst"),
+          floor(col("h") * lit(1e12)).cast("long").as("units"))
+        .groupBy(col("dst")).agg(sum(col("units")).as("araw"))
+      val atot = araw.agg(sum(col("araw")).as("tot"))
+      a = araw.crossJoin(broadcast(atot))
+        .select(col("dst").as("node"),
+          (col("araw").cast("double") / col("tot").cast("double")).as("a"))
+      val hraw = e.join(gate(a), col("dst") === col("node"))
+        .select(col("src"),
+          floor(col("a") * lit(1e12)).cast("long").as("units"))
+        .groupBy(col("src")).agg(sum(col("units")).as("hraw"))
+      val htot = hraw.agg(sum(col("hraw")).as("tot"))
+      h = hraw.crossJoin(broadcast(htot))
+        .select(col("src").as("node"),
+          (col("hraw").cast("double") / col("tot").cast("double")).as("h"))
+    }
+    a.select(concat(lit("s"), expr("node div 2")).as("node"),
+        col("a").as("authority"))
+      .orderBy(col("authority").desc, col("node"))
+      .limit(20)
+  }
+
+  /** The two HITS rounds unrolled to CTEs, one a/h half-step pair per
+    * round — mirrors the Spark loop step for step. */
+  private def hitsSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c_node AS src, s_node AS dst FROM pairs),
+        |nc AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+        |h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) / n AS h FROM e, nc)""".stripMargin)
+    for (t <- 1 to HitsIters) {
+      val prev = s"h${t - 1}"
+      sb.append(s"""
+        |, a${t}_raw AS (
+        |  SELECT dst, SUM(CAST(floor(h * 1e12) AS BIGINT)) AS araw
+        |  FROM $prev JOIN e ON node = src GROUP BY dst),
+        |a$t AS (
+        |  SELECT dst AS node, CAST(araw AS DOUBLE) / CAST(tot AS DOUBLE) AS a
+        |  FROM a${t}_raw, (SELECT SUM(araw) AS tot FROM a${t}_raw) s),
+        |h${t}_raw AS (
+        |  SELECT src, SUM(CAST(floor(a * 1e12) AS BIGINT)) AS hraw
+        |  FROM a$t JOIN e ON node = dst GROUP BY src),
+        |h$t AS (
+        |  SELECT src AS node, CAST(hraw AS DOUBLE) / CAST(tot AS DOUBLE) AS h
+        |  FROM h${t}_raw, (SELECT SUM(hraw) AS tot FROM h${t}_raw) s)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT 's' || CAST(node // 2 AS BIGINT) AS node, a AS authority
+      |FROM a$HitsIters
+      |ORDER BY authority DESC, node
+      |LIMIT 20""".stripMargin)
+    sb.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),
-    QueryDef("graph_triangles", triangles, Some(trianglesSql))
+    QueryDef("graph_triangles", triangles, Some(trianglesSql)),
+    QueryDef("graph_hits", hits, Some(hitsSql))
   )
 }

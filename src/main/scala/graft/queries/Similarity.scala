@@ -350,6 +350,175 @@ object Similarity {
   private val annIvfBucketedSql = ivfSearchSql("vec_id >= 10 AND vec_id < 20")
 
   // -------------------------------------------------------------------
+  // ann_pq_topk — product quantization (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): the MEMORY
+  // economics of embedding serving at 100 TB. The 64-dim vector is cut
+  // into M=4 16-dim subvectors; each subspace gets its own k=8-codeword
+  // codebook (deterministic Lloyd's under SQUARED L2 — fixed seed init
+  // of the k lowest-id subvectors, fixed 2 rounds, ties to lowest
+  // codeword, DECIMAL(28,12)-exact component means, so the oracle
+  // re-derives identical codebooks CTE-by-CTE). A corpus vector is then
+  // M small ints (here 4×3 bits vs 64×8 bytes — ~170× smaller), and
+  // search is ASYMMETRIC DISTANCE COMPUTATION: the uncompressed probe
+  // precomputes a M×k distance table, and each candidate's approximate
+  // distance is M table lookups — no vector math per candidate.
+  //
+  // All M subspaces train SIMULTANEOUSLY in one frame keyed by `m`
+  // (one Lloyd loop, shuffle volume N·dim scalars partial-aggregated —
+  // not M sequential jobs), and the ADC sum is floor-quantized to
+  // 1e-12 units per (subspace, codeword) and summed as int64, so the
+  // M-way fold is EXACT and order-independent (the float-determinism
+  // ladder, rung 2). Squared-L2 spelled dot(s,s)+dot(c,c)-2·dot(s,c)
+  // through the codegen'd vec_dot — same IEEE op order as the oracle's
+  // list_reduce spelling.
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+  private val PqIters = 2
+  private val PqUnit = 1e12
+
+  /** (vec_id, m, sv): the corpus cut into M subvectors per vector. */
+  private def subvecs(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> " +
+        s"struct(m AS m, slice(v, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("p"))
+    .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+
+  private val pqD2 = "vec_dot(sv, sv) + vec_dot(cv, cv) - 2 * vec_dot(sv, cv)"
+
+  /** Per-subspace codebooks (m, cent_id, cv) — Lloyd's over all M
+    * subspaces at once, same determinism discipline as [[graft.ops.KMeans]]
+    * but under squared L2 (the PQ objective; cosine is meaningless on
+    * subvectors). Persisted as a fingerprint-keyed parquet sidecar like
+    * the IVF centroids: train once per corpus build, serve forever. */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def trainedCodebooks(spark: SparkSession, dir: String): DataFrame =
+    pqMemo.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.ops.IncrementalDedup
+        .sourceFingerprint(spark, s"$dir/embeddings.parquet")
+      val tag = s"pq_cent_${PqM}x${PqK}x${PqIters}_${dir}_$fp"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success)) {
+        val sub = subvecs(vecs(spark, dir))
+        var cent = sub.filter(col("vec_id") < PqK)
+          .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+        for (_ <- 1 to PqIters) {
+          val assigned = sub.join(broadcast(cent), "m")
+            .withColumn("d2", expr(pqD2))
+            .groupBy(col("vec_id"), col("m"))
+            .agg(
+              min_by(col("cent_id"), struct(col("d2"), col("cent_id")))
+                .as("cent_id"),
+              first(col("sv")).as("sv"))
+          val comp = assigned
+            .selectExpr("m", "cent_id", "posexplode(sv) AS (pos, x)")
+            .groupBy(col("m"), col("cent_id"), col("pos"))
+            .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1))).as("mm"))
+          cent = comp.groupBy(col("m"), col("cent_id"))
+            .agg(expr(
+              "transform(sort_array(collect_list(struct(pos, mm))), s -> s.mm)")
+              .as("cv"))
+        }
+        cent.write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path).localCheckpoint(true)
+    })
+
+  private def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = trainedCodebooks(spark, dir)
+    val scored = subvecs(e).join(broadcast(cent), "m")
+      .withColumn("d2", expr(pqD2))
+    // encode: each (vector, subspace) → nearest codeword, N·M small ints
+    val codes = scored.groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"))
+    // ADC tables for the probes: Q·M·k quantized distances, broadcast
+    val dt = scored.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("cent_id"),
+        floor(col("d2") * lit(PqUnit)).cast("long").as("units"))
+    val adist = codes.join(broadcast(dt),
+        col("m") === col("qm") && col("code") === col("cent_id") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("units")).as("u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("u"), col("vec_id"))
+    adist.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("u").cast("double") / lit(PqUnit)).as("adist"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The PQ trainer unrolled to CTEs — one block per Lloyd round over
+    * the (vec_id, m, sv) subvector frame, then encode + ADC search. */
+  private def annPqSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, len(sv)+1), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    val d2 = s"${dot("sv", "sv")} + ${dot("cv", "cv")} - 2 * ${dot("sv", "cv")}"
+    val sb = new StringBuilder
+    sb.append(normCte)
+    sb.append(s"""
+      |, sub AS (
+      |  SELECT vec_id, r.m AS m,
+      |    list_slice(v, r.m * $PqSubDim + 1, r.m * $PqSubDim + $PqSubDim) AS sv
+      |  FROM n, (SELECT unnest(range(0, $PqM)) AS m) r),
+      |pcent0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM sub WHERE vec_id < $PqK)""".stripMargin)
+    for (t <- 1 to PqIters) {
+      val prev = s"pcent${t - 1}"
+      val cur = s"pcent$t"
+      sb.append(s"""
+        |, ${cur}_assign AS (
+        |  SELECT s.vec_id, s.m, s.sv, c.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |      $d2 ASC, c.cent_id) AS r
+        |  FROM sub s JOIN $prev c ON s.m = c.m),
+        |${cur}_comp AS (
+        |  SELECT m, cent_id, unnest(range(1, len(sv)+1)) AS pos, unnest(sv) AS x
+        |  FROM ${cur}_assign WHERE r = 1),
+        |$cur AS (
+        |  SELECT m, cent_id, list(mm ORDER BY pos) AS cv FROM (
+        |    SELECT m, cent_id, pos,
+        |      CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mm
+        |    FROM ${cur}_comp GROUP BY m, cent_id, pos)
+        |  GROUP BY m, cent_id)""".stripMargin)
+    }
+    sb.append(s"""
+      |, scored AS (
+      |  SELECT s.vec_id, s.m, c.cent_id, $d2 AS d2
+      |  FROM sub s JOIN pcent$PqIters c ON s.m = c.m),
+      |codes AS (
+      |  SELECT vec_id, m, cent_id AS code FROM (
+      |    SELECT vec_id, m, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cent_id) AS r
+      |    FROM scored) WHERE r = 1),
+      |dt AS (
+      |  SELECT vec_id AS query_id, m AS qm, cent_id,
+      |    CAST(floor(d2 * 1e12) AS BIGINT) AS units
+      |  FROM scored WHERE vec_id < 10),
+      |adist AS (
+      |  SELECT query_id, codes.vec_id AS neighbor_id, SUM(units) AS u
+      |  FROM codes JOIN dt ON codes.m = dt.qm AND codes.code = dt.cent_id
+      |  WHERE codes.vec_id <> query_id
+      |  GROUP BY query_id, codes.vec_id)
+      |SELECT query_id, neighbor_id,
+      |  CAST(u AS DOUBLE) / 1e12 AS adist, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY u, neighbor_id) AS rank
+      |  FROM adist)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin)
+    sb.toString
+  }
+
+  // -------------------------------------------------------------------
   // emb_label_stats — per-label stats. Row-order-independent avg: each
   // norm is snapped to a 12-dp decimal (deterministic per row), summed
   // exactly, divided as double.
@@ -605,6 +774,7 @@ object Similarity {
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
     QueryDef("ann_ivf_bucketed", annIvfBucketed, Some(annIvfBucketedSql)),
+    QueryDef("ann_pq_topk", annPq, Some(annPqSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
     QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql)),
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
