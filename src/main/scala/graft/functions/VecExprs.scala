@@ -287,6 +287,9 @@ object VecExprs {
       "array_md5_sorted", exprs => ArrayMd5Sorted(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "rabin_karp", exprs => RabinKarpHash(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "kmv_bottomk", exprs => KmvBottomK(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
     // post-hoc twin of injectOptimizerRule for sessions the engine did
     // not build: extraOptimizations run as their own batch after the
     // main optimizer, where the portable HOF spellings are already

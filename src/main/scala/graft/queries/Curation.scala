@@ -369,7 +369,42 @@ object Curation {
       |WHERE cum // (tot // $PpsK) > (cum - n_chars) // (tot // $PpsK)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // curate_shuffle_epoch — DETERMINISTIC global shuffle: every epoch a
+  // training pipeline needs the corpus in a fresh pseudo-random order
+  // that is (a) reproducible for restarts/debugging, (b) different per
+  // epoch, (c) assigned WITHOUT a single-partition ROW_NUMBER window.
+  // The draw is md5(epoch_salt ‖ doc_id) — a new permutation per salt,
+  // the same permutation for the same salt forever — and the dense
+  // 0-based shuffle position comes from the [[graft.ops.DenseIds]]
+  // two-pass offset scheme over the draw order (range partition +
+  // zipWithIndex, O(#partitions) driver state). The oracle spells the
+  // specification (`ROW_NUMBER() OVER (ORDER BY draw)`), pinning the
+  // scalable impl to the window semantics exactly like ids_dense_assign.
+  private val ShuffleEpoch = "epoch1"
+
+  private def shuffleEpoch(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val d = T.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit(s"$ShuffleEpoch:"), col("doc_id").cast("string")))
+          .as("draw"))
+    graft.ops.DenseIds.assign(d, "draw", "shuffle_pos")
+      .select(col("shuffle_pos"), col("doc_id"), col("lang"))
+      .orderBy(col("shuffle_pos"))
+  }
+
+  private val shuffleEpochSql =
+    s"""SELECT
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5('$ShuffleEpoch:' || CAST(doc_id AS VARCHAR))) - 1
+      |    AS BIGINT) AS shuffle_pos,
+      |  doc_id, lang
+      |FROM documents
+      |ORDER BY shuffle_pos""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curate_shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
     QueryDef("curate_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("curate_split_hash", splitHash, Some(splitHashSql)),
     QueryDef("curate_length_buckets", lengthBuckets, Some(lengthBucketsSql)),

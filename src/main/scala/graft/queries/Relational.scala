@@ -634,6 +634,71 @@ object Relational {
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // sketch_kmv_custkey — KMV (k-minimum-values) distinct sketch
+  // (Bar-Yossef et al., RANDOM'02) through the native bounded-state
+  // imperative aggregate [[graft.functions.KmvBottomK]]: per nation,
+  // the 32 smallest md5(c_custkey) hashes. The sketch state is k
+  // entries however big the group — partial-aggregated map-side,
+  // merged associatively — where collect_set would carry the whole
+  // distinct set through the shuffle; that bounded-buffer shape is the
+  // distinct-count answer at 100 TB. Unlike the other sketches the
+  // RESULT is deterministic (bottom-k of a fixed hash is a pure
+  // function of the value set), so the oracle replays it hash-exactly
+  // with ROW_NUMBER OVER (ORDER BY hash) — and the cardinality
+  // estimate (k−1)·16^15/hk (hk = the k-th minimum's 60-bit hex
+  // prefix) is the same IEEE arithmetic both engines, with its
+  // within-50% contract as a checked column. Groups under k hold their
+  // whole distinct set: the sketch IS exact there, est = k_held.
+  private val KmvK = 32
+
+  private def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    T.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        md5(col("c_custkey").cast("string")).as("h"))
+      .groupBy(col("c_nationkey"))
+      .agg(expr(s"kmv_bottomk(h, $KmvK)").as("ks"),
+        countDistinct(col("c_custkey")).as("n_exact"))
+      .withColumn("k_held", size(col("ks")).cast("long"))
+      .withColumn("kth_hash", element_at(col("ks"), size(col("ks"))))
+      .withColumn("est",
+        when(col("k_held") < KmvK, col("k_held").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+            conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")))
+      .withColumn("est_ok",
+        abs(col("est") - col("n_exact")) / col("n_exact") <= 0.5)
+      .select(col("c_nationkey"), col("n_exact"), col("k_held"),
+        col("kth_hash"), col("est"), col("est_ok"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val kmvDistinctSql =
+    s"""WITH h AS (
+       |  SELECT c_nationkey, c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h
+       |  FROM customer),
+       |ranked AS (
+       |  SELECT c_nationkey, h,
+       |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY h) AS r
+       |  FROM (SELECT DISTINCT c_nationkey, h FROM h)),
+       |bot AS (
+       |  SELECT c_nationkey, MAX(h) AS kth_hash,
+       |    CAST(COUNT(*) AS BIGINT) AS k_held
+       |  FROM ranked WHERE r <= $KmvK GROUP BY c_nationkey),
+       |ex AS (
+       |  SELECT c_nationkey, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_exact
+       |  FROM customer GROUP BY c_nationkey),
+       |j AS (
+       |  SELECT c_nationkey, n_exact, k_held, kth_hash,
+       |    CASE WHEN k_held < $KmvK THEN CAST(k_held AS DOUBLE)
+       |         ELSE CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0 /
+       |              CAST('0x' || substr(kth_hash, 1, 15) AS BIGINT) END AS est
+       |  FROM bot JOIN ex USING (c_nationkey))
+       |SELECT c_nationkey, n_exact, k_held, kth_hash, est,
+       |  abs(est - n_exact) / n_exact <= 0.5 AS est_ok
+       |FROM j ORDER BY c_nationkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // sketch_countmin_custkey — Count-Min sketch (Cormode & Muthukrishnan
   // 2005) as a pure aggregation: depth 3 × width 128 counters, hash row
   // d of key k = rabin_karp("d:k") mod 128 (the codegen'd polynomial
@@ -1274,6 +1339,7 @@ object Relational {
     QueryDef("salted_agg_orders", saltedAgg, Some(saltedAggSql)),
     QueryDef("salted_join_suppliers", saltedJoinQ, Some(saltedJoinSql)),
     QueryDef("sketch_countmin_custkey", countMin, Some(countMinSql)),
+    QueryDef("sketch_kmv_custkey", kmvDistinct, Some(kmvDistinctSql)),
     QueryDef("unpivot_lineitem", unpivotQ, Some(unpivotSql)),
     QueryDef("histogram_orders", histogramQ, Some(histogramSql)),
     QueryDef("stats_orders", statsQ, Some(statsSql)),
