@@ -344,7 +344,19 @@ object Manifest {
     * the committed list version. */
   def commitDelta(spark: SparkSession, tablePath: String,
       added: Seq[FileEntry], removed: Set[String] = Set.empty,
+      maxAttempts: Int = 10): Int =
+    commitDeltaGrouped(spark, tablePath,
+      if (added.isEmpty) Seq.empty else Seq(added), removed, maxAttempts)
+
+  /** [[commitDelta]] with the added files pre-clustered into one
+    * manifest per group — Iceberg's partition-aligned manifests: when
+    * groups track partitions, a later commit touching one partition
+    * rewrites ONE manifest and shares the rest by name, instead of
+    * rewriting a mixed manifest that happens to name a removed file. */
+  def commitDeltaGrouped(spark: SparkSession, tablePath: String,
+      addedGroups: Seq[Seq[FileEntry]], removed: Set[String] = Set.empty,
       maxAttempts: Int = 10): Int = {
+    require(addedGroups.forall(_.nonEmpty), "empty added group")
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentListVersion(spark, tablePath)
@@ -362,8 +374,7 @@ object Manifest {
           }
         }
       val refs = carried ++
-        (if (added.nonEmpty) Seq(writeManifestFile(spark, tablePath, added))
-         else Nil)
+        addedGroups.map(g => writeManifestFile(spark, tablePath, g))
       tryCommitList(spark, tablePath, base, refs) match {
         case Right(v) => return v
         case Left(_)  => attempt += 1

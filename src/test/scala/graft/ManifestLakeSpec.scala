@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import graft.ops.{Manifest, ManifestLake}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** [[ManifestLake]] — the manifest-list-defined table: immutable data
+  * files (no renames ever), O(delta) merge commits, version reads,
+  * streaming ingest, retention. */
+class ManifestLakeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  case class Rec(k: Long, p: String, v: Double)
+
+  private def fs = new Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def table(dir: String, version: Int = -1): Seq[(Long, String, Double)] =
+    ManifestLake.read(spark, dir, version)
+      .select(col("k"), col("p"), col("v")).as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  test("merge commits replace by key, keep survivors, and never move old files") {
+    val dir = Files.createTempDirectory("graft-mlake").toString
+    val v0 = ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+      "load")
+    assert(v0 == 0)
+    assert(table(dir) == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0)))
+    val v0Files = Manifest.readAll(spark, dir, 0).map(_.path)
+    val v0Stamps = v0Files.map(p => fs.getFileStatus(new Path(p))
+      .getModificationTime)
+
+    // update k=2, insert k=4 — touches only partition b
+    val v1 = ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((2L, "b", 99.0), (4L, "b", 40.0)).toDF("k", "p", "v"), "u1")
+    assert(v1 == 1)
+    assert(table(dir) == Seq(
+      (1L, "a", 10.0), (2L, "b", 99.0), (3L, "b", 30.0), (4L, "b", 40.0)))
+    // time travel: v0 reads verbatim — its files were neither moved nor
+    // rewritten (same paths, same mtimes)
+    assert(table(dir, 0) == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0)))
+    v0Files.zip(v0Stamps).foreach { case (p, t) =>
+      assert(fs.getFileStatus(new Path(p)).getModificationTime == t, p)
+    }
+    // O(delta) metadata: partition a's manifest carried into v1 BY NAME
+    val names0 = Manifest.readList(spark, dir, 0).map(_.name).toSet
+    val names1 = Manifest.readList(spark, dir, 1).map(_.name).toSet
+    val aManifests = names0.filter(n =>
+      Manifest.readManifestFile(spark, dir, n)
+        .forall(_.path.contains("/graft_p=a/")))
+    assert(aManifests.nonEmpty)
+    assert(aManifests.subsetOf(names1))
+    // and v1's data scan never lists partition a's old dirs: the a rows
+    // come from the v0 files themselves
+    val aPaths = v0Files.filter(_.contains("/graft_p=a/")).toSet
+    assert(Manifest.readAll(spark, dir, 1).map(_.path).toSet
+      .intersect(aPaths) == aPaths)
+  }
+
+  test("duplicate delivery of a batch converges without dropping survivors") {
+    val dir = Files.createTempDirectory("graft-mlake-replay").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "b", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v"), "load")
+    val delta = Seq((2L, "b", 99.0)).toDF("k", "p", "v")
+    ManifestLake.mergeCommit(spark, dir, "p", "k", delta, "u1")
+    // the same tag delivered again (post-commit replay)
+    ManifestLake.mergeCommit(spark, dir, "p", "k", delta, "u1")
+    // survivor k=1 kept through both applications; value converged
+    assert(table(dir) == Seq((1L, "b", 1.0), (2L, "b", 99.0)))
+  }
+
+  test("streaming ingest commits one version per micro-batch") {
+    val dir = Files.createTempDirectory("graft-mlake-stream").toString
+    val ckpt = Files.createTempDirectory("graft-mlake-ckpt").toString
+    val mem = MemoryStream[Rec](spark)
+    val q = ManifestLake.start(mem.toDF(), dir, "p", "k", ckpt)
+    try {
+      mem.addData(Rec(1L, "a", 10.0), Rec(2L, "b", 20.0))
+      q.processAllAvailable()
+      mem.addData(Rec(2L, "b", 99.0), Rec(3L, "c", 30.0))
+      q.processAllAvailable()
+      assert(Manifest.listVersions(spark, dir) == Seq(0, 1))
+      assert(table(dir) == Seq((1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0)))
+      assert(table(dir, 0) == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    } finally q.stop()
+  }
+
+  test("vacuum deletes only files exclusive to dropped versions") {
+    val dir = Files.createTempDirectory("graft-mlake-vacuum").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"), "load")
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((2L, "b", 99.0)).toDF("k", "p", "v"), "u1")
+    val v0Only = Manifest.readAll(spark, dir, 0).map(_.path)
+      .filter(_.contains("/graft_p=b/"))
+    assert(v0Only.nonEmpty)
+    val deleted = ManifestLake.vacuum(spark, dir, retain = Seq(1))
+    // b's superseded file went; a's shared file stayed; v1 still reads
+    v0Only.foreach(p => assert(deleted.contains(p), p))
+    assert(Manifest.listVersions(spark, dir) == Seq(1))
+    assert(table(dir) == Seq((1L, "a", 10.0), (2L, "b", 99.0)))
+  }
+}
