@@ -247,6 +247,66 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("graph_hits scale path: over the gate, state broadcasts only 1-row totals") {
+    // same gate as pagerank, but HITS legitimately broadcasts its L1
+    // totals — 1-row frames — per half-step. With the gate forced to 0
+    // and the planner's own broadcast choice off, every remaining
+    // BroadcastExchange must be one of those single-`tot`-column
+    // frames; the |V|-row state itself must join as shuffle/SMJ against
+    // the bucketed edge scan. Both paths must agree bit-for-bit.
+    spark.conf.set("graft.linkrank.broadcastMaxNodes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("graph_hits")(spark, sf)
+      val exec = df.queryExecution.executedPlan
+      val bcasts = exec.collectWithSubqueries {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.child.output.map(_.name)
+      }
+      assert(bcasts.forall(_ == Seq("tot")),
+        s"non-total frame broadcast under gate 0: $bcasts\n$exec")
+      assert(exec.toString.contains("SortMergeJoin"), exec.toString)
+      assert(exec.toString.contains("SelectedBucketsCount"),
+        s"edge side is not a bucketed scan:\n$exec")
+      val shuffled = df.collect().toSeq
+      spark.conf.set("graft.linkrank.broadcastMaxNodes", "5000000")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val broadcasted = SparkEntry.queries("graph_hits")(spark, sf).collect().toSeq
+      assert(shuffled == broadcasted,
+        "shuffle-path and broadcast-path authorities diverge")
+    } finally {
+      spark.conf.set("graft.linkrank.broadcastMaxNodes", "5000000")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("prefix-sum queries never plan the single-partition global window") {
+    // curate_sample_weighted / curate_shuffle_epoch spell
+    // `SUM/ROW_NUMBER OVER (ORDER BY ...)` in their ORACLES; the Spark
+    // plans must carry NO WindowExec at all — the two-pass offset
+    // scheme (PrefixSums/DenseIds) replaces it, and a window sneaking
+    // back in would funnel the corpus through one task
+    for (q <- Seq("curate_sample_weighted", "curate_shuffle_epoch")) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val windows = exec.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$q plans a window:\n$exec")
+    }
+  }
+
+  test("text_containment candidate generation is bucketed — no cartesian/BNLJ") {
+    val p = plan("text_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ann_pq_topk: ADC search is equi-joins over broadcast tables — no cartesian") {
+    val p = plan("ann_pq_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ETL pipeline clean path shuffles only for the final sort") {
     val p = plan("pipeline_clean")
     val exchanges = "Exchange".r.findAllIn(p).length
