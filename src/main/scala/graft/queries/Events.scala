@@ -115,6 +115,61 @@ object Events {
       |ORDER BY user_id, session_seq""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_forward_fill — gap-filled hourly series with forward fill:
+  // the monitoring-dashboard shape (a metric stream must emit a value
+  // for EVERY bucket; an empty hour repeats the last observation, a
+  // leading gap reads 0). The dense (type × hour) spine is built from
+  // the AGGREGATED frame's bounds — sequence() over the global hour
+  // range crossed with the distinct types, a broadcast-sized grid —
+  // and the fill is `last(n, ignoreNulls)` over a per-type window of
+  // |hours| rows. Raw events are touched exactly once (the hourly
+  // aggregate); spine, join, and window all run at grid cardinality —
+  // the same never-window-raw-events discipline as events_anomaly_hourly.
+  private def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hours = hourly.agg(min(col("hour_start")).as("lo"),
+        max(col("hour_start")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("hour_start"))
+    val spine = hours.crossJoin(
+      broadcast(hourly.select(col("event_type")).distinct()))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hour_start", "event_type"), "left")
+      .withColumn("filled", col("n").isNull)
+      .withColumn("n_filled",
+        coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L)))
+      .select(col("event_type"), col("hour_start"), col("n_filled"),
+        col("filled"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  private val forwardFillSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly),
+      |hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      |  FROM b),
+      |spine AS (
+      |  SELECT hour_start, event_type
+      |  FROM hours, (SELECT DISTINCT event_type FROM hourly) t),
+      |j AS (
+      |  SELECT s.hour_start, s.event_type, n
+      |  FROM spine s LEFT JOIN hourly USING (hour_start, event_type))
+      |SELECT event_type, hour_start,
+      |  COALESCE(last_value(n IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY hour_start
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n_filled,
+      |  n IS NULL AS filled
+      |FROM j ORDER BY event_type, hour_start""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_props_extract — JSON-in-string props (B14): typed extraction
   // via from_json, bucketed aggregation over the extracted value.
   private def props(spark: SparkSession, dir: String): DataFrame =
@@ -391,6 +446,7 @@ object Events {
       |ORDER BY win_start, event_type""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("events_forward_fill", forwardFill, Some(forwardFillSql)),
     QueryDef("events_anomaly_hourly", anomalyHourly, Some(anomalyHourlySql)),
     QueryDef("events_topk_daily", topkDaily, Some(topkDailySql)),
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),

@@ -550,6 +550,104 @@ object Relational {
   // within 2% relative error — a boolean both engines can agree on.
   // The sketch is the one-pass 100 TB path; the exact distinct here is
   // the check, not the plan.
+  // -------------------------------------------------------------------
+  // audit_expectations — a declarative data-quality expectation suite
+  // (the Deequ/Great-Expectations shape) evaluated in ONE pass over the
+  // fact table: completeness (non-null rate), uniqueness (distinct/
+  // total on the PK), domain membership (status ∈ known set), and a
+  // range bound (non-negative totalprice), each reported as
+  // (constraint, metric, pass). One aggregate computes every counter —
+  // no per-constraint scans — and the metrics are int/int → double
+  // divisions, engine-exact. The reference's row-level validation
+  // battery (P1–P6) quarantines BAD ROWS; this is the complementary
+  // DATASET-level contract a warehouse gate checks before publishing a
+  // snapshot. At 100 TB: one map-side-combined pass, 4 counters.
+  private def auditExpectations(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val m = T.orders(spark, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("n_dom"),
+      sum(when(col("o_totalprice") >= 0, 1L).otherwise(0L)).as("n_pos"))
+    m.select(expr(
+      """stack(4,
+        |  'complete_custkey', CAST(n_cust AS DOUBLE) / n,
+        |  'unique_orderkey',  CAST(n_keys AS DOUBLE) / n,
+        |  'domain_status',    CAST(n_dom AS DOUBLE) / n,
+        |  'nonneg_totalprice', CAST(n_pos AS DOUBLE) / n
+        |) AS (check_name, metric)""".stripMargin))
+      .withColumn("pass", col("metric") >= 1.0)
+      .orderBy(col("check_name"))
+  }
+
+  private val auditExpectationsSql =
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(o_custkey) AS BIGINT) AS n_cust,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+      |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_dom,
+      |    CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      |  FROM orders),
+      |r AS (
+      |  SELECT 'complete_custkey' AS check_name, CAST(n_cust AS DOUBLE) / n AS metric FROM m
+      |  UNION ALL SELECT 'unique_orderkey', CAST(n_keys AS DOUBLE) / n FROM m
+      |  UNION ALL SELECT 'domain_status', CAST(n_dom AS DOUBLE) / n FROM m
+      |  UNION ALL SELECT 'nonneg_totalprice', CAST(n_pos AS DOUBLE) / n FROM m)
+      |SELECT check_name, metric, metric >= 1.0 AS pass
+      |FROM r ORDER BY check_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // agg_incremental_merge — incremental aggregate maintenance: the
+  // materialized-view discipline at 100 TB is "never recompute the
+  // world" — keep DECOMPOSABLE partial states (count, exact sum, min,
+  // max) per group and fold a delta's states into the base's with the
+  // aggregate's own merge law; derived values (avg) are computed only
+  // at read time, never maintained. This query PROVES the law on real
+  // data: orders split into a base (o_orderkey%10 ≠ 7) and a delta
+  // (= 7), each aggregated independently, merged with null-safe
+  // state algebra (full-outer join, coalesce-to-identity, least/great),
+  // while the ORACLE is the flat single-pass GROUP BY over all rows —
+  // merged-states ≡ recompute, hash-exact. The sum state is
+  // DECIMAL-exact so the merge is associative to the bit (a double sum
+  // would drift with the split point); avg divides once at the end,
+  // the same two operands both engines.
+  private def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    def states(df: DataFrame, tag: String): DataFrame = df
+      .groupBy((col("o_custkey") % 100).as("seg"))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as(s"s_$tag"),
+        min(col("o_orderdate")).as(s"lo_$tag"),
+        max(col("o_orderdate")).as(s"hi_$tag"))
+    val base = states(o.filter(col("o_orderkey") % 10 =!= 7), "b")
+    val delta = states(o.filter(col("o_orderkey") % 10 === 7), "d")
+    val zero = lit(0).cast(DecimalType(28, 2))
+    base.join(delta, Seq("seg"), "full_outer")
+      .select(col("seg"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s_b"), zero) + coalesce(col("s_d"), zero))
+          .cast("double").as("revenue"),
+        least(col("lo_b"), col("lo_d")).as("first_date"),
+        greatest(col("hi_b"), col("hi_d")).as("last_date"))
+      .withColumn("avg_revenue", col("revenue") / col("n_orders"))
+      .select(col("seg"), col("n_orders"), col("revenue"),
+        col("avg_revenue"), col("first_date"), col("last_date"))
+      .orderBy(col("seg"))
+  }
+
+  private val incrementalAggMergeSql =
+    """SELECT o_custkey % 100 AS seg,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    AS avg_revenue,
+      |  MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def approxDistinctCheck(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     T.lineitem(spark, dir)
@@ -1335,6 +1433,8 @@ object Relational {
     QueryDef("pivot_priority_status", pivotQ, Some(pivotSql)),
     QueryDef("subquery_above_avg", aboveAvg, Some(aboveAvgSql)),
     QueryDef("approx_distinct_parts", approxDistinct, None),
+    QueryDef("agg_incremental_merge", incrementalAggMerge, Some(incrementalAggMergeSql)),
+    QueryDef("audit_expectations", auditExpectations, Some(auditExpectationsSql)),
     QueryDef("approx_distinct_check", approxDistinctCheck, Some(approxDistinctCheckSql)),
     QueryDef("salted_agg_orders", saltedAgg, Some(saltedAggSql)),
     QueryDef("salted_join_suppliers", saltedJoinQ, Some(saltedJoinSql)),
