@@ -356,32 +356,46 @@ object Manifest {
   def commitDeltaGrouped(spark: SparkSession, tablePath: String,
       addedGroups: Seq[Seq[FileEntry]], removed: Set[String] = Set.empty,
       maxAttempts: Int = 10): Int = {
-    require(addedGroups.forall(_.nonEmpty), "empty added group")
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentListVersion(spark, tablePath)
-      val baseRefs =
-        if (base >= 0) readList(spark, tablePath, base) else Seq.empty
-      val carried =
-        if (removed.isEmpty) baseRefs // pure append: nothing is opened
-        else baseRefs.flatMap { ref =>
-          val entries = readManifestFile(spark, tablePath, ref.name)
-          if (!entries.exists(e => removed.contains(e.path))) Some(ref)
-          else {
-            val kept = entries.filterNot(e => removed.contains(e.path))
-            if (kept.isEmpty) None
-            else Some(writeManifestFile(spark, tablePath, kept))
-          }
-        }
-      val refs = carried ++
-        addedGroups.map(g => writeManifestFile(spark, tablePath, g))
-      tryCommitList(spark, tablePath, base, refs) match {
+      commitDeltaGroupedAt(spark, tablePath, base, addedGroups, removed) match {
         case Right(v) => return v
         case Left(_)  => attempt += 1
       }
     }
     throw new java.io.IOException(
       s"manifest-list commit lost $maxAttempts consecutive races at $tablePath")
+  }
+
+  /** One CAS attempt of a grouped delta against an EXPLICIT base — for
+    * callers whose (added, removed) sets are themselves derived from
+    * that base (e.g. a merge that read the base's files): on a lost
+    * race such a caller must RECOMPUTE its delta against the new head,
+    * not blindly re-apply the stale one — re-applying would resurrect
+    * rows a racing commit already replaced ([[ManifestLake]]'s
+    * same-partition writer race). Pure appends have no such derivation
+    * and may retry via [[commitDeltaGrouped]]. */
+  def commitDeltaGroupedAt(spark: SparkSession, tablePath: String,
+      base: Int, addedGroups: Seq[Seq[FileEntry]],
+      removed: Set[String]): Either[Int, Int] = {
+    require(addedGroups.forall(_.nonEmpty), "empty added group")
+    val baseRefs =
+      if (base >= 0) readList(spark, tablePath, base) else Seq.empty
+    val carried =
+      if (removed.isEmpty) baseRefs // pure append: nothing is opened
+      else baseRefs.flatMap { ref =>
+        val entries = readManifestFile(spark, tablePath, ref.name)
+        if (!entries.exists(e => removed.contains(e.path))) Some(ref)
+        else {
+          val kept = entries.filterNot(e => removed.contains(e.path))
+          if (kept.isEmpty) None
+          else Some(writeManifestFile(spark, tablePath, kept))
+        }
+      }
+    val refs = carried ++
+      addedGroups.map(g => writeManifestFile(spark, tablePath, g))
+    tryCommitList(spark, tablePath, base, refs)
   }
 
   /** All file entries of a list version — reads every named manifest. */

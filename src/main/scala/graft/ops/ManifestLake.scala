@@ -33,12 +33,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * across per-commit roots. `partCol` must be string-typed and
   * path-safe, the same contract [[CopyOnWrite.merge]] documents.
   *
-  * Concurrency: the CAS loser's (added, removed) delta is re-applied
-  * against the new head, which is correct for commits touching DISJOINT
-  * partitions; two writers replacing the SAME partition is a semantic
-  * conflict this layer does not arbitrate (Iceberg fails validation
-  * there — callers wanting that add a touched-partition check against
-  * the rebased head).
+  * Concurrency: a lost CAS re-runs the WHOLE merge against the new
+  * head (not a metadata-only rebase of stale file sets) — so two
+  * writers hitting the SAME partition serialize correctly: the loser
+  * re-reads the winner's files as its base and re-folds survivors,
+  * instead of resurrecting rows the winner already replaced.
+  * ManifestLakeSpec races two same-partition writers and pins both
+  * updates durable with no duplicated keys.
   *
   * At-least-once replay (the streaming sink): output dirs are unique
   * per (tag, head version) — `data/<tag>-v<n>/`. A crash between write
@@ -57,15 +58,8 @@ object ManifestLake {
     * new files under `data/<tag>/` and committing O(delta) metadata.
     * Returns the committed list version. */
   def mergeCommit(spark: SparkSession, tablePath: String, partCol: String,
-      keyCol: String, delta: DataFrame, tag: String): Int = {
-    val head = Manifest.currentListVersion(spark, tablePath)
-    // unique per (tag, head): a same-head replay overwrites its own
-    // never-committed dir; a post-commit replay gets a fresh dir and
-    // never reads files it is about to overwrite
-    val outDir = s"$tablePath/data/$tag-v${head + 1}"
-    val entries =
-      if (head >= 0) Manifest.readAll(spark, tablePath, head) else Seq.empty
-
+      keyCol: String, delta: DataFrame, tag: String,
+      maxAttempts: Int = 10): Int = {
     val touched: Seq[String] = delta.select(col(partCol)).distinct()
       .collect().map { r =>
         val v = r.get(0)
@@ -76,26 +70,48 @@ object ManifestLake {
       }.toSeq.sorted
     def inTouched(p: String): Boolean =
       touched.exists(v => p.contains(s"/graft_p=$v/"))
-    val removed = entries.map(_.path).filter(inTouched).toSet
 
-    val oldTouched = removed.toSeq.sorted
-    val survivors =
-      if (oldTouched.isEmpty) None
-      else Some(spark.read.parquet(oldTouched: _*)
-        .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti"))
-    val newData = survivors.fold(delta)(s =>
-      s.unionByName(delta, allowMissingColumns = true))
-    newData.withColumn("graft_p", col(partCol))
-      .write.partitionBy("graft_p").mode("overwrite").parquet(outDir)
-    val added = Manifest.collectStats(
-      spark, Manifest.dataFiles(spark, outDir), keyCol)
-    // one manifest per touched partition (Iceberg's partition-aligned
-    // manifests): a later single-partition commit rewrites one manifest
-    // and shares every other partition's by name
-    val groups = added.groupBy(e =>
-      touched.find(v => e.path.contains(s"/graft_p=$v/")))
-      .toSeq.sortBy(_._1).map(_._2)
-    Manifest.commitDeltaGrouped(spark, tablePath, groups, removed)
+    // the WHOLE merge re-runs on a lost CAS — the (added, removed) sets
+    // are derived from the head's files, so a same-partition racer's
+    // commit must be re-read, not overwritten with stale survivors
+    // (commitDeltaGroupedAt pins the attempt to the head we merged
+    // against; its internal rebase would silently resurrect replaced
+    // rows here)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = Manifest.currentListVersion(spark, tablePath)
+      // unique per (tag, head): a same-head replay overwrites its own
+      // never-committed dir; a post-commit replay or CAS retry gets a
+      // fresh dir and never reads files it is about to overwrite
+      val outDir = s"$tablePath/data/$tag-v${head + 1}"
+      val entries =
+        if (head >= 0) Manifest.readAll(spark, tablePath, head) else Seq.empty
+      val removed = entries.map(_.path).filter(inTouched).toSet
+      val oldTouched = removed.toSeq.sorted
+      val survivors =
+        if (oldTouched.isEmpty) None
+        else Some(spark.read.parquet(oldTouched: _*)
+          .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti"))
+      val newData = survivors.fold(delta)(s =>
+        s.unionByName(delta, allowMissingColumns = true))
+      newData.withColumn("graft_p", col(partCol))
+        .write.partitionBy("graft_p").mode("overwrite").parquet(outDir)
+      val added = Manifest.collectStats(
+        spark, Manifest.dataFiles(spark, outDir), keyCol)
+      // one manifest per touched partition (Iceberg's partition-aligned
+      // manifests): a later single-partition commit rewrites one
+      // manifest and shares every other partition's by name
+      val groups = added.groupBy(e =>
+        touched.find(v => e.path.contains(s"/graft_p=$v/")))
+        .toSeq.sortBy(_._1).map(_._2)
+      Manifest.commitDeltaGroupedAt(spark, tablePath, head, groups,
+        removed) match {
+        case Right(v) => return v
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"merge of '$tag' lost $maxAttempts consecutive races at $tablePath")
   }
 
   /** The table as of list `version` (default: current head). An empty

@@ -89,6 +89,27 @@ class ManifestLakeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-partition writer race: loser re-merges, no resurrected rows") {
+    val dir = Files.createTempDirectory("graft-mlake-race").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "b", 1.0), (2L, "b", 2.0), (3L, "b", 3.0)).toDF("k", "p", "v"),
+      "load")
+    // two writers update DIFFERENT keys of the SAME partition from the
+    // same base: whoever loses the CAS must re-read the winner's files,
+    // or the winner's update is silently reverted by stale survivors
+    def writer(tag: String, k: Long, v: Double): Thread = new Thread(() => {
+      ManifestLake.mergeCommit(spark, dir, "p", "k",
+        Seq((k, "b", v)).toDF("k", "p", "v"), tag)
+      ()
+    })
+    val ts = Seq(writer("w1", 1L, 11.0), writer("w2", 2L, 22.0))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(Manifest.currentListVersion(spark, dir) == 2)
+    // both updates durable, survivor intact, and — the resurrection
+    // check — each key appears exactly once
+    assert(table(dir) == Seq((1L, "b", 11.0), (2L, "b", 22.0), (3L, "b", 3.0)))
+  }
+
   test("vacuum deletes only files exclusive to dropped versions") {
     val dir = Files.createTempDirectory("graft-mlake-vacuum").toString
     ManifestLake.mergeCommit(spark, dir, "p", "k",
