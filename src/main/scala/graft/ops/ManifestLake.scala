@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** A table whose membership is defined ONLY by the manifest-list chain
@@ -50,8 +50,85 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * idempotent) and commits an identical-content snapshot, which vacuum
   * retires. Either way the table converges instead of double-counting
   * or dropping survivor rows.
+  *
+  * Merge-on-read deletes ([[deleteWhere]], the Iceberg v2 positional
+  * delete): a DELETE writes only a sidecar of `(file_path, row_index)`
+  * pairs under `deletes/` and commits it as a pure metadata append — at
+  * 100 TB, deleting 0.01% of rows costs O(matched rows), not a rewrite
+  * of every touched terabyte. The read path subtracts positions at scan
+  * time: data files named by no delete vector scan CLEAN (no join at
+  * all); only dirty files pay an anti-join on `(_metadata.file_path,
+  * _metadata.row_index)`, with the delete set broadcast when its
+  * manifest-recorded row count is under `graft.lake.deleteBroadcastMaxRows`
+  * (default 4M — metadata-driven join planning, no data peeked).
+  * [[compactDeletes]] is the read-optimize step: rewrite exactly the
+  * dirty files with their vectors folded in, drop every delete entry,
+  * share every clean file by name. Positions are harvested from rows
+  * LIVE at the commit's head, so vectors never name a position twice
+  * and the delete set stays O(total deleted) across commits.
   */
 object ManifestLake {
+
+  private def isDeleteFile(p: String): Boolean = p.contains("/deletes/")
+
+  // Driver-side clean/dirty classification joins two path DOMAINS that
+  // render the same file differently: `_metadata.file_path` is an
+  // RFC-encoded URI (space → %20), while manifest entries carry
+  // `Path.toString` — the RAW component (space literal, and a literal
+  // `%25` from Spark's partition-value escaping stays `%25`). Each side
+  // gets the decoder for ITS encoding; decoding the raw side would
+  // corrupt literal percent sequences. The executor-side anti-join
+  // compares `_metadata.file_path` against values recorded from
+  // `_metadata.file_path` — same domain, no normalization needed there.
+
+  /** Raw path component of a recorded `_metadata.file_path` URI. */
+  private def metaKey(p: String): String =
+    try new java.net.URI(p).getPath
+    catch { case _: java.net.URISyntaxException => new Path(p).toUri.getPath }
+
+  /** Raw path component of a manifest entry path (identity round-trip:
+    * Path encodes, URI.getPath decodes — raw in, raw out). */
+  private def entryKey(p: String): String = new Path(p).toUri.getPath
+
+  private def withPos(df: DataFrame): DataFrame = df
+    .withColumn("_graft_file", col("_metadata.file_path"))
+    .withColumn("_graft_pos", col("_metadata.row_index"))
+
+  /** Scan of a version's data files with its delete vectors applied.
+    * Clean files (no vector names them) are scanned directly; dirty
+    * files anti-join their positions. `keepMeta` retains the
+    * `_graft_file`/`_graft_pos` address columns for callers that need
+    * row positions (the delete writer itself). */
+  private def morScan(spark: SparkSession, dataEntries: Seq[Manifest.FileEntry],
+      delEntries: Seq[Manifest.FileEntry], keepMeta: Boolean): DataFrame = {
+    require(dataEntries.nonEmpty, "version has no data files")
+    val dataPaths = dataEntries.map(_.path)
+    val full = if (delEntries.isEmpty) {
+      withPos(spark.read.parquet(dataPaths: _*))
+    } else {
+      val dels = spark.read.parquet(delEntries.map(_.path): _*)
+        .select(col("file_path"), col("row_index"))
+      val dirtyKeys = dels.select(col("file_path")).distinct()
+        .collect().map(r => metaKey(r.getString(0))).toSet
+      val (dirty, clean) = dataPaths.partition(p => dirtyKeys.contains(entryKey(p)))
+      val maxBroadcast = spark.conf.getOption("graft.lake.deleteBroadcastMaxRows")
+        .map(_.toLong).getOrElse(4000000L)
+      val delSide =
+        if (delEntries.map(_.rows).sum <= maxBroadcast) broadcast(dels) else dels
+      val dirtyDf =
+        if (dirty.isEmpty) None
+        else Some(withPos(spark.read.parquet(dirty: _*))
+          .join(delSide,
+            col("_graft_file") === col("file_path") &&
+              col("_graft_pos") === col("row_index"),
+            "left_anti"))
+      val cleanDf =
+        if (clean.isEmpty) None
+        else Some(withPos(spark.read.parquet(clean: _*)))
+      (cleanDf ++ dirtyDf).reduce(_ unionByName _)
+    }
+    if (keepMeta) full else full.drop("_graft_file", "_graft_pos")
+  }
 
   /** Merge `delta` (replace-by-key within touched partitions, insert
     * otherwise) into the manifest-list table at `tablePath`, writing
@@ -86,11 +163,16 @@ object ManifestLake {
       val outDir = s"$tablePath/data/$tag-v${head + 1}"
       val entries =
         if (head >= 0) Manifest.readAll(spark, tablePath, head) else Seq.empty
-      val removed = entries.map(_.path).filter(inTouched).toSet
-      val oldTouched = removed.toSeq.sorted
+      val (delEntries, dataEntries) = entries.partition(e => isDeleteFile(e.path))
+      val removed = dataEntries.map(_.path).filter(inTouched).toSet
+      // survivors read through the delete vectors — replacing a
+      // partition must not resurrect its MOR-deleted rows into the
+      // rewritten files (the vectors address the OLD files; the new
+      // files carry the subtraction materialized)
       val survivors =
-        if (oldTouched.isEmpty) None
-        else Some(spark.read.parquet(oldTouched: _*)
+        if (removed.isEmpty) None
+        else Some(morScan(spark, dataEntries.filter(e => removed(e.path)),
+            delEntries, keepMeta = false)
           .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti"))
       val newData = survivors.fold(delta)(s =>
         s.unionByName(delta, allowMissingColumns = true))
@@ -121,7 +203,92 @@ object ManifestLake {
     val v = if (version >= 0) version
       else Manifest.currentListVersion(spark, tablePath)
     require(v >= 0, s"no committed list versions at $tablePath")
-    spark.read.parquet(Manifest.readAll(spark, tablePath, v).map(_.path): _*)
+    val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, v)
+      .partition(e => isDeleteFile(e.path))
+    morScan(spark, dataEntries, delEntries, keepMeta = false)
+  }
+
+  /** Merge-on-read DELETE: write the positions of rows matching
+    * `predicate` (live at the commit head) as a `(file_path, row_index)`
+    * sidecar and commit it as a pure metadata append — no data file is
+    * rewritten or moved, and every prior version reads verbatim.
+    * Returns the committed version, or the unchanged head when the
+    * predicate matches nothing. */
+  def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column,
+      tag: String, maxAttempts: Int = 10): Int = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = Manifest.currentListVersion(spark, tablePath)
+      require(head >= 0, s"no committed list versions at $tablePath")
+      val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, head)
+        .partition(e => isDeleteFile(e.path))
+      val outDir = s"$tablePath/deletes/$tag-v${head + 1}"
+      // harvested from rows LIVE at this head: a position an earlier
+      // vector already names is subtracted before the filter, so it
+      // never recurs — the delete set is O(total deleted), not
+      // O(commits × matches)
+      morScan(spark, dataEntries, delEntries, keepMeta = true)
+        .filter(predicate)
+        .select(col("_graft_file").as("file_path"),
+          col("_graft_pos").as("row_index"))
+        .write.mode("overwrite").parquet(outDir)
+      val added = Manifest.collectStats(spark,
+        Manifest.dataFiles(spark, outDir), "row_index")
+      if (added.map(_.rows).sum == 0L) {
+        fs.delete(new Path(outDir), true)
+        return head
+      }
+      Manifest.commitDeltaGroupedAt(spark, tablePath, head, Seq(added),
+        Set.empty) match {
+        case Right(v) => return v
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"delete '$tag' lost $maxAttempts consecutive races at $tablePath")
+  }
+
+  /** Read-optimize: rewrite exactly the data files some delete vector
+    * names (vectors folded in), drop every delete entry, and share
+    * every clean file by name — restoring join-free scans. Returns the
+    * committed version, or the unchanged head when no vectors exist. */
+  def compactDeletes(spark: SparkSession, tablePath: String, partCol: String,
+      keyCol: String, tag: String, maxAttempts: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = Manifest.currentListVersion(spark, tablePath)
+      require(head >= 0, s"no committed list versions at $tablePath")
+      val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, head)
+        .partition(e => isDeleteFile(e.path))
+      if (delEntries.isEmpty) return head
+      val dirtyKeys = spark.read.parquet(delEntries.map(_.path): _*)
+        .select(col("file_path")).distinct()
+        .collect().map(r => metaKey(r.getString(0))).toSet
+      val dirty = dataEntries.filter(e => dirtyKeys.contains(entryKey(e.path)))
+      val removed = dirty.map(_.path).toSet ++ delEntries.map(_.path)
+      val groups: Seq[Seq[Manifest.FileEntry]] =
+        if (dirty.isEmpty) Seq.empty // only dead vectors — drop, no rewrite
+        else {
+          val outDir = s"$tablePath/data/$tag-v${head + 1}"
+          morScan(spark, dirty, delEntries, keepMeta = false)
+            .withColumn("graft_p", col(partCol))
+            .write.partitionBy("graft_p").mode("overwrite").parquet(outDir)
+          val added = Manifest.collectStats(spark,
+            Manifest.dataFiles(spark, outDir), keyCol)
+          // partition-aligned manifests, same as mergeCommit
+          added.groupBy(e => e.path.replaceAll(".*/graft_p=([^/]*)/.*", "$1"))
+            .toSeq.sortBy(_._1).map(_._2)
+        }
+      Manifest.commitDeltaGroupedAt(spark, tablePath, head, groups,
+        removed) match {
+        case Right(v) => return v
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"compaction '$tag' lost $maxAttempts consecutive races at $tablePath")
   }
 
   /** Drop every list version not in `retain`: delete data files only

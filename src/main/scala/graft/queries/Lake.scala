@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Ctx, QueryDef, T}
-import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, Manifest, ZOrder}
+import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, Manifest, ManifestLake, ZOrder}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -485,8 +485,58 @@ object Lake {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_delete_vectors — merge-on-read DELETE over a manifest-list
+  // table ([[ManifestLake.deleteWhere]]): two successive deletes write
+  // only (file_path, row_index) sidecars — zero data files rewritten,
+  // which at 100 TB is the difference between an O(matched-rows)
+  // metadata commit and re-copying every touched terabyte. The read
+  // subtracts positions at scan time: files no vector names scan clean
+  // (no join); dirty files anti-join a broadcast delete set, the
+  // broadcast decision driven by manifest row counts alone. The oracle
+  // replays both deletes relationally on the original table — also
+  // re-proving that the second delete's live-rows harvest composes with
+  // the first's subtraction (order-independent for disjoint-by-row
+  // predicates, exactly what a WHERE conjunction expresses).
+  private def morOrdersPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val tag = s"orders_mor_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mor/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_MOR_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      ManifestLake.mergeCommit(spark, path, "o_orderpriority", "o_orderkey",
+        T.orders(spark, dir), "load")
+      ManifestLake.deleteWhere(spark, path,
+        col("o_orderkey") % 131 === 0, "d1")
+      ManifestLake.deleteWhere(spark, path,
+        col("o_custkey") % 211 === 0, "d2")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def deleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    ManifestLake.read(spark, morOrdersPath(spark, dir))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val deleteVectorsSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE NOT (o_orderkey % 131 = 0) AND NOT (o_custkey % 211 = 0)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
+    QueryDef("lake_delete_vectors", deleteVectors, Some(deleteVectorsSql)),
     QueryDef("ids_dense_assign", idsAssign, Some(idsAssignSql)),
     QueryDef("scan_zorder_cells", zorderScan, Some(zorderScanSql)),
     QueryDef("lake_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),

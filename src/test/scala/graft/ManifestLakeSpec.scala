@@ -110,6 +110,95 @@ class ManifestLakeSpec extends SparkSpec {
     assert(table(dir) == Seq((1L, "b", 11.0), (2L, "b", 22.0), (3L, "b", 3.0)))
   }
 
+  test("deleteWhere commits metadata only; reads subtract positions; history intact") {
+    val dir = Files.createTempDirectory("graft-mlake-del").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+        .toDF("k", "p", "v"), "load")
+    val v0Files = Manifest.readAll(spark, dir, 0).map(_.path)
+    val v0Stamps = v0Files.map(p =>
+      fs.getFileStatus(new Path(p)).getModificationTime)
+
+    val v1 = ManifestLake.deleteWhere(spark, dir, col("k") % 2 === 1, "d1")
+    assert(v1 == 1)
+    // no data file rewritten or moved — the delete is a sidecar
+    v0Files.zip(v0Stamps).foreach { case (p, t) =>
+      assert(fs.getFileStatus(new Path(p)).getModificationTime == t, p)
+    }
+    val (dels1, data1) = Manifest.readAll(spark, dir, 1)
+      .partition(_.path.contains("/deletes/"))
+    assert(data1.map(_.path).toSet == v0Files.toSet) // files shared by name
+    assert(dels1.map(_.rows).sum == 2) // k=1, k=3
+    assert(table(dir) == Seq((2L, "b", 20.0), (4L, "b", 40.0)))
+    assert(table(dir, 0) == Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0), (4L, "b", 40.0)))
+
+    // second delete harvests from LIVE rows only: k=3 is already gone,
+    // so the new vector names exactly one position (k=2), not two
+    val v2 = ManifestLake.deleteWhere(spark, dir, col("k") <= 3, "d2")
+    assert(v2 == 2)
+    val newDels = Manifest.readAll(spark, dir, 2)
+      .filter(_.path.contains("/deletes/d2-"))
+    assert(newDels.map(_.rows).sum == 1)
+    assert(table(dir) == Seq((4L, "b", 40.0)))
+    // a no-match predicate leaves the chain untouched
+    assert(ManifestLake.deleteWhere(spark, dir, col("k") === 999, "d3") == 2)
+    assert(Manifest.currentListVersion(spark, dir) == 2)
+  }
+
+  test("merge over a partition with delete vectors does not resurrect rows") {
+    val dir = Files.createTempDirectory("graft-mlake-delmerge").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "b", 1.0), (2L, "b", 2.0), (3L, "b", 3.0)).toDF("k", "p", "v"),
+      "load")
+    ManifestLake.deleteWhere(spark, dir, col("k") === 1, "d1")
+    // the merge rewrites partition b: survivors must read THROUGH the
+    // vector, or k=1 rides back in via the rewritten files
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((3L, "b", 33.0)).toDF("k", "p", "v"), "u1")
+    assert(table(dir) == Seq((2L, "b", 2.0), (3L, "b", 33.0)))
+  }
+
+  test("compactDeletes folds vectors into dirty files and shares clean ones") {
+    val dir = Files.createTempDirectory("graft-mlake-compact").toString
+    // coalesce(1): partition b's two rows share ONE data file, so the
+    // delete leaves a survivor in the dirty file and compaction must
+    // rewrite it (not merely drop a fully-dead file)
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v")
+        .coalesce(1),
+      "load")
+    ManifestLake.deleteWhere(spark, dir, col("k") === 3, "d1")
+    val cleanBefore = Manifest.readAll(spark, dir, 1)
+      .map(_.path).filter(_.contains("/graft_p=a/")).toSet
+    assert(cleanBefore.nonEmpty)
+    val v2 = ManifestLake.compactDeletes(spark, dir, "p", "k", "rw")
+    assert(v2 == 2)
+    val after = Manifest.readAll(spark, dir, 2).map(_.path)
+    // no vectors remain; partition a's file carried by name, b's replaced
+    assert(!after.exists(_.contains("/deletes/")))
+    assert(cleanBefore.subsetOf(after.toSet))
+    assert(after.exists(_.contains("/data/rw-v2/")))
+    assert(table(dir) == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    // idempotent when nothing is dirty
+    assert(ManifestLake.compactDeletes(spark, dir, "p", "k", "rw2") == 2)
+  }
+
+  test("delete vectors apply in partitions whose dir name needs URI encoding") {
+    // `_metadata.file_path` is an RFC-encoded URI (space → %20) while
+    // manifest entries carry the raw component — a space-valued
+    // partition catches any single-decoder classification regression
+    // (the dirty file would silently scan clean, resurrecting rows)
+    val dir = Files.createTempDirectory("graft-mlake-enc").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "not specified", 1.0), (2L, "not specified", 2.0))
+        .toDF("k", "p", "v").coalesce(1), "load")
+    ManifestLake.deleteWhere(spark, dir, col("k") === 1, "d1")
+    assert(table(dir) == Seq((2L, "not specified", 2.0)))
+    ManifestLake.compactDeletes(spark, dir, "p", "k", "rw")
+    assert(table(dir) == Seq((2L, "not specified", 2.0)))
+  }
+
   test("vacuum deletes only files exclusive to dropped versions") {
     val dir = Files.createTempDirectory("graft-mlake-vacuum").toString
     ManifestLake.mergeCommit(spark, dir, "p", "k",
