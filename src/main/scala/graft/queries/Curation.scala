@@ -281,6 +281,83 @@ object Curation {
       |GROUP BY split ORDER BY split""".stripMargin
 
   // -------------------------------------------------------------------
+  // curate_split_leakfree — train/val/test split that is CLOSED OVER
+  // NEAR-DUPLICATES: a per-document hash draw (curate_split_hash) leaks
+  // evaluation signal whenever two near-identical docs straddle the
+  // boundary — train memorizes the test doc's twin. The fix is to draw
+  // per CLUSTER: connected components over the simhash near-dup edge
+  // set (the same edges dedup_clusters resolves) give each doc its
+  // cluster representative (singletons are their own rep), and the
+  // md5 draw routes the REP, so a whole near-dup cluster lands in one
+  // split by construction. Still deterministic, disjoint, complete, and
+  // stable under corpus growth — a new doc can only join a cluster and
+  // inherit its (unchanged) rep's draw. The leak audit is computed
+  // HONESTLY, not assumed: near-dup pairs are joined against the
+  // assignment and cross-split pairs counted — the gate proves 0 in
+  // both engines. At 100 TB the marginal cost over the doc-level split
+  // is the CC pass dedup already pays; the draw stays a map-side
+  // projection.
+  private def splitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val pairs = TextOps.nearDupPairs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cc = graft.ops.Graph.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label"))
+    val asg = T.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+      .withColumn("split", {
+        val draw = substring(md5(col("cluster_rep").cast("string")), 1, 2)
+        when(draw < "cc", "train").when(draw < "e6", "val").otherwise("test")
+      })
+    val perSplit = asg.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_rep")).as("n_clusters"),
+        sum(col("n_chars")).as("total_chars"))
+    val leaks = pairs
+      .join(asg.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(asg.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a").as("split"))
+      .agg(count(lit(1)).as("leaked"))
+    perSplit.join(leaks, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("total_chars"),
+        coalesce(col("leaked"), lit(0L)).as("leaked_pairs"))
+      .orderBy(col("split"))
+  }
+
+  private val splitLeakfreeSql = TextOps.nearDupCcCte + """,
+      |ccrep AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep
+      |          FROM reach GROUP BY src),
+      |asg AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |    COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+      |    CASE WHEN substr(md5(CAST(COALESCE(c.cluster_rep, d.doc_id) AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substr(md5(CAST(COALESCE(c.cluster_rep, d.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents d LEFT JOIN ccrep c ON d.doc_id = c.doc_id),
+      |agg AS (
+      |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM asg GROUP BY split),
+      |leaks AS (
+      |  SELECT a.split AS split, CAST(COUNT(*) AS BIGINT) AS leaked
+      |  FROM pairs p
+      |  JOIN asg a ON p.doc_a = a.doc_id
+      |  JOIN asg b2 ON p.doc_b = b2.doc_id
+      |  WHERE a.split <> b2.split
+      |  GROUP BY a.split)
+      |SELECT g.split, g.n_docs, g.n_clusters, g.total_chars,
+      |  CAST(COALESCE(l.leaked, 0) AS BIGINT) AS leaked_pairs
+      |FROM agg g LEFT JOIN leaks l ON g.split = l.split
+      |ORDER BY g.split""".stripMargin
+
+  // -------------------------------------------------------------------
   // curate_length_buckets — padding-efficiency audit for batched
   // inference/training: docs bucketed by power-of-two length class
   // (the standard length-bucketing serving trick), and per bucket the
@@ -407,6 +484,7 @@ object Curation {
     QueryDef("curate_shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
     QueryDef("curate_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("curate_split_hash", splitHash, Some(splitHashSql)),
+    QueryDef("curate_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     QueryDef("curate_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     QueryDef("scan_partition_pruned", partitionPruned, Some(partitionPrunedSql)),
     QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),

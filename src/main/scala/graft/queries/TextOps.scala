@@ -591,6 +591,11 @@ object TextOps {
   // pure map-side array math (whole-stage codegen, no shuffle until the
   // 8-byte-key candidate join) — the SimHash variant is the cheapest dedup
   // at 100 TB: one bigint per doc vs. MinHash's per-band signatures.
+  /** The simhash near-dup edge set, shared with the leakage-free split
+    * in [[Curation]] (same pairs, same recall argument). */
+  private[queries] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    nearSimhash(spark, dir).select(col("doc_a"), col("doc_b"))
+
   private def nearSimhash(spark: SparkSession, dir: String): DataFrame = {
     // Fingerprinting runs as a codegen'd hash aggregate — explode tokens,
     // then 60 conditional ±1 sums (one per bit) with map-side partial
@@ -668,7 +673,9 @@ object TextOps {
 
   // Oracle: recursive reachability over the same (bidirectional) edge set;
   // cluster_rep = min reachable node. Terminates because UNION dedups.
-  private val dedupClustersSql =
+  // The CTE chain through `reach` is shared with curate_split_leakfree's
+  // oracle (same edges, same component semantics).
+  private[queries] val nearDupCcCte =
     """WITH RECURSIVE
       |t AS (SELECT doc_id, string_split(text,' ') AS tokens FROM documents),
       |h AS (SELECT doc_id,
@@ -691,7 +698,9 @@ object TextOps {
       |reach(src, dst) AS (
       |  SELECT DISTINCT doc_a, doc_a FROM edges
       |  UNION
-      |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a)
+      |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a)""".stripMargin
+
+  private val dedupClustersSql = nearDupCcCte + """
       |SELECT src AS doc_id, MIN(dst) AS cluster_rep,
       |  CAST(CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS INT) AS is_survivor
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
