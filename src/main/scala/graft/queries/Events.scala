@@ -170,6 +170,68 @@ object Events {
       |FROM j ORDER BY event_type, hour_start""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_ewma — exponentially time-decayed hourly activity (the
+  // recency-weighted feature a freshness ranker or rate-limiter reads):
+  // ewma_t = Σ_{j=0..23} cnt_{t−j} · 2^{−j} over the SAME dense spine
+  // as events_forward_fill (decay against wall-clock hours, so empty
+  // hours must decay the signal — windowing the sparse frame would
+  // silently skip them). Determinism is by construction, not rounding:
+  // the weights are dyadic (2^{−j}, exactly representable), the counts
+  // are small integers, and every partial sum fits the double mantissa
+  // exactly — so the fold is associative to the bit and both engines
+  // agree regardless of evaluation order. The 24 lag terms share one
+  // window spec → a single window pass at GRID cardinality; raw events
+  // are touched once for the hourly aggregate.
+  private def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hours = hourly.agg(min(col("hour_start")).as("lo"),
+        max(col("hour_start")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("hour_start"))
+    val spine = hours.crossJoin(
+      broadcast(hourly.select(col("event_type")).distinct()))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+    val decayed = (0 until 24).map(j =>
+      coalesce(lag(col("cnt"), j).over(w), lit(0L)).cast("double") *
+        lit(math.pow(0.5, j)))
+    spine.join(hourly, Seq("hour_start", "event_type"), "left")
+      .withColumn("cnt", coalesce(col("n"), lit(0L)))
+      .withColumn("ewma24", decayed.reduce(_ + _))
+      .select(col("event_type"), col("hour_start"), col("cnt"),
+        col("ewma24"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  private val ewmaSql = {
+    val terms = (0 until 24).map { j =>
+      val wj = java.math.BigDecimal.valueOf(0.5).pow(j).toPlainString
+      s"COALESCE(lag(cnt, $j) OVER w, 0) * $wj"
+    }.mkString(" +\n      |    ")
+    s"""WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly),
+      |hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      |  FROM b),
+      |spine AS (
+      |  SELECT hour_start, event_type
+      |  FROM hours, (SELECT DISTINCT event_type FROM hourly) t),
+      |j AS (
+      |  SELECT s.hour_start, s.event_type, COALESCE(n, 0) AS cnt
+      |  FROM spine s LEFT JOIN hourly USING (hour_start, event_type))
+      |SELECT event_type, hour_start, cnt,
+      |  $terms AS ewma24
+      |FROM j
+      |WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+      |ORDER BY event_type, hour_start""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // events_props_extract — JSON-in-string props (B14): typed extraction
   // via from_json, bucketed aggregation over the extracted value.
   private def props(spark: SparkSession, dir: String): DataFrame =
@@ -447,6 +509,7 @@ object Events {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("events_forward_fill", forwardFill, Some(forwardFillSql)),
+    QueryDef("events_ewma", ewma, Some(ewmaSql)),
     QueryDef("events_anomaly_hourly", anomalyHourly, Some(anomalyHourlySql)),
     QueryDef("events_topk_daily", topkDaily, Some(topkDailySql)),
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),
