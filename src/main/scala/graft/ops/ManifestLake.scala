@@ -250,6 +250,35 @@ object ManifestLake {
       s"delete '$tag' lost $maxAttempts consecutive races at $tablePath")
   }
 
+  /** Change feed of a delete-vector commit: the rows version `vNew`'s
+    * NEW vectors (those absent at `vOld`) subtract, materialized by
+    * reading only the new sidecars plus the dirty files they address
+    * and semi-joining on position — CDC without comparing snapshots.
+    * IO is O(vectors + dirty files), not O(table): at 100 TB a
+    * downstream sync consumes a delete commit by reading the sliver it
+    * touched. (Data-file membership changes are [[graft.queries.Lake]]
+    * `lake_snapshot_diff`'s manifest-diff job; this is its MOR dual.) */
+  def deletedRows(spark: SparkSession, tablePath: String,
+      vOld: Int, vNew: Int): DataFrame = {
+    val oldDel = Manifest.readAll(spark, tablePath, vOld)
+      .filter(e => isDeleteFile(e.path)).map(_.path).toSet
+    val (delNew, dataNew) = Manifest.readAll(spark, tablePath, vNew)
+      .partition(e => isDeleteFile(e.path))
+    val fresh = delNew.filterNot(e => oldDel.contains(e.path))
+    require(fresh.nonEmpty, s"no new delete vectors between v$vOld and v$vNew")
+    val dels = spark.read.parquet(fresh.map(_.path): _*)
+      .select(col("file_path"), col("row_index"))
+    val dirtyKeys = dels.select(col("file_path")).distinct()
+      .collect().map(r => metaKey(r.getString(0))).toSet
+    val dirty = dataNew.filter(e => dirtyKeys.contains(entryKey(e.path)))
+    withPos(spark.read.parquet(dirty.map(_.path): _*))
+      .join(broadcast(dels),
+        col("_graft_file") === col("file_path") &&
+          col("_graft_pos") === col("row_index"),
+        "left_semi")
+      .drop("_graft_file", "_graft_pos")
+  }
+
   /** Read-optimize: rewrite exactly the data files some delete vector
     * names (vectors folded in), drop every delete entry, and share
     * every clean file by name — restoring join-free scans. Returns the

@@ -534,9 +534,40 @@ object Lake {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_mor_diff — the change feed of the two delete commits, read
+  // from the DELTA alone: [[ManifestLake.deletedRows]] opens only the
+  // new vector sidecars plus the dirty files they address and
+  // position-semi-joins the subtracted rows back out — CDC for a MOR
+  // delete without comparing snapshots, IO O(delta) (the dual of
+  // lake_snapshot_diff's manifest-diff over CoW membership changes).
+  // The oracle recomputes the same rows as a predicate disjunction on
+  // the original table — proving the vectors name exactly the rows the
+  // two predicates matched, once each, across both commits.
+  private def morDiff(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = morOrdersPath(spark, dir)
+    ManifestLake.deletedRows(spark, path, 0,
+      graft.ops.Manifest.currentListVersion(spark, path))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_deleted"),
+        sum(dec(col("o_totalprice"))).cast("double").as("deleted_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val morDiffSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_deleted,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS deleted_price
+      |FROM orders
+      |WHERE o_orderkey % 131 = 0 OR o_custkey % 211 = 0
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_delete_vectors", deleteVectors, Some(deleteVectorsSql)),
+    QueryDef("lake_mor_diff", morDiff, Some(morDiffSql)),
     QueryDef("ids_dense_assign", idsAssign, Some(idsAssignSql)),
     QueryDef("scan_zorder_cells", zorderScan, Some(zorderScanSql)),
     QueryDef("lake_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),

@@ -184,6 +184,20 @@ class ManifestLakeSpec extends SparkSpec {
     assert(ManifestLake.compactDeletes(spark, dir, "p", "k", "rw2") == 2)
   }
 
+  test("deletedRows change feed reads only new vectors and their dirty files") {
+    val dir = Files.createTempDirectory("graft-mlake-cdc").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v").coalesce(1),
+      "load")
+    ManifestLake.deleteWhere(spark, dir, col("k") === 1, "d1")
+    val feed = ManifestLake.deletedRows(spark, dir, 0, 1)
+    assert(feed.select(col("k"), col("p"), col("v"))
+      .as[(Long, String, Double)].collect().toSeq == Seq((1L, "a", 10.0)))
+    // the untouched partition's file never enters the scan — the feed's
+    // IO is the delta, not the table
+    assert(!feed.inputFiles.exists(_.contains("graft_p=b")))
+  }
+
   test("delete vectors apply in partitions whose dir name needs URI encoding") {
     // `_metadata.file_path` is an RFC-encoded URI (space → %20) while
     // manifest entries carry the raw component — a space-valued
