@@ -32,6 +32,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * carries the directory), so version reads need no basePath gymnastics
   * across per-commit roots. `partCol` must be string-typed and
   * path-safe, the same contract [[CopyOnWrite.merge]] documents.
+  * Because the directory is an internal detail, PARTITION EVOLUTION is
+  * free: later commits may pass a different `partCol` with no rewrite
+  * and no reader-side change (spec-pinned). Caveat: replace-by-
+  * partition granularity matches the partition VALUE embedded in dir
+  * names, so evolved tables should keep value spaces disjoint across
+  * partition columns (prefix the values, as Iceberg disambiguates by
+  * transform id).
   *
   * Concurrency: a lost CAS re-runs the WHOLE merge against the new
   * head (not a metadata-only rebase of stale file sets) — so two
@@ -206,6 +213,24 @@ object ManifestLake {
     val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, v)
       .partition(e => isDeleteFile(e.path))
     morScan(spark, dataEntries, delEntries, keepMeta = false)
+  }
+
+  /** Key-range read with manifest pruning: data files whose
+    * [minKey, maxKey] span misses [lo, hi] never enter the scan —
+    * file-level skipping from metadata alone, composed WITH the delete
+    * vectors (kept in full: a vector addressing a pruned file is a
+    * no-op in the anti-join, never a correctness hazard). The residual
+    * predicate stays the caller's job, same contract as
+    * [[Manifest.prune]]. */
+  def readWhere(spark: SparkSession, tablePath: String, lo: Long, hi: Long,
+      version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version
+      else Manifest.currentListVersion(spark, tablePath)
+    require(v >= 0, s"no committed list versions at $tablePath")
+    val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, v)
+      .partition(e => isDeleteFile(e.path))
+    morScan(spark, Manifest.prune(dataEntries, lo, hi), delEntries,
+      keepMeta = false)
   }
 
   /** Merge-on-read DELETE: write the positions of rows matching

@@ -213,6 +213,44 @@ class ManifestLakeSpec extends SparkSpec {
     assert(table(dir) == Seq((2L, "not specified", 2.0)))
   }
 
+  test("readWhere prunes by manifest key spans and still applies vectors") {
+    val dir = Files.createTempDirectory("graft-mlake-prune").toString
+    // two partitions → disjoint key ranges in separate files
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("k", "p", "v").coalesce(1),
+      "load-a")
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((100L, "b", 1.0), (200L, "b", 2.0)).toDF("k", "p", "v").coalesce(1),
+      "load-b")
+    ManifestLake.deleteWhere(spark, dir, col("k") === 2, "d1")
+    val pruned = ManifestLake.readWhere(spark, dir, 0L, 50L)
+    assert(pruned.select(col("k"), col("p"), col("v"))
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1) ==
+      Seq((1L, "a", 10.0)))
+    // partition b's file is span-pruned out of the scan entirely
+    assert(!pruned.inputFiles.exists(_.contains("graft_p=b")))
+  }
+
+  test("partition evolution: later commits may partition by a different column") {
+    // the partition directory is an internal layout detail (the user
+    // column rides as data), so changing partCol between commits needs
+    // no rewrite and no reader-side reconstruction — Iceberg's
+    // partition-evolution property falls out of the design
+    val dir = Files.createTempDirectory("graft-mlake-evolve").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", "r1", 10.0), (2L, "b", "r1", 20.0))
+        .toDF("k", "p", "region", "v"), "load")
+    // same schema, new partitioning column for the new commit
+    ManifestLake.mergeCommit(spark, dir, "region", "k",
+      Seq((3L, "c", "r2", 30.0)).toDF("k", "p", "region", "v"), "evolved")
+    assert(ManifestLake.read(spark, dir)
+      .select(col("k"), col("p"), col("region"), col("v"))
+      .as[(Long, String, String, Double)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", "r1", 10.0), (2L, "b", "r1", 20.0),
+        (3L, "c", "r2", 30.0)))
+  }
+
   test("vacuum deletes only files exclusive to dropped versions") {
     val dir = Files.createTempDirectory("graft-mlake-vacuum").toString
     ManifestLake.mergeCommit(spark, dir, "p", "k",
