@@ -299,8 +299,11 @@ object Curation {
   // projection.
   private def splitLeakfree(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
+    // the pairs are a fingerprint-memoized disk mirror (built by
+    // whichever of this / dedup_clusters runs first) — both uses below
+    // re-read a tiny parquet, no in-memory persist to leak across the
+    // rest of a suite run
     val pairs = TextOps.nearDupPairs(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cc = graft.ops.Graph.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label"))
     val asg = T.documents(spark, dir).select(col("doc_id"), col("n_chars"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Ctx, QueryDef, T}
+import graft.ops.IncrementalDedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -591,10 +592,27 @@ object TextOps {
   // pure map-side array math (whole-stage codegen, no shuffle until the
   // 8-byte-key candidate join) — the SimHash variant is the cheapest dedup
   // at 100 TB: one bigint per doc vs. MinHash's per-band signatures.
-  /** The simhash near-dup edge set, shared with the leakage-free split
-    * in [[Curation]] (same pairs, same recall argument). */
-  private[queries] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    nearSimhash(spark, dir).select(col("doc_a"), col("doc_b"))
+  /** The simhash near-dup edge set as a fingerprint-memoized disk
+    * mirror — `dedup_clusters` and [[Curation]]'s leakage-free split
+    * both consume these pairs (same edges, same recall argument), and
+    * the fingerprinting pass is the expensive half of either query, so
+    * whoever runs first builds the mirror once and everyone else pays a
+    * tiny parquet read. A regenerated source lands at a fresh
+    * fingerprint and rebuilds (the standard graft mirror contract);
+    * `dedup_near_simhash` itself stays a from-scratch computation — it
+    * is the GATE for pair generation, not a mirror consumer. */
+  private[queries] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val tag = s"pairs_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-neardup/$tag"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      nearSimhash(spark, dir).select(col("doc_a"), col("doc_b"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 
   private def nearSimhash(spark: SparkSession, dir: String): DataFrame = {
     // Fingerprinting runs as a codegen'd hash aggregate — explode tokens,
@@ -664,7 +682,7 @@ object TextOps {
   // count, not on data). At 100 TB this is the standard iterative-CC
   // shape (large-star/small-star refines it; same plan per round).
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearSimhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = nearDupPairs(spark, dir)
     graft.ops.Graph.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .withColumn("is_survivor", (col("doc_id") === col("cluster_rep")).cast("int"))
