@@ -11,6 +11,7 @@ object SparkEntry {
       _root_.graft.queries.Relational.defs ++
       _root_.graft.queries.TextOps.defs ++
       _root_.graft.queries.Similarity.defs ++
+      _root_.graft.queries.Retrieval.defs ++
       _root_.graft.queries.Events.defs ++
       _root_.graft.queries.Functions.defs ++
       _root_.graft.queries.Multimodal.defs ++

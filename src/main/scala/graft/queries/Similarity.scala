@@ -27,7 +27,7 @@ object Similarity {
   /** vectors as array<double> with precomputed L2 norm. All dot products
     * go through the codegen'd VecDot expression (graft.functions.VecExprs)
     * — the interpreted HOF fold was the bench hotspot of this suite. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def vecs(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     graft.functions.VecExprs.register(spark)
     T.embeddings(spark, dir)
