@@ -797,6 +797,101 @@ object Relational {
        |FROM j ORDER BY c_nationkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // sketch_kmv_jaccard — KMV set-OVERLAP estimation (Beyer et al.,
+  // SIGMOD'07 "distinct sampling" / the theta-sketch set-op idea): the
+  // Jaccard and intersection size of two key sets — custkeys with 'F'
+  // orders vs custkeys with 'O' orders — from two bounded k-entry
+  // sketches alone. S_U = bottom-k of S_A ∪ S_B is a uniform sample of
+  // the union's distinct values, so |S_U ∩ S_A ∩ S_B| / |S_U| estimates
+  // J(A,B) and J·est(|A∪B|) estimates |A∩B|.
+  //
+  // At 100 TB this is THE corpus-overlap question ("how much of crawl B
+  // is already in A?") answered by two map-side partial-aggregated
+  // 128-entry buffers instead of a full distinct-join of both key sets;
+  // the exact columns exist here only to audit the error contract, like
+  // the other B19 sketches. Deterministic (bottom-k of a fixed hash), so
+  // the oracle replays it hash-exactly — the estimate columns, the exact
+  // columns, and both error-gate verdicts all match bitwise.
+  private val KmvJK = 128
+
+  private def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    val o = T.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderstatus"),
+        md5(col("o_custkey").cast("string")).as("h"))
+    def sk(status: String, as: String): DataFrame =
+      o.filter(col("o_orderstatus") === status)
+        .agg(expr(s"kmv_bottomk(h, $KmvJK)").as(as),
+          countDistinct(col("o_custkey")).as(s"n_${as.last}"))
+    // exact intersection: distinct-key semi join, audit-only
+    val exInter = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+      .join(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct(),
+        "o_custkey")
+      .agg(count(lit(1)).as("n_inter"))
+    sk("F", "ska").crossJoin(sk("O", "skb")).crossJoin(broadcast(exInter))
+      .withColumn("su",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, KmvJK))
+      .withColumn("k_u", size(col("su")).cast("long"))
+      .withColumn("kth_hash", element_at(col("su"), size(col("su"))))
+      .withColumn("n_common",
+        size(array_intersect(array_intersect(col("su"), col("ska")), col("skb")))
+          .cast("long"))
+      .withColumn("jacc_est",
+        expr("cast(n_common as double) / cast(k_u as double)"))
+      .withColumn("union_est",
+        when(col("k_u") < KmvJK, col("k_u").cast("double"))
+          .otherwise(lit((KmvJK - 1).toDouble) * lit(1152921504606846976.0) /
+            conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")))
+      .withColumn("inter_est", expr("jacc_est * union_est"))
+      .withColumn("jacc_exact",
+        expr("cast(n_inter as double) / cast(n_a + n_b - n_inter as double)"))
+      .withColumn("jacc_ok", expr("abs(jacc_est - jacc_exact) <= 0.1"))
+      .withColumn("inter_ok",
+        expr("abs(inter_est - n_inter) / cast(n_inter as double) <= 0.25"))
+      .select(col("k_u"), col("kth_hash"), col("n_common"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        col("jacc_est"), col("jacc_exact"), col("union_est"), col("inter_est"),
+        col("jacc_ok"), col("inter_ok"))
+  }
+
+  private val kmvJaccardSql =
+    s"""WITH a AS (
+       |  SELECT DISTINCT o_custkey, md5(CAST(o_custkey AS VARCHAR)) AS h
+       |  FROM orders WHERE o_orderstatus = 'F'),
+       |b AS (
+       |  SELECT DISTINCT o_custkey, md5(CAST(o_custkey AS VARCHAR)) AS h
+       |  FROM orders WHERE o_orderstatus = 'O'),
+       |ba AS (SELECT h FROM (
+       |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM a) WHERE r <= $KmvJK),
+       |bb AS (SELECT h FROM (
+       |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM b) WHERE r <= $KmvJK),
+       |su AS (SELECT h FROM (
+       |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+       |  FROM (SELECT h FROM ba UNION SELECT h FROM bb)) WHERE r <= $KmvJK),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_u, MAX(h) AS kth_hash FROM su),
+       |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM su
+       |  WHERE h IN (SELECT h FROM ba) AND h IN (SELECT h FROM bb)),
+       |ex AS (SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a
+       |     WHERE o_custkey IN (SELECT o_custkey FROM b)) AS n_inter),
+       |est AS (
+       |  SELECT k_u, kth_hash, n_common, n_a, n_b, n_inter,
+       |    cast(n_common as double) / cast(k_u as double) AS jacc_est,
+       |    CASE WHEN k_u < $KmvJK THEN CAST(k_u AS DOUBLE)
+       |         ELSE CAST(${KmvJK - 1} AS DOUBLE) * 1152921504606846976.0 /
+       |              CAST('0x' || substr(kth_hash, 1, 15) AS BIGINT) END AS union_est,
+       |    cast(n_inter as double) / cast(n_a + n_b - n_inter as double) AS jacc_exact
+       |  FROM st, cm, ex)
+       |SELECT k_u, kth_hash, n_common, n_a, n_b, n_inter,
+       |  jacc_est, jacc_exact, union_est, jacc_est * union_est AS inter_est,
+       |  abs(jacc_est - jacc_exact) <= 0.1 AS jacc_ok,
+       |  abs(jacc_est * union_est - n_inter) / cast(n_inter as double) <= 0.25 AS inter_ok
+       |FROM est""".stripMargin
+
+  // -------------------------------------------------------------------
   // sketch_countmin_custkey — Count-Min sketch (Cormode & Muthukrishnan
   // 2005) as a pure aggregation: depth 3 × width 128 counters, hash row
   // d of key k = rabin_karp("d:k") mod 128 (the codegen'd polynomial
@@ -1440,6 +1535,7 @@ object Relational {
     QueryDef("salted_join_suppliers", saltedJoinQ, Some(saltedJoinSql)),
     QueryDef("sketch_countmin_custkey", countMin, Some(countMinSql)),
     QueryDef("sketch_kmv_custkey", kmvDistinct, Some(kmvDistinctSql)),
+    QueryDef("sketch_kmv_jaccard", kmvJaccard, Some(kmvJaccardSql)),
     QueryDef("unpivot_lineitem", unpivotQ, Some(unpivotSql)),
     QueryDef("histogram_orders", histogramQ, Some(histogramSql)),
     QueryDef("stats_orders", statsQ, Some(statsSql)),
