@@ -469,6 +469,168 @@ object Manifest {
     deletable ++ droppedManifests
   }
 
+  // -------------------------------------------------------------------
+  // Named refs — branches and tags over the snapshot pool (the Iceberg
+  // refs / Nessie model). A SNAPSHOT is one immutable `m-<uuid>.json`
+  // manifest file naming a complete consistent file set; a REF is a
+  // named pointer at a snapshot. Branches advance, tags are pinned.
+  //
+  // The mutable-pointer problem is solved without ever overwriting a
+  // file: ref state lives at `_manifest/refs/<name>/<seq>.ref` and
+  // "advance" means CAS-publishing seq+1 through the same atomic
+  // no-overwrite rename that arbitrates the version chain — the head is
+  // max(seq), every historical head stays readable, and two racing
+  // advances of one branch can never both win a seq. Fast-forward
+  // publishes share the snapshot FILE by name (zero data or metadata
+  // copied), which makes the write-audit-publish pattern free: stage a
+  // new crawl's files on a branch, run the audit queries against the
+  // branch read, then fast-forward `main` — an atomic, all-or-nothing
+  // publish, with the audit never having touched the serving branch.
+  //
+  // At 100 TB nothing here scales with data: a commit writes one
+  // manifest (delta-sized under the two-level layout) and one ~60-byte
+  // ref file; reads resolve name → seq → snapshot in two metadata ops.
+
+  /** Head of a ref: (seq, snapshot manifest name, kind). None for an
+    * unknown ref. */
+  def refHead(spark: SparkSession, tablePath: String,
+      name: String): Option[(Int, String, String)] = {
+    val dir = new Path(tablePath, s"_manifest/refs/$name")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val S = """(\d+)\.ref""".r
+    val seqs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case S(n) => n.toInt }
+    if (seqs.isEmpty) return None
+    val seq = seqs.max
+    val in = fs.open(new Path(dir, s"$seq.ref"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val R = """\{"kind":"(\w+)","snapshot":"([^"]+)"\}""".r
+    text.trim match {
+      case R(kind, snap) => Some((seq, snap, kind))
+      case _ => None
+    }
+  }
+
+  /** The file set a ref currently names. */
+  def readRef(spark: SparkSession, tablePath: String,
+      name: String): Seq[FileEntry] = {
+    val (_, snap, _) = refHead(spark, tablePath, name).getOrElse(
+      throw new java.io.IOException(s"unknown ref '$name' at $tablePath"))
+    readManifestFile(spark, tablePath, snap)
+  }
+
+  private def writeRefFile(spark: SparkSession, tablePath: String,
+      name: String, seq: Int, kind: String, snapshot: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(tablePath, s"_manifest/refs/$name/$seq.ref")
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent,
+      s".tmp-${java.util.UUID.randomUUID()}.ref")
+    writeBytes(fs, tmp,
+      s"""{"kind":"$kind","snapshot":"$snapshot"}""".getBytes("UTF-8"))
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false); false
+      case _: java.io.IOException if fs.exists(dst) =>
+        fs.delete(tmp, false); false
+    }
+  }
+
+  /** Create a branch at an explicit file set (writes a fresh snapshot).
+    * Fails if the ref already exists. */
+  def createBranch(spark: SparkSession, tablePath: String, name: String,
+      entries: Seq[FileEntry]): String = {
+    require(refHead(spark, tablePath, name).isEmpty,
+      s"ref '$name' already exists")
+    val ref = writeManifestFile(spark, tablePath, entries)
+    if (!writeRefFile(spark, tablePath, name, 0, "branch", ref.name))
+      throw new java.io.IOException(s"lost race creating branch '$name'")
+    ref.name
+  }
+
+  /** Create a branch sharing another ref's current snapshot BY NAME —
+    * no manifest rewritten, no data touched. */
+  def branchFrom(spark: SparkSession, tablePath: String, name: String,
+      from: String): String = {
+    require(refHead(spark, tablePath, name).isEmpty,
+      s"ref '$name' already exists")
+    val (_, snap, _) = refHead(spark, tablePath, from).getOrElse(
+      throw new java.io.IOException(s"unknown ref '$from'"))
+    if (!writeRefFile(spark, tablePath, name, 0, "branch", snap))
+      throw new java.io.IOException(s"lost race creating branch '$name'")
+    snap
+  }
+
+  /** Pin a tag at another ref's current snapshot. Tags never advance:
+    * [[tryAdvanceRef]] refuses them. */
+  def tagFrom(spark: SparkSession, tablePath: String, name: String,
+      from: String): String = {
+    require(refHead(spark, tablePath, name).isEmpty,
+      s"ref '$name' already exists")
+    val (_, snap, _) = refHead(spark, tablePath, from).getOrElse(
+      throw new java.io.IOException(s"unknown ref '$from'"))
+    if (!writeRefFile(spark, tablePath, name, 0, "tag", snap))
+      throw new java.io.IOException(s"lost race creating tag '$name'")
+    snap
+  }
+
+  /** CAS-advance a branch to a NEW snapshot holding `entries`: succeeds
+    * only if `expectedSeq` is still the head. Right(newSeq) wins,
+    * Left(actualSeq) lost — rebase and retry. */
+  def tryAdvanceRef(spark: SparkSession, tablePath: String, name: String,
+      expectedSeq: Int, entries: Seq[FileEntry]): Either[Int, Int] = {
+    val (seq, _, kind) = refHead(spark, tablePath, name).getOrElse(
+      throw new java.io.IOException(s"unknown ref '$name'"))
+    require(kind == "branch", s"ref '$name' is a $kind — tags never advance")
+    if (seq != expectedSeq) return Left(seq)
+    val ref = writeManifestFile(spark, tablePath, entries)
+    if (writeRefFile(spark, tablePath, name, expectedSeq + 1, "branch", ref.name))
+      Right(expectedSeq + 1)
+    else Left(refHead(spark, tablePath, name).map(_._1).getOrElse(seq))
+  }
+
+  /** Retry loop over [[tryAdvanceRef]]: `recompute` rebuilds the entry
+    * list against the head it lost to. */
+  def advanceRefWithRetry(spark: SparkSession, tablePath: String,
+      name: String, maxAttempts: Int = 10)(
+      recompute: Seq[FileEntry] => Seq[FileEntry]): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (seq, _, _) = refHead(spark, tablePath, name).getOrElse(
+        throw new java.io.IOException(s"unknown ref '$name'"))
+      tryAdvanceRef(spark, tablePath, name, seq,
+        recompute(readRef(spark, tablePath, name))) match {
+        case Right(s) => return s
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"ref '$name' advance lost $maxAttempts consecutive races")
+  }
+
+  /** Fast-forward publish: point `name` at `from`'s current snapshot,
+    * SHARING the snapshot file — the write-audit-publish commit. CAS on
+    * the target's head; no manifest rewritten. */
+  def fastForward(spark: SparkSession, tablePath: String, name: String,
+      from: String): Either[Int, Int] = {
+    val (seq, _, kind) = refHead(spark, tablePath, name).getOrElse(
+      throw new java.io.IOException(s"unknown ref '$name'"))
+    require(kind == "branch", s"ref '$name' is a $kind — tags never advance")
+    val (_, snap, _) = refHead(spark, tablePath, from).getOrElse(
+      throw new java.io.IOException(s"unknown ref '$from'"))
+    if (writeRefFile(spark, tablePath, name, seq + 1, "branch", snap))
+      Right(seq + 1)
+    else Left(refHead(spark, tablePath, name).map(_._1).getOrElse(seq))
+  }
+
   /** All data files under `dir`, recursively, skipping `_`/`.` names;
     * empty for a missing directory (e.g. an archive no merge touched). */
   def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
