@@ -80,21 +80,56 @@ object LinkRank {
     spark.table(edgesTable(spark, dir))
   }
 
+  /** Degree SIDECAR next to the edge mirror: (node, deg) materialized
+    * once per edge-mirror build (the name inherits the mirror's source
+    * fingerprints, so a regenerated graph rebuilds both). Two costs it
+    * removes from every pagerank run: the per-session |E|-row degree
+    * aggregation, and the eager `deg.count()` job that fed the
+    * broadcast gate and the 1/|V| constants — |V| now comes off the
+    * sidecar's parquet FOOTERS, a driver-side metadata read of a
+    * handful of files, no Spark job at all. At 100 TB the same move
+    * holds: degree is a vertex property maintained at graph-ingest
+    * time, and |V| is a catalog statistic, not a nightly count query. */
+  private def degSidecar(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val et = edgesTable(spark, dir)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-buckets/${et}_deg"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = success.getFileSystem(conf)
+    if (!fs.exists(success)) {
+      spark.table(et).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    // |V| from footer row counts: metadata-only, driver-side
+    val nV = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally r.close()
+      }.sum
+    (spark.read.parquet(path), nV)
+  }
+
   private def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
     // the iteration state carries (node, deg, rank) — |V| rows — so the
     // per-round contribution is rank/deg computed INSIDE the state and
     // the |E|-row edge list is read as-is from the bucketed mirror: deg
     // is a |V|-sized property, keep it on the |V|-sized side.
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .persist()
-    // |V|, counted once off the persisted degree state. Feeds both the
-    // uniform-init/damping constants (driver-side IEEE divides, same
-    // ops as the oracle's `CAST(0.15 AS DOUBLE)/n`) and the broadcast
-    // gate: a forced hint on a web-scale |V|-row state is a driver OOM,
-    // so over the gate the state joins as a plain shuffle/SMJ against
-    // the co-located bucketed edge scan instead.
-    val nV = deg.count()
+    // deg and |V| from the persisted sidecar: no per-session degree
+    // aggregation, no eager count job. |V| feeds both the uniform-init/
+    // damping constants (driver-side IEEE divides, same ops as the
+    // oracle's `CAST(0.15 AS DOUBLE)/n`) and the broadcast gate: a
+    // forced hint on a web-scale |V|-row state is a driver OOM, so over
+    // the gate the state joins as a plain shuffle/SMJ against the
+    // co-located bucketed edge scan instead.
+    val (deg, nV) = degSidecar(spark, dir)
     val gateMax = spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong
     val gate: DataFrame => DataFrame =
       if (nV <= gateMax) df => df.hint("broadcast") else df => df
