@@ -170,6 +170,74 @@ object Events {
       |FROM j ORDER BY event_type, hour_start""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_rolling_median — median-filtered hourly baseline (the robust
+  // twin of events_anomaly_hourly's mean/σ z-score: one crawler burst
+  // poisons a trailing MEAN for 24 hours, but shifts a trailing MEDIAN
+  // not at all — the baseline a rate-limiter or spike detector should
+  // subtract). Trailing 25-hour window over the SAME dense spine as
+  // events_forward_fill (empty hours are real zeros, so they must enter
+  // the window), emitted only where the window is full.
+  //
+  // Integer-exact by construction: the median of 25 integers is the
+  // 13th order statistic — element_at(array_sort(...), 13) here,
+  // CAST(median(...) AS BIGINT) in DuckDB (interpolation never fires on
+  // an odd count) — and the spike verdict n ≥ 4·med+1 compares
+  // integers. No doubles anywhere. The collect_list window materializes
+  // 25-element arrays at GRID cardinality (types × hours), never over
+  // raw events — the same bounded-state shape as events_ewma.
+  private def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hours = hourly.agg(min(col("hour_start")).as("lo"),
+        max(col("hour_start")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("hour_start"))
+    val spine = hours.crossJoin(
+      broadcast(hourly.select(col("event_type")).distinct()))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(-24, Window.currentRow)
+    spine.join(hourly, Seq("hour_start", "event_type"), "left")
+      .withColumn("cnt", coalesce(col("n"), lit(0L)))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("med",
+        element_at(array_sort(collect_list(col("cnt")).over(w)), 13))
+      .filter(col("k") === 25)
+      .withColumn("is_spike", col("cnt") >= col("med") * 4 + 1)
+      .select(col("event_type"), col("hour_start"), col("cnt"),
+        col("med"), col("is_spike"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  private val rollingMedianSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly),
+      |hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      |  FROM b),
+      |spine AS (
+      |  SELECT hour_start, event_type
+      |  FROM hours, (SELECT DISTINCT event_type FROM hourly) t),
+      |j AS (
+      |  SELECT s.hour_start, s.event_type, COALESCE(n, 0) AS cnt
+      |  FROM spine s LEFT JOIN hourly USING (hour_start, event_type)),
+      |r AS (
+      |  SELECT event_type, hour_start, cnt,
+      |    COUNT(*) OVER w AS k,
+      |    CAST(median(cnt) OVER w AS BIGINT) AS med
+      |  FROM j
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+      |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, hour_start, cnt, med,
+      |  cnt >= med * 4 + 1 AS is_spike
+      |FROM r WHERE k = 25
+      |ORDER BY event_type, hour_start""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_ewma — exponentially time-decayed hourly activity (the
   // recency-weighted feature a freshness ranker or rate-limiter reads):
   // ewma_t = Σ_{j=0..23} cnt_{t−j} · 2^{−j} over the SAME dense spine
@@ -510,6 +578,7 @@ object Events {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("events_forward_fill", forwardFill, Some(forwardFillSql)),
     QueryDef("events_ewma", ewma, Some(ewmaSql)),
+    QueryDef("events_rolling_median", rollingMedian, Some(rollingMedianSql)),
     QueryDef("events_anomaly_hourly", anomalyHourly, Some(anomalyHourlySql)),
     QueryDef("events_topk_daily", topkDaily, Some(topkDailySql)),
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),

@@ -648,6 +648,54 @@ object Relational {
       |  MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ivm_join_delta — incremental maintenance of a JOIN view (the other
+  // half of agg_incremental_merge's never-recompute-the-world story:
+  // that query merges aggregate states under new rows of ONE table;
+  // this one maintains V = O ⋈ L when BOTH sides take deltas). The
+  // algebra: with O = O_b ∪ ΔO and L = L_b ∪ ΔL,
+  //     ΔV  =  ΔO ⋈ L  ∪  O_b ⋈ ΔL
+  // — two delta-driven joins whose probe side is delta-sized (the ΔO⋈ΔL
+  // cross term rides inside ΔO ⋈ L), which is why a 100 TB view costs
+  // O(|Δ| · join) per refresh instead of O(|table| · join). The rows
+  // feed the same decomposable states as the aggregate query (count +
+  // DECIMAL-exact sum), merged null-safely onto the base view's states;
+  // the ORACLE is the flat recompute over the full tables — delta
+  // algebra ≡ recompute, hash-exact.
+  private def ivmJoinDelta(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = T.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val oB = o.filter(col("o_orderkey") % 10 =!= 3)
+    val oD = o.filter(col("o_orderkey") % 10 === 3)
+    val lB = l.filter(col("l_linenumber") % 3 =!= 0)
+    val lD = l.filter(col("l_linenumber") % 3 === 0)
+    def joined(oo: DataFrame, ll: DataFrame): DataFrame =
+      oo.join(ll, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_quantity"))
+    def states(rows: DataFrame, tag: String): DataFrame = rows
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(dec(col("l_quantity"))).as(s"q_$tag"))
+    val base = states(joined(oB, lB), "b")
+    val delta = states(joined(oD, l).unionByName(joined(oB, lD)), "d")
+    val zero = lit(0).cast(DecimalType(28, 2))
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_lines"),
+        (coalesce(col("q_b"), zero) + coalesce(col("q_d"), zero))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val ivmJoinDeltaSql =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   private def approxDistinctCheck(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     T.lineitem(spark, dir)
@@ -1529,6 +1577,7 @@ object Relational {
     QueryDef("subquery_above_avg", aboveAvg, Some(aboveAvgSql)),
     QueryDef("approx_distinct_parts", approxDistinct, None),
     QueryDef("agg_incremental_merge", incrementalAggMerge, Some(incrementalAggMergeSql)),
+    QueryDef("ivm_join_delta", ivmJoinDelta, Some(ivmJoinDeltaSql)),
     QueryDef("audit_expectations", auditExpectations, Some(auditExpectationsSql)),
     QueryDef("approx_distinct_check", approxDistinctCheck, Some(approxDistinctCheckSql)),
     QueryDef("salted_agg_orders", saltedAgg, Some(saltedAggSql)),
