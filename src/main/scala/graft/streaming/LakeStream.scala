@@ -70,4 +70,48 @@ object LakeStream {
       }
       .outputMode("update")
       .start()
+
+  /** Streaming WRITE-AUDIT-PUBLISH: stage each micro-batch as
+    * append-only files under `$tablePath/staged/batch-<id>` and
+    * CAS-advance the named BRANCH ([[Manifest.tryAdvanceRef]]) to a
+    * snapshot including them — the serving branch (`main`) never moves
+    * while the stream runs. Audit queries read the staging branch
+    * ([[Manifest.readRef]]); when they pass, publishing is ONE pointer
+    * move ([[Manifest.fastForward]]) that shares the audited snapshot
+    * file by name — atomic, all-or-nothing, and the audit saw exactly
+    * the bytes being published.
+    *
+    * Replay safety: a replayed batch rewrites the SAME `batch-<id>`
+    * directory (overwrite mode) and the advance drops any entries under
+    * that directory before re-appending — so at-least-once delivery
+    * converges to exactly the staged file set, with no double-append.
+    *
+    * 100 TB shape: per trigger the work is one delta-sized parquet
+    * write + one footer pass over the delta + one ~60-byte ref file;
+    * nothing scales with table size, and the isolation means a bad
+    * crawl never reaches the serving branch — the curation-pipeline
+    * deployment story for continuous ingest. */
+  def startStagedAppend(source: DataFrame, tablePath: String,
+      keyCol: String, checkpoint: String,
+      branch: String = "staging"): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val dir = s"$tablePath/staged/batch-$id"
+        batch.write.mode("overwrite").parquet(dir)
+        val fs = new Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prefix = fs.makeQualified(new Path(dir)).toString
+        val added = Manifest.collectStats(s,
+          Manifest.dataFiles(s, dir), keyCol)
+        Manifest.advanceRefWithRetry(s, tablePath, branch) { cur =>
+          cur.filterNot(e =>
+            fs.makeQualified(new Path(e.path)).toString.startsWith(prefix)) ++
+            added
+        }
+        ()
+      }
+      .outputMode("append")
+      .start()
 }

@@ -12,6 +12,7 @@ class LakeStreamSpec extends SparkSpec {
   import spark.implicits._
 
   case class Rec(k: Long, p: String, v: Double)
+  case class KV(k: Long, v: Long)
 
   test("streaming merges upsert into the partitioned table and converge on replay") {
     val dir = Files.createTempDirectory("graft-lakestream").toString
@@ -58,6 +59,45 @@ class LakeStreamSpec extends SparkSpec {
       assert(snapshot(2) == Seq(
         (1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)))
       assert(snapshot(0) == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("streaming write-audit-publish: batches stage on a branch, main moves only on publish") {
+    import graft.ops.Manifest
+    val dir = Files.createTempDirectory("graft-wapstream").toString
+    val ckpt = Files.createTempDirectory("graft-wapstream-ckpt").toString
+    // base table + refs: main serves, staging takes the stream
+    spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    Manifest.createBranch(spark, dir, "main", Manifest.collectStats(
+      spark, Manifest.dataFiles(spark, s"$dir/data"), "k"))
+    Manifest.branchFrom(spark, dir, "staging", from = "main")
+
+    def refCount(name: String): Long = spark.read
+      .parquet(Manifest.readRef(spark, dir, name).map(_.path): _*).count()
+
+    val mem = MemoryStream[KV](spark)
+    val q = LakeStream.startStagedAppend(mem.toDF(), dir, "k", ckpt)
+    try {
+      mem.addData(KV(100L, 200L), KV(101L, 202L))
+      q.processAllAvailable()
+      mem.addData(KV(102L, 204L))
+      q.processAllAvailable()
+      // every batch advanced staging; main never moved
+      assert(refCount("staging") == 103L)
+      assert(refCount("main") == 100L)
+      assert(Manifest.refHead(spark, dir, "staging").get._1 == 2)
+      assert(Manifest.refHead(spark, dir, "main").get._1 == 0)
+
+      // audit the staging read, then publish: one CAS pointer move
+      // sharing the audited snapshot by name
+      val audited = Manifest.refHead(spark, dir, "staging").get._2
+      assert(spark.read
+        .parquet(Manifest.readRef(spark, dir, "staging").map(_.path): _*)
+        .filter(col("v") =!= col("k") * 2).count() == 0L)
+      assert(Manifest.fastForward(spark, dir, "main", from = "staging").isRight)
+      assert(refCount("main") == 103L)
+      assert(Manifest.refHead(spark, dir, "main").get._2 == audited)
     } finally q.stop()
   }
 }
