@@ -21,8 +21,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * The rewrite fires ONLY when all of:
   *  - the Window computes exactly one expression: a ROW_NUMBER over a
-  *    non-empty ORDER BY (rank/dense_rank admit >k ties — different
-  *    semantics — and extra window exprs would lose columns);
+  *    non-empty PARTITION BY and ORDER BY (rank/dense_rank admit >k
+  *    ties — different semantics — and extra window exprs would lose
+  *    columns). A GLOBAL row_number (no partition) is excluded: its
+  *    top-k is TakeOrderedAndProject's job, and the heap exec's
+  *    clustered distribution has no key to cluster on (empty
+  *    clustering is rejected at execution — surfaced by text_bm25
+  *    under count(), where column pruning drops the rank column and
+  *    the pattern suddenly matches);
   *  - the filter is `rn <= k` / `rn < k+1` / `rn = 1` on that alias,
   *    with a literal int k in (0, 10000] (the heap is groups·k rows of
   *    executor memory — a giant literal k belongs on the sort path);
@@ -65,7 +71,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     case Project(projectList, Filter(cond,
         Window(Seq(al @ Alias(WindowExpression(_: RowNumber,
           WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _)))
-        if order.nonEmpty &&
+        if part.nonEmpty && order.nonEmpty &&
           limitOf(cond, al.exprId).exists(k => k > 0 && k <= MaxK) &&
           projectList.forall(!_.exists {
             case a: Attribute => a.exprId == al.exprId

@@ -44,6 +44,23 @@ class WindowTopKRewriteSpec extends SparkSpec {
     assert(plan.contains("Window") || plan.contains("window"), plan)
   }
 
+  test("global (no-partition) row_number does not rewrite, and count() executes") {
+    // a global window has no clustering key for the heap exec; and under
+    // count(), column pruning drops the rank column from the Project, so
+    // without the part.nonEmpty guard the pattern would suddenly match
+    // (the text_bm25 bench regression)
+    val wg = Window.orderBy(col("v").desc, col("tie"))
+    val idiom = base.withColumn("rank", row_number().over(wg))
+      .filter(col("rank") <= 5).drop("rank")
+    assert(!idiom.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"))
+    assert(idiom.count() == 5L)
+    // the kept-rank spelling (what text_bm25 actually writes) must also
+    // survive count()'s pruning
+    val kept = base.withColumn("rank", row_number().over(wg))
+      .filter(col("rank") <= 5)
+    assert(kept.count() == 5L)
+  }
+
   test("rank/dense_rank do not rewrite (ties admit more than k rows)") {
     val r = base.withColumn("rank", rank().over(w))
       .filter(col("rank") <= 3).drop("rank")
