@@ -170,6 +170,93 @@ object Events {
       |FROM j ORDER BY event_type, hour_start""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_interpolate — LINEAR interpolation across observation gaps,
+  // the step past events_forward_fill's last-value carry: the series is
+  // the hourly mean event value per type, and an hour with no events of
+  // a type is a MISSING observation (unlike a count, where absent means
+  // zero), so a gap interior hour gets prev + (next − prev) ·
+  // elapsed/gap_len. Two window passes over the dense spine carry
+  // (value, epoch-hour) of the nearest observation in each direction —
+  // per-type partitions, grid cardinality, never a window over raw
+  // events. Spine edges (no observation on one side) stay null:
+  // interpolation never extrapolates.
+  //
+  // Cross-engine floats: the observed means are DECIMAL-exact sums
+  // divided once by a count; the interpolation is three IEEE ops on
+  // those exact operands plus an integer hour ratio, spelled in the
+  // same order both engines, rounded 6dp on emit.
+  private def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg((sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as("v"))
+    val hours = hourly.agg(min(col("hour_start")).as("lo"),
+        max(col("hour_start")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("hour_start"))
+    val spine = hours.crossJoin(
+      broadcast(hourly.select(col("event_type")).distinct()))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("hour_start", "event_type"), "left")
+      .withColumn("h", expr("unix_seconds(hour_start) div 3600"))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+      .withColumn("ph",
+        last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+      .withColumn("nh",
+        first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wF))
+      .withColumn("v_interp", round(expr(
+        "CASE WHEN v IS NOT NULL THEN v " +
+          "WHEN pv IS NULL OR nv IS NULL THEN NULL " +
+          "ELSE pv + (nv - pv) * ((h - ph) / (nh - ph)) END"), 6))
+      .withColumn("interpolated", col("v").isNull && col("v_interp").isNotNull)
+      .select(col("event_type"), col("hour_start"),
+        round(col("v"), 6).as("v_obs"), col("v_interp"), col("interpolated"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  private val interpolateSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly),
+      |hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      |  FROM b),
+      |spine AS (
+      |  SELECT hour_start, event_type
+      |  FROM hours, (SELECT DISTINCT event_type FROM hourly) t),
+      |j AS (
+      |  SELECT s.hour_start, s.event_type, v,
+      |    epoch(s.hour_start) // 3600 AS h
+      |  FROM spine s LEFT JOIN hourly USING (hour_start, event_type)),
+      |w AS (
+      |  SELECT event_type, hour_start, v, h,
+      |    last_value(v IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |      OVER wb AS ph,
+      |    first_value(v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |      OVER wf AS nh
+      |  FROM j
+      |  WINDOW
+      |    wb AS (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, hour_start, ROUND(v, 6) AS v_obs,
+      |  ROUND(CASE WHEN v IS NOT NULL THEN v
+      |    WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |    ELSE pv + (nv - pv) * ((h - ph) / (nh - ph)) END, 6) AS v_interp,
+      |  v IS NULL AND (pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+      |FROM w ORDER BY event_type, hour_start""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_rolling_median — median-filtered hourly baseline (the robust
   // twin of events_anomaly_hourly's mean/σ z-score: one crawler burst
   // poisons a trailing MEAN for 24 hours, but shifts a trailing MEDIAN
@@ -577,6 +664,7 @@ object Events {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("events_forward_fill", forwardFill, Some(forwardFillSql)),
+    QueryDef("events_interpolate", interpolate, Some(interpolateSql)),
     QueryDef("events_ewma", ewma, Some(ewmaSql)),
     QueryDef("events_rolling_median", rollingMedian, Some(rollingMedianSql)),
     QueryDef("events_anomaly_hourly", anomalyHourly, Some(anomalyHourlySql)),

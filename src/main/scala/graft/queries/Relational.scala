@@ -649,6 +649,48 @@ object Relational {
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // histogram_equidepth — equi-DEPTH (quantile) histogram over order
+  // totals, the complement of histogram_orders' fixed-width buckets: a
+  // skewed distribution collapses a fixed-width profile into one hot
+  // bucket, while deciles adapt to the mass. Computed the 100 TB way —
+  // NOT a global-sort ntile (a single-partition window is the
+  // anti-pattern PrefixSums exists to kill): pass 1 is one aggregate
+  // producing the 9 interior decile boundaries (exact interpolated
+  // percentile here; percentile_approx's t-digest is the drop-in at raw
+  // scale), pass 2 is a map-side bucket assignment against the
+  // broadcast boundary array + a 10-group aggregate. Ties at a boundary
+  // go LOW (strict > in the rank), matching the SQL spelling; Spark's
+  // `percentile` and DuckDB's `quantile_cont` share linear
+  // interpolation (the fn_percentile_battery parity), so the boundary
+  // doubles — and therefore every bucket id — are bit-identical.
+  private def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    val b = o.agg(expr(
+      "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("bs"))
+    o.crossJoin(broadcast(b))
+      .withColumn("decile",
+        expr("size(filter(bs, x -> o_totalprice > x))").cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("decile"))
+  }
+
+  private val histogramEquidepthSql =
+    """WITH b AS (
+      |  SELECT quantile_cont(o_totalprice,
+      |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      |  FROM orders)
+      |SELECT CAST(len(list_filter(bs, x -> o_totalprice > x)) AS INT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM orders, b
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // ivm_join_delta — incremental maintenance of a JOIN view (the other
   // half of agg_incremental_merge's never-recompute-the-world story:
   // that query merges aggregate states under new rows of ONE table;
@@ -1578,6 +1620,7 @@ object Relational {
     QueryDef("approx_distinct_parts", approxDistinct, None),
     QueryDef("agg_incremental_merge", incrementalAggMerge, Some(incrementalAggMergeSql)),
     QueryDef("ivm_join_delta", ivmJoinDelta, Some(ivmJoinDeltaSql)),
+    QueryDef("histogram_equidepth", histogramEquidepth, Some(histogramEquidepthSql)),
     QueryDef("audit_expectations", auditExpectations, Some(auditExpectationsSql)),
     QueryDef("approx_distinct_check", approxDistinctCheck, Some(approxDistinctCheckSql)),
     QueryDef("salted_agg_orders", saltedAgg, Some(saltedAggSql)),
