@@ -616,6 +616,107 @@ object Manifest {
       s"ref '$name' advance lost $maxAttempts consecutive races")
   }
 
+  private def parseRefFile(fs: FileSystem, p: Path): Option[(String, String)] = {
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val R = """\{"kind":"(\w+)","snapshot":"([^"]+)"\}""".r
+    text.trim match {
+      case R(kind, snap) => Some((kind, snap))
+      case _ => None
+    }
+  }
+
+  /** Delete a ref (branch or tag) — the pointer only; snapshots and
+    * data wait for [[vacuumRefs]]. */
+  def dropRef(spark: SparkSession, tablePath: String, name: String): Unit = {
+    val dir = new Path(tablePath, s"_manifest/refs/$name")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  /** Garbage collection for the refs layer — what [[vacuum]] is to the
+    * version chain. Three passes, all metadata-sized:
+    *  1. trim each ref's seq history to its newest `keepSeqs` files
+    *     (historical heads are replayable state, not data — dropping
+    *     one never orphans a future read that a retained ref serves);
+    *  2. delete `m-*.json` snapshot files that no retained ref seq AND
+    *     no manifest-list version names — the orphans dropped branches
+    *     and lost CAS races leave behind;
+    *  3. delete data files under the caller's `dataRoots` (e.g. the
+    *     streaming WAP's `staged/` area) that nothing retained
+    *     references: not a ref snapshot, not a list version, not a
+    *     single-chain version. Roots OUTSIDE `dataRoots` are never
+    *     touched — shared base data stays however the refs churn.
+    * Returns everything deleted. Deletion is safe against concurrent
+    * commits in the same sense as Iceberg's expire-snapshots: a writer
+    * mid-CAS holds its snapshot name in a seq file only after the
+    * rename lands, so pass 2 can race a commit — run GC from the table
+    * owner, not concurrently with writers racing seq 0. */
+  def vacuumRefs(spark: SparkSession, tablePath: String,
+      dataRoots: Seq[String], keepSeqs: Int = 1): Seq[String] = {
+    require(keepSeqs >= 1, "keepSeqs must retain at least the head")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val refsDir = new Path(tablePath, "_manifest/refs")
+    val mdir = new Path(tablePath, "_manifest")
+    val fs = mdir.getFileSystem(conf)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    val S = """(\d+)\.ref""".r
+
+    // pass 1: trim seq history; collect retained refs' snapshot names
+    val refSnaps = scala.collection.mutable.Set[String]()
+    if (fs.exists(refsDir)) fs.listStatus(refsDir).foreach { rd =>
+      if (rd.isDirectory) {
+        val seqs = fs.listStatus(rd.getPath).toSeq
+          .flatMap(st => st.getPath.getName match {
+            case S(n) => Some(n.toInt -> st.getPath)
+            case _ => None
+          }).sortBy(-_._1)
+        seqs.drop(keepSeqs).foreach { case (_, p) =>
+          fs.delete(p, false); deleted += p.toString
+        }
+        seqs.take(keepSeqs).foreach { case (_, p) =>
+          parseRefFile(fs, p).foreach { case (_, snap) => refSnaps += snap }
+        }
+      }
+    }
+
+    // retained list-chain + version-chain references
+    val listVs = listVersions(spark, tablePath)
+    val listRefs = listVs.flatMap(v => readList(spark, tablePath, v))
+    val listSnaps = listRefs.map(_.name).toSet
+    val chainEntries = versions(spark, tablePath)
+      .flatMap(v => read(spark, tablePath, v))
+
+    // pass 2: orphan snapshot manifests
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("m-") && n.endsWith(".json") &&
+          !refSnaps.contains(n) && !listSnaps.contains(n)) {
+        fs.delete(st.getPath, false); deleted += st.getPath.toString
+      }
+    }
+
+    // pass 3: unreferenced data files under the managed roots
+    val referenced: Set[String] =
+      (refSnaps.toSeq.flatMap(readManifestFile(spark, tablePath, _)) ++
+        listRefs.flatMap(r => readManifestFile(spark, tablePath, r.name)) ++
+        chainEntries).map(e => entryKeyOf(fs, e.path)).toSet
+    dataRoots.foreach { root =>
+      dataFiles(spark, root)
+        .filterNot(f => referenced.contains(entryKeyOf(fs, f)))
+        .foreach { f =>
+          fs.delete(new Path(f), false); deleted += f
+        }
+    }
+    deleted.toSeq
+  }
+
+  /** Scheme-insensitive comparison key (manifests may hold qualified
+    * or bare paths depending on the writer). */
+  private def entryKeyOf(fs: FileSystem, p: String): String =
+    fs.makeQualified(new Path(p)).toUri.getPath
+
   /** Fast-forward publish: point `name` at `from`'s current snapshot,
     * SHARING the snapshot file — the write-audit-publish commit. CAS on
     * the target's head; no manifest rewritten. */

@@ -86,6 +86,43 @@ class ManifestRefSpec extends SparkSpec {
       Manifest.readRef(spark, dir, "main").map(_.path): _*).count() == 300L)
   }
 
+  test("vacuumRefs deletes only what no retained ref, list, or chain references") {
+    val (dir, base) = freshTable(200)
+    Manifest.createBranch(spark, dir, "main", base)
+
+    // an abandoned experiment: extra files staged under the managed
+    // root, referenced only by the tmp branch
+    spark.range(200, 260).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/staged/x")
+    val staged = Manifest.collectStats(spark,
+      Manifest.dataFiles(spark, s"$dir/staged/x"), "k")
+    Manifest.createBranch(spark, dir, "tmp", base ++ staged)
+
+    // while tmp lives, its files and snapshot are retained
+    assert(Manifest.vacuumRefs(spark, dir, Seq(s"$dir/staged")).isEmpty)
+    assert(Manifest.dataFiles(spark, s"$dir/staged/x").nonEmpty)
+
+    // dropping the branch orphans them: GC removes the staged files and
+    // tmp's snapshot manifest, and main still reads in full
+    Manifest.dropRef(spark, dir, "tmp")
+    val deleted = Manifest.vacuumRefs(spark, dir, Seq(s"$dir/staged"))
+    assert(deleted.exists(_.contains("/staged/")), deleted)
+    assert(deleted.exists(_.contains("m-")), deleted)
+    assert(Manifest.dataFiles(spark, s"$dir/staged").isEmpty)
+    assert(spark.read.parquet(
+      Manifest.readRef(spark, dir, "main").map(_.path): _*).count() == 200L)
+
+    // seq-history trim: advance main twice, keepSeqs=1 drops seqs 0..1
+    // and their snapshots but never the head's
+    val d = writeDelta(dir, 300, 320)
+    Manifest.advanceRefWithRetry(spark, dir, "main")(cur => cur ++ d)
+    Manifest.advanceRefWithRetry(spark, dir, "main")(cur => cur)
+    val trimmed = Manifest.vacuumRefs(spark, dir, Seq(s"$dir/staged"))
+    assert(trimmed.count(_.endsWith(".ref")) == 2, trimmed)
+    assert(spark.read.parquet(
+      Manifest.readRef(spark, dir, "main").map(_.path): _*).count() == 220L)
+  }
+
   test("write-audit-publish: stage on a branch, audit, fast-forward main atomically") {
     val (dir, base) = freshTable(300)
     Manifest.createBranch(spark, dir, "main", base)
