@@ -92,6 +92,109 @@ object Manifest {
   def prune(entries: Seq[FileEntry], lo: Long, hi: Long): Seq[FileEntry] =
     entries.filter(e => e.maxKey >= lo && e.minKey <= hi)
 
+  // -------------------------------------------------------------------
+  // Multi-key stats — the manifest grain of the Z-ORDER story. A
+  // Morton-clustered file carries a TIGHT [min,max] span on EVERY
+  // interleaved dimension (a linear sort serves only its leading key:
+  // every file's span on a secondary column is the full domain, and
+  // secondary-dimension pruning keeps everything). Harvesting one span
+  // per key column lets a 2-D box query drop whole FILES driver-side —
+  // the grain between the zcell directory pruning and the in-file
+  // row-group skipping that `scan_zorder_cells`/ZOrderSpec already
+  // prove. Same one footer pass; the span list just grows by one
+  // (lo, hi) per dimension.
+
+  /** Per-file spans of several int64 key columns; missing/null column
+    * chunks degrade to the conservative full span per dimension. */
+  final case class FileEntryN(path: String, bytes: Long, rows: Long,
+      spans: Seq[(Long, Long)])
+
+  def collectStatsN(spark: SparkSession, files: Seq[String],
+      keyCols: Seq[String]): Seq[FileEntryN] = {
+    import spark.implicits._
+    require(keyCols.nonEmpty, "collectStatsN needs at least one key column")
+    if (files.isEmpty) return Seq.empty
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val keys = keyCols // avoid closing over `this`
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), confB.value.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala
+          val allChunks = blocks.flatMap(_.getColumns.asScala)
+          val spans = keys.map { k =>
+            val chunks = allChunks.filter(_.getPath.toDotString == k)
+            val good = chunks.flatMap { c =>
+              scala.util.Try {
+                val st = c.getStatistics
+                if (st != null && st.hasNonNullValue)
+                  Some((st.genericGetMin.asInstanceOf[Number].longValue,
+                    st.genericGetMax.asInstanceOf[Number].longValue))
+                else None
+              }.toOption.flatten
+            }
+            if (good.isEmpty) (Long.MinValue, Long.MaxValue)
+            else (good.map(_._1).min, good.map(_._2).max)
+          }
+          (f, allChunks.map(_.getTotalSize).sum,
+            blocks.map(_.getRowCount).sum, spans)
+        } finally r.close()
+      }
+      .collect()
+      .map { case (p, b, n, s) => FileEntryN(p, b, n, s) }
+      .toSeq.sortBy(_.path)
+  }
+
+  /** Files whose span intersects the box on EVERY dimension — a file
+    * survives only if no dimension disqualifies it. */
+  def pruneN(entries: Seq[FileEntryN],
+      boxes: Seq[(Long, Long)]): Seq[FileEntryN] =
+    entries.filter { e =>
+      require(e.spans.size == boxes.size,
+        s"entry has ${e.spans.size} spans, box has ${boxes.size} dims")
+      e.spans.zip(boxes).forall { case ((mn, mx), (lo, hi)) =>
+        mx >= lo && mn <= hi
+      }
+    }
+
+  private def manifestPathN(tablePath: String, version: Int) =
+    new Path(tablePath, s"_manifest/n$version.json")
+
+  def writeN(spark: SparkSession, tablePath: String, version: Int,
+      entries: Seq[FileEntryN]): Unit = {
+    val body = entries.map { e =>
+      val spans = e.spans.map { case (lo, hi) => s"[$lo,$hi]" }
+        .mkString("[", ",", "]")
+      s"""{"path":"${e.path}","bytes":${e.bytes},""" +
+        s""""rows":${e.rows},"spans":$spans}""" + "\n"
+    }.mkString.getBytes("UTF-8")
+    val p = manifestPathN(tablePath, version)
+    writeBytes(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, body)
+  }
+
+  def readN(spark: SparkSession, tablePath: String,
+      version: Int): Seq[FileEntryN] = {
+    val p = manifestPathN(tablePath, version)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Line = ("""\{"path":"(.*)","bytes":(\d+),"rows":(\d+),""" +
+      """"spans":\[(.*)\]\}""").r
+    val Span = """\[(-?\d+),(-?\d+)\]""".r
+    text.split('\n').filter(_.nonEmpty).toSeq.map {
+      case Line(p0, b, n, ss) =>
+        val spans = Span.findAllMatchIn(ss)
+          .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+        FileEntryN(p0, b.toLong, n.toLong, spans)
+    }
+  }
+
   private def manifestPath(tablePath: String, version: Int) =
     new Path(tablePath, s"_manifest/v$version.json")
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Ctx, QueryDef, T}
 import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, Manifest, ManifestLake, ZOrder}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -432,6 +432,76 @@ object Lake {
       |ORDER BY o_orderstatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // lake_zorder_prune — FILE-level 2-D pruning: the grain between
+  // scan_zorder_cells' directory pruning and ZOrderSpec's row-group
+  // skipping. The orders mirror is sorted by the full 32-bit Morton
+  // code of (o_orderkey, o_custkey) and split into fixed-size files, so
+  // EVERY file carries a tight span on BOTH dimensions; the manifest
+  // harvests one span per dimension ([[Manifest.collectStatsN]]) and a
+  // box query keeps only files intersecting on ALL of them — driver
+  // arithmetic, zero data reads. Against a linear o_orderkey sort the
+  // same box prunes NOTHING on the custkey side (every file's secondary
+  // span is the full domain — the ManifestSpec pin); interleaving is
+  // what makes multi-dimension stats tight. Residual predicate keeps
+  // the answer exact however coarse the spans; the oracle is the plain
+  // 2-D filter on the unmirrored table.
+  private val ZpKeyLo = 1000L; private val ZpKeyHi = 4000L
+  private val ZpCustLo = 200L; private val ZpCustHi = 700L
+
+  private def zorderPruneTable(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val tag = s"orders_z2_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-manifest/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_manifest/n0.json")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val o = T.orders(spark, dir)
+      val Row(kLo: Long, kHi: Long, cLo: Long, cHi: Long) = o.agg(
+        min(col("o_orderkey")), max(col("o_orderkey")),
+        min(col("o_custkey")), max(col("o_custkey"))).head()
+      val rows = o.count()
+      ZOrder.withZ(o, col("o_orderkey"), col("o_custkey"), kLo, kHi, cLo, cHi)
+        .repartitionByRange(8, col("z32"))
+        .sortWithinPartitions(col("z32"))
+        .drop("zcell", "z32")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", math.max(rows / 16, 256L))
+        .parquet(path)
+      Manifest.writeN(spark, path, 0, Manifest.collectStatsN(
+        spark, Manifest.dataFiles(spark, path),
+        Seq("o_orderkey", "o_custkey")))
+    }
+    path
+  }
+
+  private def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = zorderPruneTable(spark, dir)
+    val entries = Manifest.readN(spark, path, 0)
+    val picked = Manifest.pruneN(entries,
+      Seq((ZpKeyLo, ZpKeyHi), (ZpCustLo, ZpCustHi))).map(_.path)
+    val base =
+      if (picked.nonEmpty) spark.read.parquet(picked: _*)
+      else spark.read.parquet(path).filter(lit(false))
+    base
+      .filter(col("o_orderkey").between(ZpKeyLo, ZpKeyHi) &&
+        col("o_custkey").between(ZpCustLo, ZpCustHi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val zorderPruneSql =
+    s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       |FROM orders
+       |WHERE o_orderkey BETWEEN $ZpKeyLo AND $ZpKeyHi
+       |  AND o_custkey BETWEEN $ZpCustLo AND $ZpCustHi
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
   // lake_time_travel — versioned reads over the copy-on-write table:
   // the merge runs in ARCHIVE mode (replaced partition dirs are renamed
   // aside, never deleted — data files stay immutable), and manifests v0
@@ -574,6 +644,7 @@ object Lake {
     QueryDef("lake_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("meta_parquet_stats", parquetStats, Some(parquetStatsSql)),
     QueryDef("lake_manifest_prune", manifestPrune, Some(manifestPruneSql)),
+    QueryDef("lake_zorder_prune", zorderPrune, Some(zorderPruneSql)),
     QueryDef("lake_time_travel", timeTravel, Some(timeTravelSql))
   )
 }

@@ -35,6 +35,52 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.prune(entries, 5000, 6000).isEmpty)
   }
 
+  test("2-D spans: Morton layout prunes on both dims; linear layout cannot prune the secondary") {
+    import graft.ops.ZOrder
+    val base = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"),
+      col("id").as("v"))
+
+    def layout(dir: String, sortCols: Seq[org.apache.spark.sql.Column]) = {
+      base.repartitionByRange(8, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite").option("maxRecordsPerFile", 256)
+        .parquet(dir)
+      Manifest.collectStatsN(spark, Manifest.dataFiles(spark, dir),
+        Seq("x", "y"))
+    }
+    val zDir = Files.createTempDirectory("graft-z2-morton").toString
+    val linDir = Files.createTempDirectory("graft-z2-linear").toString
+    val zEntries = layout(zDir,
+      Seq(ZOrder.morton(col("x"), col("y"))))
+    val linEntries = layout(linDir, Seq(col("x")))
+    assert(zEntries.size >= 8 && linEntries.size >= 8)
+
+    // JSON round-trip
+    Manifest.writeN(spark, zDir, 0, zEntries)
+    assert(Manifest.readN(spark, zDir, 0) == zEntries)
+
+    // a box tight in BOTH dims: the Morton layout drops most files; the
+    // linear layout prunes on x but a Y-ONLY box keeps every file (each
+    // x-sorted file spans the whole y domain)
+    val box = Seq((8L, 23L), (8L, 23L))
+    val zKept = Manifest.pruneN(zEntries, box)
+    assert(zKept.size < zEntries.size / 2, s"${zKept.size}/${zEntries.size}")
+    val yOnly = Seq((Long.MinValue, Long.MaxValue), (8L, 23L))
+    assert(Manifest.pruneN(linEntries, yOnly).size == linEntries.size)
+    assert(Manifest.pruneN(zEntries, yOnly).size < zEntries.size)
+
+    // pruned read + residual ≡ full filter
+    val got = spark.read.parquet(zKept.map(_.path): _*)
+      .filter(col("x").between(8, 23) && col("y").between(8, 23))
+      .agg(count(lit(1)), sum(col("v"))).head()
+    val want = base
+      .filter(col("x").between(8, 23) && col("y").between(8, 23))
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(got == want)
+  }
+
   test("vacuum deletes archives only when the last referencing manifest is dropped") {
     import graft.ops.CopyOnWrite
     import spark.implicits._
