@@ -115,6 +115,89 @@ object Events {
       |ORDER BY user_id, session_seq""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_scd2_state — slowly-changing-dimension type-2 build from the
+  // event stream: per user, consecutive runs of the same event_type
+  // collapse into one validity interval [valid_from, valid_to) with a
+  // dense version number and an is_current flag (valid_to NULL = open).
+  // This is the CDC→dimension-history shape every warehouse needs
+  // (reference csv_2_db_pipeline's upsert keeps only the LATEST row per
+  // key — SCD2 is the "keep the whole history queryable" upgrade), and
+  // the natural batch twin of transformWithState's per-key state
+  // timeline. Point-in-time lookups against the result are the as-of
+  // join (`join_asof_events`).
+  //
+  // 100 TB shape: two window passes over the SAME (user_id → ts,
+  // event_id) ordering — one shuffle, one sort, both windows pipelined
+  // in a single stage; per-user run-lengths bound the state. No
+  // self-join against "the next change" (the O(n²) naive spelling).
+  private def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2Sql =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, event_type FROM r
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_type, ts AS valid_from, lead(ts) OVER w AS valid_to,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM runs
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  // -------------------------------------------------------------------
+  // events_user_timeline — per-user training-sequence assembly: the
+  // chronological interaction history as ONE array column per user
+  // (the "conversation / behavior sequence" input shape for sequence
+  // models). Determinism trick: collect_list is partition-order-
+  // dependent, so the elements carry their own (ts, event_id) sort key
+  // inside a struct and sort_array orders them AFTER the shuffle —
+  // order-independent aggregation, reproducible on any cluster. The
+  // emitted columns stay scalar-comparable for the oracle: sequence
+  // length, first/last step, and the joined type path.
+  //
+  // 100 TB shape: one hash aggregate on user_id (no window, no sort of
+  // the whole table); per-user arrays bound memory by the per-key
+  // history length, the same contract as any sessionizer. A hot user
+  // falls to AQE or the ops/Skew salting primitives.
+  private def timeline(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")))).as("steps"))
+      .select(col("user_id"),
+        size(col("steps")).cast("long").as("n_steps"),
+        col("steps")(0)("event_type").as("first_type"),
+        element_at(col("steps"), -1)("event_type").as("last_type"),
+        array_join(expr("transform(steps, s -> s.event_type)"), ">")
+          .as("type_path"))
+      .orderBy(col("user_id"))
+
+  private val timelineSql =
+    """WITH t AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(len(types) AS BIGINT) AS n_steps,
+      |  types[1] AS first_type, types[-1] AS last_type,
+      |  list_aggregate(types, 'string_agg', '>') AS type_path
+      |FROM t ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_forward_fill — gap-filled hourly series with forward fill:
   // the monitoring-dashboard shape (a metric stream must emit a value
   // for EVERY bucket; an empty hour repeats the last observation, a
@@ -672,6 +755,8 @@ object Events {
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),
     QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
     QueryDef("events_session", session, Some(sessionSql)),
+    QueryDef("events_scd2_state", scd2, Some(scd2Sql)),
+    QueryDef("events_user_timeline", timeline, Some(timelineSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
     QueryDef("events_variant_extract", variantExtract, Some(variantExtractSql)),
     QueryDef("events_variant_stored", variantStored, Some(variantStoredSql)),
