@@ -160,6 +160,54 @@ object Events {
       |ORDER BY user_id, version""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_cdc_apply — CDC-log compaction: materialize the final
+  // snapshot from an ordered op log with DELETE tombstones (the Kafka
+  // log-compaction / Debezium-apply semantics — the "apply the change
+  // stream to get current state" half of the lake family, where
+  // `lake_merge_upsert` is the file-level twin and `lake_mor_diff`
+  // emits the log). Op mapping over the events stream: 'error' rows are
+  // tombstones, everything else upserts `value`. Last writer per key by
+  // (ts, event_id) wins; a key whose LAST op is a tombstone vanishes
+  // from the snapshot entirely — the semantics a plain
+  // last-value-per-key groupBy gets wrong (it would resurrect the
+  // pre-delete value).
+  //
+  // 100 TB shape: one shuffle on the key; ONE window pass computes both
+  // the winner (row_number) and the op count (count over the unframed
+  // partition) — no self-join of log against log, no global sort.
+  private def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))).cast("long"))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("value").as("last_value"),
+        col("ts").as("updated_at"), col("n_ops"))
+      .orderBy(col("user_id"))
+  }
+
+  private val cdcApplySql =
+    """WITH log AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts, op, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+      |  FROM log)
+      |SELECT user_id, value AS last_value, ts AS updated_at, n_ops
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_user_timeline — per-user training-sequence assembly: the
   // chronological interaction history as ONE array column per user
   // (the "conversation / behavior sequence" input shape for sequence
@@ -756,6 +804,7 @@ object Events {
     QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
     QueryDef("events_session", session, Some(sessionSql)),
     QueryDef("events_scd2_state", scd2, Some(scd2Sql)),
+    QueryDef("events_cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("events_user_timeline", timeline, Some(timelineSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
     QueryDef("events_variant_extract", variantExtract, Some(variantExtractSql)),

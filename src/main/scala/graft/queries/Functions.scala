@@ -352,7 +352,67 @@ object Functions {
       |  CAST(COUNT(e) AS BIGINT) AS n_elem_ok
       |FROM b GROUP BY m ORDER BY m""".stripMargin
 
+  // -------------------------------------------------------------------
+  // fn_array_battery — the higher-order array surface (B16's collection
+  // half): collect_list→sort_array (order-independent array build),
+  // aggregate (fold), zip_with + reverse (positional pairing), filter,
+  // element_at (±index), array_contains, sequence, flatten, slice —
+  // all integer-exact, all codegen-friendly lambdas over SMALL per-row
+  // arrays (≤7 lineitems per order — the interpreted-HOF rule from
+  // SCALE.md holds: per-row work is O(array), never O(corpus)). The
+  // oracle never mirrors the array functions: DuckDB REPLAYS each
+  // quantity relationally (self-join for the reversed pairing, closed
+  // forms for the sequence fold), so a Spark HOF bug cannot hide behind
+  // an identical oracle bug.
+  private def arrayBattery(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    T.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber").cast("long"))).as("arr"))
+      .select(
+        col("l_orderkey"),
+        size(col("arr")).cast("long").as("n"),
+        expr("aggregate(arr, 0L, (acc, x) -> acc + x)").as("sum_ln"),
+        expr("""aggregate(zip_with(arr, reverse(arr), (x, y) -> x * y),
+                0L, (acc, x) -> acc + x)""").as("dot_rev"),
+        expr("size(filter(arr, x -> x % 2 = 0))").cast("long").as("n_even"),
+        element_at(col("arr"), 1).as("ln_min"),
+        element_at(col("arr"), -1).as("ln_max"),
+        expr("array_contains(arr, 3L)").as("has3"),
+        expr("""aggregate(sequence(1L, cast(size(arr) as long)),
+                0L, (acc, x) -> acc + x * x)""").as("sq_pyramid"),
+        size(flatten(array(col("arr"), slice(col("arr"), 1, 2))))
+          .cast("long").as("n_flat2"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val arrayBatterySql =
+    """WITH b AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |    CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+      |      AS BIGINT) AS i,
+      |    CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n
+      |  FROM lineitem WHERE l_orderkey % 97 = 0),
+      |p AS (
+      |  SELECT a.l_orderkey, a.ln, a.n, r.ln AS rev
+      |  FROM b a JOIN b r
+      |    ON a.l_orderkey = r.l_orderkey AND r.i = a.n + 1 - a.i)
+      |SELECT l_orderkey,
+      |  CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(SUM(ln) AS BIGINT) AS sum_ln,
+      |  CAST(SUM(ln * rev) AS BIGINT) AS dot_rev,
+      |  CAST(SUM(CASE WHEN ln % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+      |  MIN(ln) AS ln_min,
+      |  MAX(ln) AS ln_max,
+      |  bool_or(ln = 3) AS has3,
+      |  CAST(MAX(n) * (MAX(n) + 1) * (2 * MAX(n) + 1) // 6 AS BIGINT)
+      |    AS sq_pyramid,
+      |  CAST(MAX(n) + LEAST(MAX(n), 2) AS BIGINT) AS n_flat2
+      |FROM p GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_array_battery", arrayBattery, Some(arrayBatterySql)),
     QueryDef("fn_try_battery", tryBattery, Some(tryBatterySql)),
     QueryDef("fn_null_battery", nullBattery, Some(nullBatterySql)),
     QueryDef("fn_percentile_battery", percentileBattery, Some(percentileBatterySql)),
