@@ -624,8 +624,16 @@ object Manifest {
     readManifestFile(spark, tablePath, snap)
   }
 
+  /** Ref names become path components under `_manifest/refs/` — reject
+    * separators and dot-traversal so a name can never address outside
+    * the refs directory (and stays regex-parseable in the ref file). */
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*") && !name.contains(".."),
+      s"invalid ref name '$name': use [A-Za-z0-9._-], no leading dot")
+
   private def writeRefFile(spark: SparkSession, tablePath: String,
       name: String, seq: Int, kind: String, snapshot: String): Boolean = {
+    requireRefName(name)
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(tablePath, s"_manifest/refs/$name/$seq.ref")
     val fs = dst.getFileSystem(conf)
@@ -733,6 +741,7 @@ object Manifest {
   /** Delete a ref (branch or tag) — the pointer only; snapshots and
     * data wait for [[vacuumRefs]]. */
   def dropRef(spark: SparkSession, tablePath: String, name: String): Unit = {
+    requireRefName(name)
     val dir = new Path(tablePath, s"_manifest/refs/$name")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)

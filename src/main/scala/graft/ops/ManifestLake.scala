@@ -296,8 +296,15 @@ object ManifestLake {
     val dirtyKeys = dels.select(col("file_path")).distinct()
       .collect().map(r => metaKey(r.getString(0))).toSet
     val dirty = dataNew.filter(e => dirtyKeys.contains(entryKey(e.path)))
+    // same metadata gate as morScan: one commit can still delete
+    // billions of rows, and a forced broadcast of a data-sized delete
+    // set is a driver OOM — fall to a shuffled semi-join past the cap
+    val maxBroadcast = spark.conf.getOption("graft.lake.deleteBroadcastMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val delSide =
+      if (fresh.map(_.rows).sum <= maxBroadcast) broadcast(dels) else dels
     withPos(spark.read.parquet(dirty.map(_.path): _*))
-      .join(broadcast(dels),
+      .join(delSide,
         col("_graft_file") === col("file_path") &&
           col("_graft_pos") === col("row_index"),
         "left_semi")

@@ -559,6 +559,11 @@ object TextOps {
     IncrementalDedup.ensureIndex(corpus, spark, path)
     val idx = IncrementalDedup.readIndex(spark, path)
     val known = IncrementalDedup.candidatesOn(idx, IncrementalDedup.indexBucket)
+    // the broadcast is deliberate and bounded BY CONTRACT: an ingest
+    // tick's delta is small relative to the corpus (that asymmetry is
+    // the whole point of the persisted index), and broadcasting it is
+    // what lets the bucket join dynamically prune the index partitions
+    // (PlanSpec). A corpus-sized "delta" is a rebuild, not an increment.
     val fresh = IncrementalDedup.newCandidatesOn(
       idx, broadcast(delta), IncrementalDedup.indexBucket)
     known.unionByName(fresh).orderBy(col("doc_a"), col("doc_b"))
