@@ -26,9 +26,25 @@ import org.apache.spark.sql.functions._
   * (tiny) matched-posting subset only, because the `term IN (...)` filter
   * prunes the exploded token stream map-side. The vector arm broadcasts
   * one probe against the corpus (a map-side scan), exactly like
-  * ann_cosine_topk.
+  * ann_cosine_topk. Every global ranking derives from
+  * `orderBy().limit(k)` (TakeOrderedAndProject — bounded heaps, O(k)
+  * memory) with row_number applied to the k survivors only; no
+  * corpus-sized single-partition window anywhere.
   */
 object Retrieval {
+
+  /** Global top-k WITH a rank column, without the corpus-sized
+    * single-partition window `row_number() OVER (ORDER BY …)` plans to
+    * (the exact shape WindowTopKRewrite refuses to capture because no
+    * partition key bounds it): `orderBy(…).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition bounded heaps merged on the
+    * driver, O(k) memory anywhere — and the row_number window then runs
+    * over exactly k rows. Identical output to rank-then-filter under
+    * the same (unique-tie-break) total order. */
+  private def topKRanked(df: DataFrame, k: Int, rankCol: String,
+      order: org.apache.spark.sql.Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn(rankCol, row_number().over(Window.orderBy(order: _*)))
 
   /** Fixed query term set: one rare high-idf term ("dup", df≈25/500 at
     * sf0.01) plus two common terms — exercises the idf spread. */
@@ -91,10 +107,8 @@ object Retrieval {
   // -------------------------------------------------------------------
   // text_bm25 — top-20 documents for the fixed query under BM25.
   private def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("u").desc, col("doc_id"))
-    bm25Units(spark, dir)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
+    topKRanked(bm25Units(spark, dir), 20, "rank",
+      col("u").desc, col("doc_id"))
       .select(col("doc_id"), col("n_terms"),
         round(col("u").cast("double") / lit(1e6), 6).as("bm25"), col("rank"))
       .orderBy(col("rank"))
@@ -114,20 +128,19 @@ object Retrieval {
   // arms that retrieved the doc (k=60, Cormode-standard). Integer
   // throughout — rank fusion needs no floats.
   private def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val wl = Window.orderBy(col("u").desc, col("doc_id"))
-    val lex = bm25Units(spark, dir)
-      .withColumn("r_lex", row_number().over(wl))
-      .filter(col("r_lex") <= 50)
+    val lex = topKRanked(bm25Units(spark, dir), 50, "r_lex",
+      col("u").desc, col("doc_id"))
       .select(col("doc_id"), col("r_lex"))
     val e = Similarity.vecs(spark, dir)
     val q = e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("nrm").as("qn"))
-    val wv = Window.orderBy(col("cosine").desc, col("vec_id"))
-    val vec = e.crossJoin(broadcast(q))
+    val scored = e.crossJoin(broadcast(q))
       .withColumn("cosine", expr("vec_dot(v, qv)") / (col("nrm") * col("qn")))
-      .withColumn("r_vec", row_number().over(wv))
-      .filter(col("r_vec") <= 50)
+    val vec = topKRanked(scored, 50, "r_vec",
+      col("cosine").desc, col("vec_id"))
       .select(col("vec_id").as("doc_id"), col("r_vec"))
+    // the fused frame holds ≤100 rows (two k=50 arms) — the plain
+    // window is bounded here by construction
     val wr = Window.orderBy(col("rrf_units").desc, col("doc_id"))
     lex.join(vec, Seq("doc_id"), "full_outer")
       .withColumn("rrf_units",

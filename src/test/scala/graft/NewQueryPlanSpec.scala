@@ -46,4 +46,12 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(1200))
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"))
   }
+
+  test("text_bm25: global ranking bounded by TakeOrderedAndProject, not a corpus window") {
+    assume(new java.io.File(sf).isDirectory)
+    val p = executedPlan("text_bm25")
+    // the heap-bounded top-k runs UNDER the k-row rank window: the sort
+    // the window sees is over limit(k) output, never the scored corpus
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }
