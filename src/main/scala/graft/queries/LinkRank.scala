@@ -322,7 +322,12 @@ object LinkRank {
 
   private def hits(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).filter(col("src") % 2 === 0)
-    val hubs0 = e.select(col("src").as("node")).distinct().persist()
+    // hub seed off the |V|-sized degree SIDECAR (a node appears there
+    // iff it has an out-edge, so filtering even src is exactly the
+    // distinct src of the even-src half) — not a distinct shuffle over
+    // the |E| mirror; the count job is |V|-sized too
+    val hubs0 = degSidecar(spark, dir)._1
+      .filter(col("node") % 2 === 0).select(col("node")).persist()
     val nC = hubs0.count()
     val gateMax =
       spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong
