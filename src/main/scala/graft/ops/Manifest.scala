@@ -760,14 +760,19 @@ object Manifest {
     *     references: not a ref snapshot, not a list version, not a
     *     single-chain version. Roots OUTSIDE `dataRoots` are never
     *     touched — shared base data stays however the refs churn.
-    * Returns everything deleted. Deletion is safe against concurrent
-    * commits in the same sense as Iceberg's expire-snapshots: a writer
-    * mid-CAS holds its snapshot name in a seq file only after the
-    * rename lands, so pass 2 can race a commit — run GC from the table
-    * owner, not concurrently with writers racing seq 0. */
+    * Returns everything deleted. Concurrency: a writer mid-CAS holds
+    * its snapshot name in a seq file only after the rename lands, so
+    * passes 2/3 could race a commit. `minAgeMs` is the expire-snapshots
+    * defense: snapshots and staged files younger than the grace window
+    * are never GC'd, so set it above the max plausible commit latency
+    * when writers may be live (0 = trust single-ownership, the spec
+    * default). */
   def vacuumRefs(spark: SparkSession, tablePath: String,
-      dataRoots: Seq[String], keepSeqs: Int = 1): Seq[String] = {
+      dataRoots: Seq[String], keepSeqs: Int = 1,
+      minAgeMs: Long = 0L): Seq[String] = {
     require(keepSeqs >= 1, "keepSeqs must retain at least the head")
+    require(minAgeMs >= 0L, "minAgeMs must be non-negative")
+    val graceCutoff = System.currentTimeMillis() - minAgeMs
     val conf = spark.sparkContext.hadoopConfiguration
     val refsDir = new Path(tablePath, "_manifest/refs")
     val mdir = new Path(tablePath, "_manifest")
@@ -800,11 +805,17 @@ object Manifest {
     val chainEntries = versions(spark, tablePath)
       .flatMap(v => read(spark, tablePath, v))
 
-    // pass 2: orphan snapshot manifests
+    // pass 2: orphan snapshot manifests. The grace window is the
+    // expire-snapshots defense against live writers: a committer
+    // between writeManifestFile and its ref CAS holds a snapshot no
+    // ref names yet — skipping manifests younger than minAgeMs (set it
+    // above the max plausible commit latency) makes that window safe
+    // instead of a documented race.
     if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("m-") && n.endsWith(".json") &&
-          !refSnaps.contains(n) && !listSnaps.contains(n)) {
+          !refSnaps.contains(n) && !listSnaps.contains(n) &&
+          st.getModificationTime <= graceCutoff) {
         fs.delete(st.getPath, false); deleted += st.getPath.toString
       }
     }
@@ -818,7 +829,12 @@ object Manifest {
       dataFiles(spark, root)
         .filterNot(f => referenced.contains(entryKeyOf(fs, f)))
         .foreach { f =>
-          fs.delete(new Path(f), false); deleted += f
+          val p = new Path(f)
+          // same grace as pass 2: a mid-commit writer's staged files
+          // are unreferenced only until its CAS lands
+          if (fs.getFileStatus(p).getModificationTime <= graceCutoff) {
+            fs.delete(p, false); deleted += f
+          }
         }
     }
     deleted.toSeq

@@ -123,6 +123,31 @@ class ManifestRefSpec extends SparkSpec {
       Manifest.readRef(spark, dir, "main").map(_.path): _*).count() == 220L)
   }
 
+  test("vacuumRefs grace window: young orphans survive, old ones collect") {
+    val (dir, base) = freshTable(40)
+    Manifest.createBranch(spark, dir, "main", base)
+    // orphan a snapshot + staged files (the mid-commit writer shape:
+    // manifest and data written, ref CAS not yet landed)
+    spark.range(40, 60).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/staged/y")
+    val staged = Manifest.collectStats(spark,
+      Manifest.dataFiles(spark, s"$dir/staged/y"), "k")
+    Manifest.createBranch(spark, dir, "tmp", base ++ staged)
+    Manifest.dropRef(spark, dir, "tmp")
+
+    // a one-hour grace window spares everything just written...
+    assert(Manifest.vacuumRefs(spark, dir, Seq(s"$dir/staged"),
+      minAgeMs = 3600L * 1000).isEmpty)
+    assert(Manifest.dataFiles(spark, s"$dir/staged/y").nonEmpty)
+
+    // ...and the default window collects the same orphans
+    val deleted = Manifest.vacuumRefs(spark, dir, Seq(s"$dir/staged"))
+    assert(deleted.exists(_.contains("/staged/")), deleted)
+    assert(deleted.exists(_.contains("m-")), deleted)
+    assert(spark.read.parquet(
+      Manifest.readRef(spark, dir, "main").map(_.path): _*).count() == 40L)
+  }
+
   test("write-audit-publish: stage on a branch, audit, fast-forward main atomically") {
     val (dir, base) = freshTable(300)
     Manifest.createBranch(spark, dir, "main", base)
