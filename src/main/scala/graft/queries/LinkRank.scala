@@ -116,46 +116,89 @@ object LinkRank {
     (spark.read.parquet(path), nV)
   }
 
-  private def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** One damped power-iteration round over the bucketed edge mirror —
+    * the shared step of the fixed-count gate query and the
+    * convergence-mode scale path. The iteration state carries (node,
+    * deg, rank) — |V| rows — so the per-round contribution is rank/deg
+    * computed INSIDE the state and the |E|-row edge list is read as-is
+    * from the mirror: deg is a |V|-sized property, keep it on the
+    * |V|-sized side. The broadcast gate: a forced hint on a web-scale
+    * |V|-row state is a driver OOM, so over the gate the state joins as
+    * a plain shuffle/SMJ against the co-located bucketed edge scan. */
+  private def prStep(e: DataFrame, deg: DataFrame, nV: Long,
+      gate: DataFrame => DataFrame)(ranks: DataFrame): DataFrame = {
+    val contrib = e
+      .join(gate(ranks), col("src") === col("node"))
+      .select(col("dst"),
+        floor(col("rank") / col("deg") * lit(Unit)).cast("long").as("units"))
+      .groupBy(col("dst")).agg(sum(col("units")).as("u"))
+    contrib
+      .join(gate(deg), col("dst") === col("node"))
+      .select(col("node"), col("deg"),
+        // driver-side 0.15/nV, NOT lit(1-Damping)/nn: 1.0-0.85 in IEEE
+        // is 0.15000000000000002, while Scala's 0.15 literal and the
+        // oracle's CAST(0.15 AS DOUBLE) are both the nearest double to
+        // 0.15 — and the / nV divide is the same IEEE op both sides
+        (lit(0.15 / nV) +
+          lit(Damping) * (col("u").cast("double") / lit(Unit))).as("rank"))
+  }
+
+  /** `rounds` fixed power rounds from the uniform start. deg and |V|
+    * come off the persisted sidecar: no per-session degree aggregation,
+    * no eager count job. */
+  private[graft] def powerState(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     val e = edges(spark, dir)
-    // the iteration state carries (node, deg, rank) — |V| rows — so the
-    // per-round contribution is rank/deg computed INSIDE the state and
-    // the |E|-row edge list is read as-is from the bucketed mirror: deg
-    // is a |V|-sized property, keep it on the |V|-sized side.
-    // deg and |V| from the persisted sidecar: no per-session degree
-    // aggregation, no eager count job. |V| feeds both the uniform-init/
-    // damping constants (driver-side IEEE divides, same ops as the
-    // oracle's `CAST(0.15 AS DOUBLE)/n`) and the broadcast gate: a
-    // forced hint on a web-scale |V|-row state is a driver OOM, so over
-    // the gate the state joins as a plain shuffle/SMJ against the
-    // co-located bucketed edge scan instead.
     val (deg, nV) = degSidecar(spark, dir)
     val gateMax = spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong
     val gate: DataFrame => DataFrame =
       if (nV <= gateMax) df => df.hint("broadcast") else df => df
     var ranks = deg.select(col("node"), col("deg"), lit(1.0 / nV).as("rank"))
-    for (_ <- 1 to Iters) {
-      val contrib = e
-        .join(gate(ranks), col("src") === col("node"))
-        .select(col("dst"),
-          floor(col("rank") / col("deg") * lit(Unit)).cast("long").as("units"))
-        .groupBy(col("dst")).agg(sum(col("units")).as("u"))
-      ranks = contrib
-        .join(gate(deg), col("dst") === col("node"))
-        .select(col("node"), col("deg"),
-          // driver-side 0.15/nV, NOT lit(1-Damping)/nn: 1.0-0.85 in IEEE
-          // is 0.15000000000000002, while Scala's 0.15 literal and the
-          // oracle's CAST(0.15 AS DOUBLE) are both the nearest double to
-          // 0.15 — and the / nV divide is the same IEEE op both sides
-          (lit(0.15 / nV) +
-            lit(Damping) * (col("u").cast("double") / lit(Unit))).as("rank"))
+    for (_ <- 1 to rounds) ranks = prStep(e, deg, nV, gate)(ranks)
+    ranks
+  }
+
+  /** Convergence mode — the production stopping rule the fixed-count
+    * gate deliberately avoids (a data-dependent round count cannot be
+    * CTE-replayed by the oracle): iterate until the L1 rank movement
+    * `Σ|units_t − units_{t−1}|` (int64 1e-15 units — exact, order-
+    * independent) drops to `l1Units`, or `maxRounds`. Costs one extra
+    * |V|-sized join + 1-row aggregate per round; state is
+    * localCheckpointed so the plan never grows with the round count.
+    * Returns (final state, rounds run). GraphSpec pins bit-equality
+    * with [[powerState]] at the returned round count — the stopping
+    * rule changes WHEN you stop, never what a round computes. */
+  def pagerankConverged(spark: SparkSession, dir: String,
+      l1Units: Long = 1000000000L, maxRounds: Int = 50): (DataFrame, Int) = {
+    val e = edges(spark, dir)
+    val (deg, nV) = degSidecar(spark, dir)
+    val gateMax = spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong
+    val gate: DataFrame => DataFrame =
+      if (nV <= gateMax) df => df.hint("broadcast") else df => df
+    var ranks = deg.select(col("node"), col("deg"), lit(1.0 / nV).as("rank"))
+      .localCheckpoint()
+    var round = 0
+    while (round < maxRounds) {
+      val next = prStep(e, deg, nV, gate)(ranks).localCheckpoint()
+      round += 1
+      val moved = next.select(col("node"),
+          floor(col("rank") * lit(Unit)).cast("long").as("nu"))
+        .join(ranks.select(col("node"),
+          floor(col("rank") * lit(Unit)).cast("long").as("ou")), "node")
+        .agg(sum(abs(col("nu") - col("ou")))).first().getLong(0)
+      ranks = next
+      if (moved <= l1Units) return (ranks, round)
     }
-    ranks.filter(col("node") % 2 === 1)
+    (ranks, round)
+  }
+
+  private def pagerank(spark: SparkSession, dir: String): DataFrame =
+    powerState(spark, dir, Iters)
+      .filter(col("node") % 2 === 1)
       .select(concat(lit("s"), expr("node div 2")).as("node"),
         col("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
-  }
 
   /** The power iteration unrolled to CTEs, one block per round —
     * mirrors the Spark loop step for step. */

@@ -691,6 +691,49 @@ object Relational {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // histogram_equidepth_approx — the RAW-SCALE variant of the above:
+  // decile bounds from the mergeable quantile SKETCH (percentile_approx
+  // / approx_quantile — bounded state, partial/final aggregation, no
+  // per-group value buffer), gated the B19 way: sketches aren't
+  // bit-reproducible cross-engine, so each engine buckets by its OWN
+  // sketch bounds and checks its OWN bucket masses against the
+  // equi-depth contract (every decile holds 10% ± 3pp of rows), and the
+  // CONTRACT VERDICT is what must agree. Integer-exact check:
+  // |100·n − 10·n_tot| ≤ 3·n_tot.
+  private def histogramEquidepthApprox(spark: SparkSession,
+      dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val o = T.orders(spark, dir)
+    val b = o.agg(
+      expr("percentile_approx(o_totalprice, " +
+        "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("bs"),
+      count(lit(1)).as("n_tot"))
+    o.crossJoin(broadcast(b))
+      .withColumn("decile",
+        expr("size(filter(bs, x -> o_totalprice > x))").cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), first(col("n_tot")).as("n_tot"))
+      .select(col("decile"),
+        (abs(lit(100) * col("n") - lit(10) * col("n_tot")) <=
+          lit(3) * col("n_tot")).as("mass_ok"))
+      .orderBy(col("decile"))
+  }
+
+  private val histogramEquidepthApproxSql =
+    """WITH b AS (
+      |  SELECT approx_quantile(o_totalprice,
+      |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tot
+      |  FROM orders),
+      |g AS (
+      |  SELECT CAST(len(list_filter(bs, x -> o_totalprice > x)) AS INT)
+      |      AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n, MAX(n_tot) AS n_tot
+      |  FROM orders, b GROUP BY 1)
+      |SELECT decile, (abs(100 * n - 10 * n_tot) <= 3 * n_tot) AS mass_ok
+      |FROM g ORDER BY decile""".stripMargin
+
+  // -------------------------------------------------------------------
   // ivm_join_delta — incremental maintenance of a JOIN view (the other
   // half of agg_incremental_merge's never-recompute-the-world story:
   // that query merges aggregate states under new rows of ONE table;
@@ -1621,6 +1664,8 @@ object Relational {
     QueryDef("agg_incremental_merge", incrementalAggMerge, Some(incrementalAggMergeSql)),
     QueryDef("ivm_join_delta", ivmJoinDelta, Some(ivmJoinDeltaSql)),
     QueryDef("histogram_equidepth", histogramEquidepth, Some(histogramEquidepthSql)),
+    QueryDef("histogram_equidepth_approx", histogramEquidepthApprox,
+      Some(histogramEquidepthApproxSql)),
     QueryDef("audit_expectations", auditExpectations, Some(auditExpectationsSql)),
     QueryDef("approx_distinct_check", approxDistinctCheck, Some(approxDistinctCheckSql)),
     QueryDef("salted_agg_orders", saltedAgg, Some(saltedAggSql)),

@@ -72,4 +72,29 @@ class GraphSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("pagerank convergence mode: stops under cap, bit-equal to the fixed loop") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    import graft.queries.LinkRank
+    // the damped iteration contracts by ~0.85/round, so movement under
+    // 5% of total mass (5e13 of 1e15 units) lands near round
+    // ln(0.05)/ln(0.85) ≈ 19 — comfortably inside the cap
+    val (converged, rounds) =
+      LinkRank.pagerankConverged(spark, sf, l1Units = 50000000000000L,
+        maxRounds = 30)
+    assert(rounds < 30, s"no convergence in $rounds rounds")
+    // the stopping rule changes WHEN you stop, never what a round
+    // computes: replaying the fixed loop for the same count must agree
+    // to the bit
+    val fixed = LinkRank.powerState(spark, sf, rounds)
+    val a = converged.select("node", "rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = fixed.select("node", "rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    // damped mass conservation (within the per-edge floor quantization)
+    val mass = a.values.sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass $mass")
+  }
 }
