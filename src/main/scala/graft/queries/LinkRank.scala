@@ -363,7 +363,33 @@ object LinkRank {
   // totals are 1-row broadcasts, never a driver collect.
   private val HitsIters = 2
 
-  private def hits(spark: SparkSession, dir: String): DataFrame = {
+  /** One HITS round: authority half-step then hub half-step, both
+    * int64-quantized and L1-normalized by a 1-row broadcast. Shared by
+    * the fixed-count gate query and [[hitsConverged]]. */
+  private def hitsStep(e: DataFrame, gate: DataFrame => DataFrame)(
+      h: DataFrame): (DataFrame, DataFrame) = {
+    val araw = e.join(gate(h), col("src") === col("node"))
+      .select(col("dst"),
+        floor(col("h") * lit(1e12)).cast("long").as("units"))
+      .groupBy(col("dst")).agg(sum(col("units")).as("araw"))
+    val atot = araw.agg(sum(col("araw")).as("tot"))
+    val a = araw.crossJoin(broadcast(atot))
+      .select(col("dst").as("node"),
+        (col("araw").cast("double") / col("tot").cast("double")).as("a"))
+    val hraw = e.join(gate(a), col("dst") === col("node"))
+      .select(col("src"),
+        floor(col("a") * lit(1e12)).cast("long").as("units"))
+      .groupBy(col("src")).agg(sum(col("units")).as("hraw"))
+    val htot = hraw.agg(sum(col("hraw")).as("tot"))
+    val h2 = hraw.crossJoin(broadcast(htot))
+      .select(col("src").as("node"),
+        (col("hraw").cast("double") / col("tot").cast("double")).as("h"))
+    (a, h2)
+  }
+
+  /** `rounds` fixed HITS rounds; returns the authority state. */
+  private[graft] def hitsState(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     val e = edges(spark, dir).filter(col("src") % 2 === 0)
     // hub seed off the |V|-sized degree SIDECAR (a node appears there
     // iff it has an out-edge, so filtering even src is exactly the
@@ -378,29 +404,53 @@ object LinkRank {
       if (nC <= gateMax) df => df.hint("broadcast") else df => df
     var h = hubs0.select(col("node"), lit(1.0 / nC).as("h"))
     var a: DataFrame = null
-    for (_ <- 1 to HitsIters) {
-      val araw = e.join(gate(h), col("src") === col("node"))
-        .select(col("dst"),
-          floor(col("h") * lit(1e12)).cast("long").as("units"))
-        .groupBy(col("dst")).agg(sum(col("units")).as("araw"))
-      val atot = araw.agg(sum(col("araw")).as("tot"))
-      a = araw.crossJoin(broadcast(atot))
-        .select(col("dst").as("node"),
-          (col("araw").cast("double") / col("tot").cast("double")).as("a"))
-      val hraw = e.join(gate(a), col("dst") === col("node"))
-        .select(col("src"),
-          floor(col("a") * lit(1e12)).cast("long").as("units"))
-        .groupBy(col("src")).agg(sum(col("units")).as("hraw"))
-      val htot = hraw.agg(sum(col("hraw")).as("tot"))
-      h = hraw.crossJoin(broadcast(htot))
-        .select(col("src").as("node"),
-          (col("hraw").cast("double") / col("tot").cast("double")).as("h"))
+    for (_ <- 1 to rounds) {
+      val (a2, h2) = hitsStep(e, gate)(h)
+      a = a2; h = h2
     }
-    a.select(concat(lit("s"), expr("node div 2")).as("node"),
+    a
+  }
+
+  /** Convergence mode, same contract as [[pagerankConverged]]: iterate
+    * until the int64 L1 HUB movement (the slower-settling side of the
+    * alternation) drops to `l1Units` of the 1e12-unit mass, or
+    * `maxRounds`. GraphSpec pins bit-equality of the authority state
+    * with [[hitsState]] at the returned round count. */
+  def hitsConverged(spark: SparkSession, dir: String,
+      l1Units: Long = 10000000000L, maxRounds: Int = 50): (DataFrame, Int) = {
+    val e = edges(spark, dir).filter(col("src") % 2 === 0)
+    val hubs0 = degSidecar(spark, dir)._1
+      .filter(col("node") % 2 === 0).select(col("node")).persist()
+    val nC = hubs0.count()
+    val gateMax =
+      spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong
+    val gate: DataFrame => DataFrame =
+      if (nC <= gateMax) df => df.hint("broadcast") else df => df
+    var h = hubs0.select(col("node"), lit(1.0 / nC).as("h")).localCheckpoint()
+    var a: DataFrame = null
+    var round = 0
+    while (round < maxRounds) {
+      val (a2, h2raw) = hitsStep(e, gate)(h)
+      val h2 = h2raw.localCheckpoint()
+      a = a2
+      round += 1
+      val moved = h2.select(col("node"),
+          floor(col("h") * lit(1e12)).cast("long").as("nu"))
+        .join(h.select(col("node"),
+          floor(col("h") * lit(1e12)).cast("long").as("ou")), "node")
+        .agg(sum(abs(col("nu") - col("ou")))).first().getLong(0)
+      h = h2
+      if (moved <= l1Units) return (a, round)
+    }
+    (a, round)
+  }
+
+  private def hits(spark: SparkSession, dir: String): DataFrame =
+    hitsState(spark, dir, HitsIters)
+      .select(concat(lit("s"), expr("node div 2")).as("node"),
         col("a").as("authority"))
       .orderBy(col("authority").desc, col("node"))
       .limit(20)
-  }
 
   /** The two HITS rounds unrolled to CTEs, one a/h half-step pair per
     * round — mirrors the Spark loop step for step. */

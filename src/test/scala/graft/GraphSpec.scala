@@ -97,4 +97,22 @@ class GraphSpec extends SparkSpec {
     val mass = a.values.sum
     assert(math.abs(mass - 1.0) < 1e-3, s"rank mass $mass")
   }
+
+  test("HITS convergence mode: stops under cap, authority bit-equal to the fixed loop") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    import graft.queries.LinkRank
+    // hub movement under 1% of the 1e12-unit mass
+    val (converged, rounds) =
+      LinkRank.hitsConverged(spark, sf, l1Units = 10000000000L, maxRounds = 30)
+    assert(rounds < 30, s"no convergence in $rounds rounds")
+    val fixed = LinkRank.hitsState(spark, sf, rounds)
+    val got = converged.select("node", "a").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = fixed.select("node", "a").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+    // authorities are L1-normalized every round
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
 }
