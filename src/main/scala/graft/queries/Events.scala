@@ -160,6 +160,38 @@ object Events {
       |ORDER BY user_id, version""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_trailing_1h — EVENT-TIME range frame: for every event, the
+  // count and value-sum of the same user's events in the trailing hour
+  // (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`) — the
+  // rate-limit / fraud-velocity shape, and the window capability
+  // window_range_frame's NUMERIC range doesn't cover: the frame is
+  // bounded by the ORDER-BY VALUE (timestamps), not a row count, so
+  // ts-ties are peers sharing one frame and the result needs no
+  // tie-break to be deterministic. One shuffle + one sort per user;
+  // the frame scan is the sliding two-pointer pass inside WindowExec,
+  // O(events-in-hour) state per user.
+  private def trailing1h(spark: SparkSession, dir: String): DataFrame = {
+    ev(spark, dir).selectExpr(
+      "user_id", "event_id", "ts",
+      "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS n_1h",
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id " +
+        "ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND " +
+        "CURRENT ROW) AS DOUBLE) AS sum_1h")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val trailing1hSql =
+    """SELECT user_id, event_id, ts,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_cdc_apply — CDC-log compaction: materialize the final
   // snapshot from an ordered op log with DELETE tombstones (the Kafka
   // log-compaction / Debezium-apply semantics — the "apply the change
@@ -805,6 +837,7 @@ object Events {
     QueryDef("events_session", session, Some(sessionSql)),
     QueryDef("events_scd2_state", scd2, Some(scd2Sql)),
     QueryDef("events_cdc_apply", cdcApply, Some(cdcApplySql)),
+    QueryDef("events_trailing_1h", trailing1h, Some(trailing1hSql)),
     QueryDef("events_user_timeline", timeline, Some(timelineSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
     QueryDef("events_variant_extract", variantExtract, Some(variantExtractSql)),
