@@ -160,6 +160,68 @@ object Events {
       |ORDER BY user_id, version""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_drift_ks — two-sample Kolmogorov–Smirnov drift test between
+  // the early and late halves of the stream: KS = max_v |F1(v) − F2(v)|
+  // over the empirical CDFs of `value` — the distribution-drift monitor
+  // a training-data pipeline runs on every new crawl/period before
+  // mixing it in (mean/variance checks miss shape changes; KS doesn't).
+  // Exact and engine-identical: values land on the 2dp cent grid, the
+  // CDFs are integer counts, and the max runs over the CROSS-MULTIPLIED
+  // form |f1·n2 − f2·n1| (one int64 max, no per-point division); the
+  // single division happens once at the end, and the drift verdict
+  // (KS > 0.1) is the all-integer compare 10·ks_num > n1·n2.
+  //
+  // Scale: two hash aggregates (events → per-cent counts) + one window
+  // over the VALUE GRID — bounded by distinct 2dp values, never event
+  // count — + a 1-row broadcast of the totals. (The cross-multiplied
+  // int64 max holds to n1·n2 < 9e18, i.e. ~3e9 rows per side; past
+  // that, scale the counts before crossing.)
+  private def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val grid = ev(spark, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (col("ts") >= cut).as("late"))
+      .groupBy(col("cents"))
+      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))
+    val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+        .as("ks_num"))
+      .select(col("n1"), col("n2"),
+        round(col("ks_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 9).as("ks"),
+        (lit(10) * col("ks_num") > col("n1") * col("n2")).as("drifted"))
+  }
+
+  private val driftKsSql =
+    """WITH g AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM events GROUP BY cents),
+      |c AS (
+      |  SELECT SUM(c1) OVER w AS f1, SUM(c2) OVER w AS f2 FROM g
+      |  WINDOW w AS (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |        CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+      |k AS (SELECT CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num
+      |      FROM c, t)
+      |SELECT n1, n2,
+      |  ROUND(CAST(ks_num AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS ks,
+      |  (10 * ks_num > n1 * n2) AS drifted
+      |FROM k, t""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_trailing_1h — EVENT-TIME range frame: for every event, the
   // count and value-sum of the same user's events in the trailing hour
   // (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`) — the
@@ -838,6 +900,7 @@ object Events {
     QueryDef("events_scd2_state", scd2, Some(scd2Sql)),
     QueryDef("events_cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("events_trailing_1h", trailing1h, Some(trailing1hSql)),
+    QueryDef("events_drift_ks", driftKs, Some(driftKsSql)),
     QueryDef("events_user_timeline", timeline, Some(timelineSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
     QueryDef("events_variant_extract", variantExtract, Some(variantExtractSql)),
