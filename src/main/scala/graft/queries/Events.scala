@@ -222,6 +222,55 @@ object Events {
       |FROM k, t""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_drift_mix — the CATEGORICAL half of the drift family (KS
+  // above is the continuous half): total-variation distance between the
+  // early/late event-type mixes, TV = ½·Σ_types |p1 − p2| — the "did
+  // the crawl's composition shift" check (domain mix, language mix,
+  // event mix) run before blending a new period in. Same integer
+  // discipline as the KS: per-type counts cross-multiplied against the
+  // opposite total (|c1·n2 − c2·n1|, summed exactly), ONE division at
+  // the end, and the verdict (TV > 0.05) as the all-integer compare
+  // 10·tv_num > n1·n2. Two hash aggregates at |types| cardinality —
+  // nothing here scales with event count but the first count pass.
+  private def driftMix(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val g = ev(spark, dir)
+      .select(col("event_type"), (col("ts") >= cut).as("late"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("c2"))
+    val tot = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    g.crossJoin(broadcast(tot))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .as("tv2num"))
+      .select(col("n1"), col("n2"),
+        round(col("tv2num").cast("double") /
+          (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")),
+          9).as("tv"),
+        (lit(10) * col("tv2num") > lit(2) * col("n1") * col("n2"))
+          .as("drifted"))
+  }
+
+  private val driftMixSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM events GROUP BY event_type),
+      |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |        CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+      |k AS (SELECT CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS tv2num
+      |      FROM g, t)
+      |SELECT n1, n2,
+      |  ROUND(CAST(tv2num AS DOUBLE)
+      |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS tv,
+      |  (10 * tv2num > 2 * n1 * n2) AS drifted
+      |FROM k, t""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_trailing_1h — EVENT-TIME range frame: for every event, the
   // count and value-sum of the same user's events in the trailing hour
   // (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`) — the
@@ -901,6 +950,7 @@ object Events {
     QueryDef("events_cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("events_trailing_1h", trailing1h, Some(trailing1hSql)),
     QueryDef("events_drift_ks", driftKs, Some(driftKsSql)),
+    QueryDef("events_drift_mix", driftMix, Some(driftMixSql)),
     QueryDef("events_user_timeline", timeline, Some(timelineSql)),
     QueryDef("events_props_extract", props, Some(propsSql)),
     QueryDef("events_variant_extract", variantExtract, Some(variantExtractSql)),
