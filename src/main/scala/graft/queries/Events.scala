@@ -318,14 +318,13 @@ object Events {
   // 100 TB shape: one shuffle on the key; ONE window pass computes both
   // the winner (row_number) and the op count (count over the unframed
   // partition) — no self-join of log against log, no global sort.
-  private def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+  /** The log-compaction core over any (user_id, ts, event_id, op,
+    * value) frame — exposed for the property spec, which folds random
+    * op logs in plain Scala and demands agreement. */
+  private[graft] def cdcApplyOn(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    ev(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
-          .as("op"),
-        col("value"))
+    log
       .withColumn("rn", row_number().over(w))
       .withColumn("n_ops",
         count(lit(1)).over(Window.partitionBy(col("user_id"))).cast("long"))
@@ -334,6 +333,13 @@ object Events {
         col("ts").as("updated_at"), col("n_ops"))
       .orderBy(col("user_id"))
   }
+
+  private def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    cdcApplyOn(ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("value")))
 
   private val cdcApplySql =
     """WITH log AS (

@@ -45,6 +45,42 @@ class Scd2TimelineSpec extends SparkSpec {
     assert(d.filter(col("prev") === col("event_type")).count() == 0)
   }
 
+  test("property: CDC apply ≡ a plain Scala fold of the op log") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // random logs: few keys (forces collisions), ops at distinct
+    // (us, id) points so last-writer is well-defined
+    val genLog: Gen[List[(Long, Long, Long, String, Double)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 4L)
+        us <- Gen.choose(0L, 9L)
+        d <- Gen.oneOf("D", "U", "U")
+        v <- Gen.choose(0, 999)
+      } yield (k, us, d, v / 100.0))
+    } yield rows.zipWithIndex.map { case ((k, us, d, v), i) =>
+      (k, us, i.toLong, d, v)
+    }
+    val prop = Prop.forAll(genLog) { rows =>
+      val df = rows.toDF("user_id", "us", "event_id", "op", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("op"), col("value"))
+      val got = graft.queries.Events.cdcApplyOn(df).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(3)))).toMap
+      // reference fold: last op per key by (us, event_id); tombstone
+      // removes the key; n_ops counts the whole log for the key
+      val want = rows.groupBy(_._1).flatMap { case (k, ops) =>
+        val last = ops.maxBy(o => (o._2, o._3))
+        if (last._4 == "D") None
+        else Some(k -> ((last._5, ops.size.toLong)))
+      }
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("timeline type_path collapses to the SCD2 state sequence") {
     assume(new java.io.File(sf).isDirectory)
     val tl = SparkEntry.queries("events_user_timeline")(spark, sf)
