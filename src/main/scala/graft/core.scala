@@ -39,17 +39,30 @@ object T {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as raw long (legacy conf) and convert to the
-    * engine-native microsecond TimestampType (`ts div 1000` stays in long
-    * arithmetic — a double division would lose precision above 2^53 ns).
-    * DuckDB truncates ns→µs the same way via epoch_us().
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — we read nanos as raw long via the legacy
+    * conf and truncate in long arithmetic; a double division would lose
+    * precision above 2^53 ns) and, since the testdata regen, as
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    * The engine-facing contract is a single microsecond TimestampType
+    * column regardless of the physical encoding, so branch on the type the
+    * scan actually produced. The session is UTC-pinned (Ctx.prep), so an
+    * NTZ→LTZ cast is a pure re-tag with identical micros — matching DuckDB,
+    * whose TIMESTAMP is ntz and whose epoch_us() sees the same values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other; expected long ns, timestamp_ntz, or timestamp")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

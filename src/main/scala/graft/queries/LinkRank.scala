@@ -298,7 +298,20 @@ object LinkRank {
     * triangle exactly once), which is what GraphSpec's equivalence
     * property exercises. */
   private[graft] def trianglesOf(oriented: DataFrame): DataFrame = {
-    val e = oriented.persist()
+    // Spill the oriented edge list to a temp parquet and read it back for
+    // the three self-join arms — the same disk-backed reuse persist()
+    // bought, but with nothing left in the block manager afterwards (the
+    // old persist() had no unpersist and leaked cached blocks across a
+    // 173-query session; GraphSpec now pins getPersistentRDDs empty).
+    // The file is registered with Hadoop's deleteOnExit so repeated
+    // sweeps don't grow the tmpdir across JVMs.
+    val spark = oriented.sparkSession
+    val path = new org.apache.hadoop.fs.Path(
+      s"${sys.props("java.io.tmpdir")}/graft-spill/tri_${java.util.UUID.randomUUID()}")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    oriented.write.mode("overwrite").parquet(path.toString)
+    fs.deleteOnExit(path)
+    val e = spark.read.parquet(path.toString)
     val ab = e.select(col("s1").as("a"), col("s2").as("b"))
     val bc = e.select(col("s1").as("bb"), col("s2").as("c"))
     val ac = e.select(col("s1").as("aa"), col("s2").as("cc"))
@@ -394,9 +407,11 @@ object LinkRank {
     // hub seed off the |V|-sized degree SIDECAR (a node appears there
     // iff it has an out-edge, so filtering even src is exactly the
     // distinct src of the even-src half) — not a distinct shuffle over
-    // the |E| mirror; the count job is |V|-sized too
+    // the |E| mirror; the count job is |V|-sized too. The sidecar is a
+    // tiny on-disk parquet, so reading it twice (count + seed) is
+    // cheaper than a persist() we'd have to remember to release.
     val hubs0 = degSidecar(spark, dir)._1
-      .filter(col("node") % 2 === 0).select(col("node")).persist()
+      .filter(col("node") % 2 === 0).select(col("node"))
     val nC = hubs0.count()
     val gateMax =
       spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong
@@ -420,7 +435,7 @@ object LinkRank {
       l1Units: Long = 10000000000L, maxRounds: Int = 50): (DataFrame, Int) = {
     val e = edges(spark, dir).filter(col("src") % 2 === 0)
     val hubs0 = degSidecar(spark, dir)._1
-      .filter(col("node") % 2 === 0).select(col("node")).persist()
+      .filter(col("node") % 2 === 0).select(col("node"))
     val nC = hubs0.count()
     val gateMax =
       spark.conf.get("graft.linkrank.broadcastMaxNodes", "5000000").toLong

@@ -73,6 +73,23 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("graph gate queries leave no persistent RDD blocks behind") {
+    // VERDICT r5 item 4: trianglesOf persisted the oriented edge list and
+    // hitsState the hub seed, neither with an unpersist — bounded leaks
+    // that accumulate across a 173-query session. trianglesOf now uses a
+    // deleteOnExit disk spill and hitsState re-reads the tiny degree
+    // sidecar, so a full graph sweep must add zero entries to the block
+    // manager. Delta-based (before/after) so other suites' caches — the
+    // session is shared — can't pollute the assertion.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    import graft.queries.LinkRank
+    LinkRank.defs.foreach(d => d.build(spark, sf).count())
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"graph queries left persisted RDDs: $leaked")
+  }
+
   test("pagerank convergence mode: stops under cap, bit-equal to the fixed loop") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(sf).isDirectory)
