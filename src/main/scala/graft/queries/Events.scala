@@ -641,9 +641,15 @@ object Events {
   }
 
   private val ewmaSql = {
+    // weights ride as DOUBLE on both engines: a DECIMAL(38,23) sum would
+    // be exact but DuckDB's decimal→double cast double-rounds (int128 /
+    // 10^23 — two inexact steps, 1-ulp drift vs Spark's double fold).
+    // Every 2^-j weight and every partial sum is dyadic within the
+    // 53-bit mantissa, so the left-associated DOUBLE chain is EXACT and
+    // identical in both engines.
     val terms = (0 until 24).map { j =>
       val wj = java.math.BigDecimal.valueOf(0.5).pow(j).toPlainString
-      s"COALESCE(lag(cnt, $j) OVER w, 0) * $wj"
+      s"COALESCE(lag(cnt, $j) OVER w, 0) * CAST($wj AS DOUBLE)"
     }.mkString(" +\n      |    ")
     s"""WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -942,7 +948,105 @@ object Events {
       |FROM z WHERE abs(z) >= 2
       |ORDER BY win_start, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // events_ts_quarantine — dead-letter discipline for dirty timestamps:
+  // the reference's 3-format date parse (src/transform.py date fallback
+  // chain, F2) + clean/rejected split (P5) applied to the EVENT stream.
+  // A deterministic "raw arrival" string is derived from each event (its
+  // own ts re-serialized in one of three wire formats by event_id % 4;
+  // the fourth branch is corrupted), then re-ingested through a
+  // try-parse fallback chain: ISO → US-style → epoch-seconds; rows no
+  // format accepts route to quarantine with a reason instead of
+  // poisoning the batch — the loader-bug lesson (VERDICT r5) as an
+  // operator. All comparisons ride integer epoch SECONDS (the wire
+  // formats are second-grain), so both engines agree exactly.
+  // 100 TB shape: stateless per-row parse + one small-key aggregate —
+  // map-side combined, no shuffle beyond the 8-group rollup.
+  private def tsQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val raw = ev(spark, dir)
+      .select(col("event_id"), col("ts"),
+        pmod(col("event_id"), lit(4)).cast("int").as("fmt"))
+      .withColumn("raw_ts",
+        when(col("fmt") === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("fmt") === 1, date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
+          .when(col("fmt") === 2, unix_seconds(col("ts")).cast("string"))
+          .otherwise(concat(lit("corrupt:"), col("event_id").cast("string"))))
+    raw
+      .withColumn("parsed_s", coalesce(
+        unix_seconds(to_timestamp(col("raw_ts"), "yyyy-MM-dd HH:mm:ss")),
+        unix_seconds(to_timestamp(col("raw_ts"), "MM/dd/yyyy HH:mm:ss")),
+        col("raw_ts").cast("long")))
+      .withColumn("outcome",
+        when(col("parsed_s").isNotNull, lit("parsed"))
+          .otherwise(lit("quarantined:unparseable_ts")))
+      .groupBy(col("fmt"), col("outcome"))
+      .agg(count(lit(1)).as("n"), sum(col("parsed_s")).as("sum_epoch_s"))
+      .orderBy(col("fmt"), col("outcome"))
+  }
+
+  private val tsQuarantineSql =
+    """WITH raw AS (
+      |  SELECT event_id, CAST(event_id % 4 AS INT) AS fmt,
+      |    CASE CAST(event_id % 4 AS INT)
+      |      WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+      |      WHEN 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+      |      WHEN 2 THEN CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS VARCHAR)
+      |      ELSE 'corrupt:' || CAST(event_id AS VARCHAR) END AS raw_ts
+      |  FROM events),
+      |p AS (
+      |  SELECT fmt, COALESCE(
+      |      CAST(epoch(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S')) AS BIGINT),
+      |      CAST(epoch(try_strptime(raw_ts, '%m/%d/%Y %H:%M:%S')) AS BIGINT),
+      |      TRY_CAST(raw_ts AS BIGINT)) AS parsed_s
+      |  FROM raw)
+      |SELECT fmt,
+      |  CASE WHEN parsed_s IS NOT NULL THEN 'parsed'
+      |       ELSE 'quarantined:unparseable_ts' END AS outcome,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(parsed_s) AS BIGINT) AS sum_epoch_s
+      |FROM p GROUP BY 1, 2 ORDER BY fmt, outcome""".stripMargin
+
+  // -------------------------------------------------------------------
+  // events_late_watermark — out-of-order arrival diagnostic, the batch
+  // measurement that SIZES a streaming watermark: using event_id as the
+  // arrival-order proxy, per-user lateness = (max event time seen so
+  // far) − (this event's time); aggregated per type into out-of-order
+  // counts, >1h-late counts, and max/total lateness. Integer
+  // microseconds end to end. One bounded per-user window (running max,
+  // no full-partition sort spill) + one |types|-key aggregate.
+  private def lateWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_out_of_order"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L)).as("n_late_1h"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("sum_late_us"))
+      .orderBy(col("event_type"))
+  }
+
+  private val lateWatermarkSql =
+    """WITH w AS (
+      |  SELECT event_type,
+      |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - epoch_us(ts) AS late_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+      |  CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+      |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("events_ts_quarantine", tsQuarantine, Some(tsQuarantineSql)),
+    QueryDef("events_late_watermark", lateWatermark, Some(lateWatermarkSql)),
     QueryDef("events_forward_fill", forwardFill, Some(forwardFillSql)),
     QueryDef("events_interpolate", interpolate, Some(interpolateSql)),
     QueryDef("events_ewma", ewma, Some(ewmaSql)),
