@@ -301,6 +301,9 @@ object VecExprs {
       val cur2 = spark.experimental.extraOptimizations
       if (!cur2.contains(graft.plans.WindowTopKRewrite))
         spark.experimental.extraOptimizations = cur2 :+ graft.plans.WindowTopKRewrite
+      val cur3 = spark.experimental.extraOptimizations
+      if (!cur3.contains(graft.plans.SummaryRewrite))
+        spark.experimental.extraOptimizations = cur3 :+ graft.plans.SummaryRewrite
       // the rewrite emits the TopKPerGroup logical node — its planner
       // strategy must ride along or the swapped plan cannot be planned
       val strats = spark.experimental.extraStrategies
@@ -338,6 +341,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectOptimizerRule(_ => graft.plans.ShingleRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RollingHashRewrite)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{Ctx, QueryDef, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized-view routing over the events table (SURVEY B47): a
+  * day×type summary maintained like every other memoized artifact
+  * (fingerprint-keyed, built once), and [[graft.plans.SummaryRewrite]]
+  * routing matching raw-table aggregates onto it at optimization time.
+  *
+  * The gate query `mv_rewrite_daily` is written in the PORTABLE raw
+  * spelling — groupBy(date_trunc('day', ts), event_type) with
+  * count/sum/min/max — and the oracle recomputes from raw rows in
+  * DuckDB, so the driver's hash compare proves the routed plan is
+  * semantics-preserving, not merely plausible. MatViewSpec pins the
+  * plan side: the optimized plan scans the summary parquet and never
+  * touches events.parquet; non-routable shapes (avg, other columns)
+  * still scan raw.
+  */
+object MatView {
+  private val D = DecimalType(18, 2)
+
+  /** Build-or-reuse the day-grain summary; returns its path. Partial
+    * sums ride as DECIMAL so downstream re-aggregation is exact. */
+  private[graft] def ensureSummary(spark: SparkSession, dir: String): String = {
+    Ctx.prep(spark)
+    val fp = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/events_daily_$fp"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      T.events(spark, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).as("sum_value_dec"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Ensure the summary exists and the route is registered; the rule
+    * itself rides the standard injection paths (GraftExtensions /
+    * VecExprs.register). */
+  private[graft] def enableRouting(spark: SparkSession, dir: String): Unit = {
+    graft.functions.VecExprs.register(spark)
+    graft.plans.SummaryRewrite.register(
+      s"$dir/events.parquet", ensureSummary(spark, dir))
+  }
+
+  // The raw portable spelling — identical to what a user ignorant of the
+  // summary would write. SummaryRewrite reroutes it; the oracle (and
+  // MatViewSpec's results-parity check) prove the answers don't move.
+  private def mvDaily(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val mvDailySql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // Coarser grain than the summary: group by day only. The same rollup
+  // answers it (re-aggregation over |types| rows per day) — the
+  // aggregate-navigator case where the view is FINER than the query.
+  private def mvDailyTotal(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  private val mvDailyTotalSql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
+    QueryDef("mv_rewrite_daily_total", mvDailyTotal, Some(mvDailyTotalSql))
+  )
+}
