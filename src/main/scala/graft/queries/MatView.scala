@@ -89,8 +89,45 @@ object MatView {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mv_incremental_refresh — maintaining the routed summary WITHOUT a
+  // rebuild: base partials (90% of events by id-hash) merged with a
+  // delta's partials through the aggregate merge law — Σn adds, decimal
+  // sums add exactly, min/max fold. The oracle recomputes flat over ALL
+  // events, so refresh ≡ rebuild is proven on real data — the operation
+  // an ingest tick runs at 100 TB, where rebuilding the summary means
+  // re-scanning the firehose. (agg_incremental_merge pins the same law
+  // on orders; this is the law applied to B47's routed view.)
+  private def mvIncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).as("sum_dec"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    val base = partials(ev.filter(pmod(col("event_id"), lit(10)) =!= 0))
+    val delta = partials(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    base.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sum_dec")).cast("double").as("sum_value"),
+        min(col("min_v")).as("min_value"),
+        max(col("max_v")).as("max_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val mvIncrementalRefreshSql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
-    QueryDef("mv_rewrite_daily_total", mvDailyTotal, Some(mvDailyTotalSql))
+    QueryDef("mv_rewrite_daily_total", mvDailyTotal, Some(mvDailyTotalSql)),
+    QueryDef("mv_incremental_refresh", mvIncrementalRefresh,
+      Some(mvIncrementalRefreshSql))
   )
 }

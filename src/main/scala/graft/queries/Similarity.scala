@@ -768,7 +768,62 @@ object Similarity {
       |  ROUND(sq / (n * 1e9) - m * m, 6) AS variance
       |FROM m ORDER BY dim""".stripMargin
 
+  // -------------------------------------------------------------------
+  // emb_cluster_profile — population + fit quality per trained k-means
+  // cell: the topic-balance diagnostic a curation pipeline reads before
+  // sampling (an empty or bloated cell means the quantizer — and any
+  // IVF serving on it — is miscalibrated for the corpus mix). Reuses
+  // the SAME memoized trained centroids as ann_ivf_topk (train once,
+  // profile/serve forever); assignment is the same broadcast N×C dot
+  // pass, folded map-side. Mean fit rides int64-quantized cosines
+  // (order-independent sum, ONE division sequence both engines); the
+  // worst fit stays an exact integer. Oracle replays the Lloyd loop
+  // CTE-by-CTE and re-derives identical cells.
+  private def embClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = trainedCentroids(spark, dir)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+          .as("cell"),
+        max(col("ccos")).as("ccos"))
+    assigned
+      .withColumn("units", floor(col("ccos") * lit(1e12)).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("units")).cast("double") / count(lit(1)).cast("double") /
+          lit(1e12)).as("mean_cos"),
+        min(col("units")).as("min_cos_units"))
+      .orderBy(col("cell"))
+  }
+
+  // max(ccos) is the best cell's cosine (ties share the value), so the
+  // profile is well-defined under the same tie-break as the assignment
+  private val embClusterProfileSql =
+    normCte + ivfTrainingCtes(IvfK, IvfIters) +
+      s"""
+      |, scored AS (
+      |  SELECT n.vec_id, cent_id,
+      |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
+      |      / (nrm * cn) AS ccos
+      |  FROM n, cent),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cell, ccos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+      |  FROM scored),
+      |u AS (
+      |  SELECT cell, CAST(floor(ccos * 1e12) AS BIGINT) AS units
+      |  FROM assigned WHERE crank = 1)
+      |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |  CAST(SUM(units) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12 AS mean_cos,
+      |  CAST(MIN(units) AS BIGINT) AS min_cos_units
+      |FROM u GROUP BY cell ORDER BY cell""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_cluster_profile", embClusterProfile, Some(embClusterProfileSql)),
     QueryDef("emb_dim_stats", dimStats, Some(dimStatsSql)),
     QueryDef("ann_cosine_topk", annTopk, Some(annTopkSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
