@@ -1044,7 +1044,53 @@ object Events {
       |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
       |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // events_daily_percentiles — exact P50/P95/P99 value bands per day,
+  // the ops-dashboard order statistic (latency/size/value bands) computed
+  // the grid way: counts per (day, cents) first — cardinality bounded
+  // by distinct 2dp values × days, never event count — then the k-th
+  // smallest as "least cents whose cumulative count reaches ⌈p·n/100⌉",
+  // an all-integer compare (100·cf ≥ p·n). No per-event window, no
+  // sketch: the percentile is EXACT and the window runs at grid
+  // cardinality — the same discipline as the KS drift monitor.
+  private def dailyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("day")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("cf", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("day"))))
+    def pick(p: Int) =
+      min(when(col("cf") * 100 >= col("n") * p, col("cents"))).as(s"p${p}_cents")
+    cum.groupBy(col("day"))
+      .agg(max(col("n")).as("n_events"), pick(50), pick(95), pick(99))
+      .orderBy(col("day"))
+  }
+
+  private val dailyPercentilesSql =
+    """WITH g AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT day, cents,
+      |    SUM(c) OVER (PARTITION BY day ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+      |    SUM(c) OVER (PARTITION BY day) AS n
+      |  FROM g)
+      |SELECT day, CAST(MAX(n) AS BIGINT) AS n_events,
+      |  CAST(MIN(CASE WHEN 100 * cf >= 50 * n THEN cents END) AS BIGINT) AS p50_cents,
+      |  CAST(MIN(CASE WHEN 100 * cf >= 95 * n THEN cents END) AS BIGINT) AS p95_cents,
+      |  CAST(MIN(CASE WHEN 100 * cf >= 99 * n THEN cents END) AS BIGINT) AS p99_cents
+      |FROM c GROUP BY day ORDER BY day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("events_daily_percentiles", dailyPercentiles, Some(dailyPercentilesSql)),
     QueryDef("events_ts_quarantine", tsQuarantine, Some(tsQuarantineSql)),
     QueryDef("events_late_watermark", lateWatermark, Some(lateWatermarkSql)),
     QueryDef("events_forward_fill", forwardFill, Some(forwardFillSql)),
