@@ -56,12 +56,17 @@ object TextOps {
     Ctx.prep(spark)
     graft.functions.VecExprs.register(spark)
     val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/documents.parquet")
-    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/shingles_$fp"
+    // "shingles2": schema v2 carries the md5-sorted hash array — the
+    // prefix-filter ordering nearJaccard/containment need — precomputed
+    // at build time instead of re-hashed per query ("2" keeps any v1
+    // mirror from an older build from being read with the wrong schema)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/shingles2_$fp"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success))
       withShingles(toks(spark, dir))
-        .select(col("doc_id"), col("lang"), col("shingle_set"))
+        .withColumn("hs", expr("array_md5_sorted(shingle_set)"))
+        .select(col("doc_id"), col("lang"), col("shingle_set"), col("hs"))
         .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
@@ -444,8 +449,7 @@ object TextOps {
     // indexing. ⌈0.8n⌉ as (4n+4) div 5 keeps the boundary exact (a float
     // 0.8·n would over-shorten the prefix at multiples of 5 and lose
     // recall). Cuts index size ~5× and candidate pairs ~25×.
-    val inv = sh
-      .withColumn("hs", expr("array_md5_sorted(shingle_set)"))
+    val inv = sh // hs (md5-sorted order) rides precomputed in the mirror
       .withColumn("plen",
         size(col("shingle_set")) - expr("(4 * size(shingle_set) + 4) div 5") + lit(1))
       .select(col("doc_id"), col("lang"),
@@ -1122,8 +1126,7 @@ object TextOps {
   // inside posting lists — the 100 TB shape.
   private def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleMirror(spark, dir)
-    val posts = sh
-      .withColumn("hs", expr("array_md5_sorted(shingle_set)"))
+    val posts = sh // hs precomputed in the mirror
       .withColumn("plen",
         size(col("shingle_set")) - expr("(4 * size(shingle_set) + 4) div 5") + lit(1))
       .select(col("doc_id"), col("lang"), col("plen"),
