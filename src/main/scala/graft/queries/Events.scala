@@ -115,6 +115,47 @@ object Events {
       |ORDER BY user_id, session_seq""".stripMargin
 
   // -------------------------------------------------------------------
+  // events_session_native — the same sessionization through Spark's OWN
+  // session_window() API (batch mode; identical function in Structured
+  // Streaming, where it additionally merges across micro-batches under a
+  // watermark). Semantics differ from the manual gap idiom at exactly
+  // one boundary: session_window closes when the NEXT event starts ≥
+  // gap after the current one (the manual spelling keeps strictly->gap
+  // pairs together), so the oracle replays the ≥ rule. session_end is
+  // last_event + gap by definition — also replayed. Physical shape:
+  // Spark plans UpdatingSessionsExec / MergingSessionsExec over one
+  // shuffle on user_id — same scale story as the manual window pass.
+  private def sessionNative(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val sessionNativeSql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g)
+      |SELECT user_id,
+      |  MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // -------------------------------------------------------------------
   // events_scd2_state — slowly-changing-dimension type-2 build from the
   // event stream: per user, consecutive runs of the same event_type
   // collapse into one validity interval [valid_from, valid_to) with a
@@ -1102,6 +1143,7 @@ object Events {
     QueryDef("events_tumbling_hourly", tumbling, Some(tumblingSql)),
     QueryDef("events_sliding_2h", sliding, Some(slidingSql)),
     QueryDef("events_session", session, Some(sessionSql)),
+    QueryDef("events_session_native", sessionNative, Some(sessionNativeSql)),
     QueryDef("events_scd2_state", scd2, Some(scd2Sql)),
     QueryDef("events_cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("events_trailing_1h", trailing1h, Some(trailing1hSql)),

@@ -136,10 +136,31 @@ object SqlSurface {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sql_mv_daily — the materialized-view routing rule (SURVEY B47)
+  // firing on SQL TEXT: the statement is the portable raw aggregate a
+  // BI tool would emit against the events view; by optimization time the
+  // temp-view alias and the no-op CAST are gone and SummaryRewrite plans
+  // the scan onto the day×type summary (MatViewSpec pins the swap for
+  // the SQL path too). Same text runs on DuckDB = the oracle, q6-style
+  // — which here means the oracle recomputes from RAW rows while Spark
+  // reads the summary, so the hash match proves the route exact.
+  private val sqlMvDailyText =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  private def sqlMvDaily(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.MatView.enableRouting(spark, dir)
+    Views.sql(spark, dir, sqlMvDailyText)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sql_q6_forecast", q6, Some(q6Text)),
     QueryDef("sql_rabin_karp", sqlRabin, Some(sqlRabinSql)),
     QueryDef("sql_recursive_months", recMonths, Some(recMonthsSql)),
     QueryDef("sql_lateral_topk", lateralTopk, Some(lateralTopkText)),
-    QueryDef("sql_udaf_weighted_avg", sqlUdafWavg, Some(sqlUdafWavgSql)))
+    QueryDef("sql_udaf_weighted_avg", sqlUdafWavg, Some(sqlUdafWavgSql)),
+    QueryDef("sql_mv_daily", sqlMvDaily, Some(sqlMvDailyText)))
 }

@@ -54,6 +54,15 @@ class MatViewSpec extends SparkSpec {
     assert(!paths.exists(_.endsWith("events.parquet")))
   }
 
+  test("SQL text routes through the temp-view surface too") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("sql_mv_daily")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_daily_")),
+      s"summary not in SQL-path scan set: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+  }
+
   test("non-routable shapes stay on the raw scan") {
     assume(new java.io.File(sf).isDirectory)
     graft.queries.MatView.enableRouting(spark, sf)
