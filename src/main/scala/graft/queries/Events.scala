@@ -1130,7 +1130,62 @@ object Events {
       |  CAST(MIN(CASE WHEN 100 * cf >= 99 * n THEN cents END) AS BIGINT) AS p99_cents
       |FROM c GROUP BY day ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------------
+  // approx_sample_estimate — approximate query processing with an error
+  // CONTRACT: count and sum per type estimated from a deterministic
+  // 13/256 (≈5.08%) content-addressed sample (first md5 byte of the
+  // event id < 0x0d — the curation suite's draw idiom, so the sample is
+  // IDENTICAL in both engines and the whole row is hash-exact, unlike
+  // rand()-sampling). The estimate is one IEEE division; the relative
+  // error rides as integer basis points (all-integer cross-multiply,
+  // exact), and the ≤25% acceptance bound is an integer compare — the
+  // B19 sketch-contract discipline applied to sampling. At 100 TB this
+  // is the interactive tier: scan 5% of the firehose, answer with known
+  // error, escalate to exact only when the bound trips.
+  private def sampleEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val base = ev(spark, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+      (substring(md5(col("event_id").cast("string")), 1, 2) < "0d").as("ins"))
+    base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("ins"), 1L).otherwise(0L)).as("n_sample"),
+        sum(col("cents")).as("sum_cents_exact"),
+        sum(when(col("ins"), col("cents")).otherwise(0L)).as("sum_cents_sample"))
+      .selectExpr("event_type", "n_exact", "n_sample",
+        "CAST(n_sample * 256 AS DOUBLE) / CAST(13 AS DOUBLE) AS est_n",
+        "CAST(abs(n_sample * 256 - n_exact * 13) * 10000 div (n_exact * 13) AS BIGINT) AS err_bp_n",
+        "abs(n_sample * 256 - n_exact * 13) * 4 <= n_exact * 13 AS n_within",
+        "sum_cents_exact", "sum_cents_sample",
+        "CAST(sum_cents_sample * 256 AS DOUBLE) / CAST(13 AS DOUBLE) AS est_sum_cents",
+        "CAST(abs(sum_cents_sample * 256 - sum_cents_exact * 13) * 10000 div (sum_cents_exact * 13) AS BIGINT) AS err_bp_sum",
+        "abs(sum_cents_sample * 256 - sum_cents_exact * 13) * 4 <= sum_cents_exact * 13 AS sum_within")
+      .orderBy(col("event_type"))
+  }
+
+  private val sampleEstimateSql =
+    """WITH b AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '0d' AS ins
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |    CAST(SUM(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents_exact,
+      |    CAST(SUM(CASE WHEN ins THEN cents ELSE 0 END) AS BIGINT) AS sum_cents_sample
+      |  FROM b GROUP BY event_type)
+      |SELECT event_type, n_exact, n_sample,
+      |  CAST(n_sample * 256 AS DOUBLE) / CAST(13 AS DOUBLE) AS est_n,
+      |  CAST(abs(n_sample * 256 - n_exact * 13) * 10000 // (n_exact * 13) AS BIGINT) AS err_bp_n,
+      |  abs(n_sample * 256 - n_exact * 13) * 4 <= n_exact * 13 AS n_within,
+      |  sum_cents_exact, sum_cents_sample,
+      |  CAST(sum_cents_sample * 256 AS DOUBLE) / CAST(13 AS DOUBLE) AS est_sum_cents,
+      |  CAST(abs(sum_cents_sample * 256 - sum_cents_exact * 13) * 10000 // (sum_cents_exact * 13) AS BIGINT) AS err_bp_sum,
+      |  abs(sum_cents_sample * 256 - sum_cents_exact * 13) * 4 <= sum_cents_exact * 13 AS sum_within
+      |FROM a ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("approx_sample_estimate", sampleEstimate, Some(sampleEstimateSql)),
     QueryDef("events_daily_percentiles", dailyPercentiles, Some(dailyPercentilesSql)),
     QueryDef("events_ts_quarantine", tsQuarantine, Some(tsQuarantineSql)),
     QueryDef("events_late_watermark", lateWatermark, Some(lateWatermarkSql)),
