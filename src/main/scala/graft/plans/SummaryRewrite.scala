@@ -46,13 +46,20 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType
   */
 object SummaryRewrite extends Rule[LogicalPlan] {
 
-  /** source-path suffix (".../events.parquet") → summary parquet path.
-    * Registered by the query builder after ensuring the summary exists;
-    * fingerprint-keyed summary paths make stale routing impossible. */
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** (source-path suffix, grain) → summary parquet path. Registered by
+    * the query builder after ensuring the summary exists; fingerprint-
+    * keyed summary paths make stale routing impossible. Grains "day" and
+    * "hour"; the navigator prefers the summary at the QUERY's grain and
+    * falls back to a finer registered one (a day query re-aggregates 24
+    * hour rows — the classic finer-view-answers-coarser-query case). */
+  private val registry = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  def register(srcPathSuffix: String, grain: String, summaryPath: String): Unit =
+    registry.put((srcPathSuffix, grain.toLowerCase), summaryPath)
+
+  /** Back-compat single-grain registration (day). */
   def register(srcPathSuffix: String, summaryPath: String): Unit =
-    registry.put(srcPathSuffix, summaryPath)
+    register(srcPathSuffix, "day", summaryPath)
 
   /** Test hook: forget all routes (no-fire behavior without rebuilding). */
   def clear(): Unit = registry.clear()
@@ -93,12 +100,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         h.location.rootPaths.headOption.map(_.toString).getOrElse(return None)
       case _ => return None
     }
-    val summaryPath = {
+    val routes: Map[String, String] = {
       import scala.jdk.CollectionConverters._
-      registry.asScala.collectFirst {
-        case (suffix, sp) if srcPath.endsWith(suffix) => sp
-      }.getOrElse(return None)
+      registry.asScala.collect {
+        case ((suffix, grain), sp) if srcPath.endsWith(suffix) => grain -> sp
+      }.toMap
     }
+    if (routes.isEmpty) return None
 
     val tsAttr = rel.output.find(_.name == "ts").getOrElse(return None)
     val typeAttr = rel.output.find(_.name == "event_type").getOrElse(return None)
@@ -128,32 +136,60 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case a: Attribute => a.exprId == valueAttr.exprId
       case _ => false
     }
-    def isDayTrunc(e: Expression): Boolean = e match {
+    /** grain of a time-trunc grouping over the stored ts, if any */
+    def truncGrain(e: Expression): Option[String] = e match {
       case TruncTimestamp(Literal(fmt, StringType), t, _)
-          if fmt != null && fmt.toString.equalsIgnoreCase("day") => isTs(t)
-      case _ => false
+          if fmt != null && isTs(t) =>
+        val g = fmt.toString.toLowerCase
+        if (g == "day" || g == "hour") Some(g) else None
+      case _ => None
     }
 
     // ---- classify grouping expressions -------------------------------
     sealed trait GKind
-    case object GDay extends GKind
+    case object GTime extends GKind
     case object GType extends GKind
+    var qGrain: Option[String] = None
+    var qTrunc: Option[TruncTimestamp] = None // original node, for re-trunc
     val gkinds: Seq[GKind] = agg.groupingExpressions.map { g0 =>
       resolve(g0) match {
-        case g if isDayTrunc(g) => GDay
+        case g @ TruncTimestamp(_, _, _) if truncGrain(g).isDefined =>
+          val gr = truncGrain(g).get
+          if (qGrain.exists(_ != gr)) return None // mixed grains: no route
+          qGrain = Some(gr)
+          qTrunc = Some(g.asInstanceOf[TruncTimestamp])
+          GTime
         case a: Attribute if a.exprId == typeAttr.exprId => GType
         case _ => return None
       }
+    }
+
+    // ---- pick the summary: query grain first, finer grain fallback ---
+    val (sumGrain, summaryPath) = qGrain match {
+      case Some(g) if routes.contains(g) => (g, routes(g))
+      case Some("day") if routes.contains("hour") => ("hour", routes("hour"))
+      case Some(_) => return None
+      case None => // no time grouping: any grain re-aggregates; prefer coarse
+        routes.get("day").map(("day", _))
+          .orElse(routes.get("hour").map(("hour", _)))
+          .getOrElse(return None)
     }
 
     // ---- summary relation (fresh analyzed scan; attrs by name) -------
     val spark = SparkSession.active
     val sumRel = spark.read.parquet(summaryPath).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }.getOrElse(return None)
-    val sumAttrs = Seq("day", "event_type", "n", "sum_value_dec",
+    val sumAttrs = Seq(sumGrain, "event_type", "n", "sum_value_dec",
       "min_value", "max_value").map(n => sumRel.output.find(_.name == n))
     if (sumAttrs.exists(_.isEmpty)) return None
-    val Seq(dayA, typeA, nA, sumDecA, minA, maxA) = sumAttrs.map(_.get)
+    val Seq(timeA, typeA2, nA, sumDecA, minA, maxA) = sumAttrs.map(_.get)
+    val typeA = typeA2
+    // the time expression in the REWRITTEN plan: the summary's bucket
+    // column at matching grain, or the original trunc re-applied to the
+    // finer bucket (day of the hour bucket ≡ day of ts — trunc composes)
+    val timeRepr: Expression =
+      if (qGrain.contains(sumGrain) || qGrain.isEmpty) timeA
+      else qTrunc.get.copy(timestamp = timeA)
 
     // ---- rewrite one expression tree ---------------------------------
     // returns None if any aggregate call or leaf is outside the grammar
@@ -179,7 +215,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
       case _: AggregateExpression => None // distinct / filtered: no route
-      case g if isDayTrunc(resolve(g)) => Some(dayA)
+      case g if truncGrain(resolve(g)) == qGrain && qGrain.isDefined =>
+        Some(timeRepr)
       case a: Attribute if (resolve(a) match {
             case r: Attribute => r.exprId == typeAttr.exprId
             case _ => false
@@ -194,7 +231,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
 
     val newGroups: Seq[Expression] = gkinds.map {
-      case GDay => dayA
+      case GTime => timeRepr
       case GType => typeA
     }
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {

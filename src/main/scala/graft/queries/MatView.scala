@@ -22,17 +22,21 @@ import org.apache.spark.sql.types.DecimalType
 object MatView {
   private val D = DecimalType(18, 2)
 
-  /** Build-or-reuse the day-grain summary; returns its path. Partial
-    * sums ride as DECIMAL so downstream re-aggregation is exact. */
-  private[graft] def ensureSummary(spark: SparkSession, dir: String): String = {
+  /** Build-or-reuse the summary at `grain` ("day"/"hour"); returns its
+    * path. Partial sums ride as DECIMAL so downstream re-aggregation is
+    * exact. The bucket column is NAMED after the grain — the rule looks
+    * it up by that name. */
+  private[graft] def ensureSummary(spark: SparkSession, dir: String,
+      grain: String = "day"): String = {
     Ctx.prep(spark)
     val fp = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
-    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/events_daily_$fp"
+    val tag = if (grain == "day") "daily" else "hourly"
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/events_${tag}_$fp"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success))
       T.events(spark, dir)
-        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .groupBy(date_trunc(grain, col("ts")).as(grain), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(D)).as("sum_value_dec"),
           min(col("value")).as("min_value"),
@@ -41,13 +45,15 @@ object MatView {
     path
   }
 
-  /** Ensure the summary exists and the route is registered; the rule
-    * itself rides the standard injection paths (GraftExtensions /
+  /** Ensure both summaries exist and their routes are registered; the
+    * rule itself rides the standard injection paths (GraftExtensions /
     * VecExprs.register). */
   private[graft] def enableRouting(spark: SparkSession, dir: String): Unit = {
     graft.functions.VecExprs.register(spark)
     graft.plans.SummaryRewrite.register(
-      s"$dir/events.parquet", ensureSummary(spark, dir))
+      s"$dir/events.parquet", "day", ensureSummary(spark, dir, "day"))
+    graft.plans.SummaryRewrite.register(
+      s"$dir/events.parquet", "hour", ensureSummary(spark, dir, "hour"))
   }
 
   // The raw portable spelling — identical to what a user ignorant of the
@@ -124,9 +130,30 @@ object MatView {
       |  MIN(value) AS min_value, MAX(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // Hour grain — routes to the hour summary (exact-grain match); the
+  // day-grain gates above keep routing to the day summary, and
+  // MatViewSpec additionally pins the NAVIGATOR fallback: with only the
+  // hour route registered, a day-grain query re-aggregates the hour
+  // buckets (trunc composes: day(hour(ts)) = day(ts)).
+  private def mvHourly(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  private val mvHourlySql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
     QueryDef("mv_rewrite_daily_total", mvDailyTotal, Some(mvDailyTotalSql)),
+    QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
     QueryDef("mv_incremental_refresh", mvIncrementalRefresh,
       Some(mvIncrementalRefreshSql))
   )

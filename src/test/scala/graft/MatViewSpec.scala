@@ -54,6 +54,41 @@ class MatViewSpec extends SparkSpec {
     assert(!paths.exists(_.endsWith("events.parquet")))
   }
 
+  test("hour-grain aggregate routes to the hour summary") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("mv_rewrite_hourly")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_hourly_")), s"not routed: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+  }
+
+  test("navigator fallback: a day query routes onto the hour summary alone") {
+    assume(new java.io.File(sf).isDirectory)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    graft.queries.MatView.enableRouting(spark, sf) // summaries exist
+    def dayAgg() = T.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+    graft.plans.SummaryRewrite.clear()
+    try {
+      graft.plans.SummaryRewrite.register(s"$sf/events.parquet", "hour",
+        graft.queries.MatView.ensureSummary(spark, sf, "hour"))
+      val viaHour = dayAgg()
+      val paths = scanPaths(viaHour)
+      assert(paths.exists(_.contains("events_hourly_")),
+        s"day query did not fall back to the hour summary: $paths")
+      assert(!paths.exists(_.endsWith("events.parquet")))
+      val routed = viaHour.collect().map(_.toString).sorted
+      graft.plans.SummaryRewrite.clear()
+      val raw = dayAgg().collect().map(_.toString).sorted
+      assert(routed.sameElements(raw),
+        "hour-summary re-aggregation differs from the raw day aggregate")
+    } finally graft.queries.MatView.enableRouting(spark, sf)
+  }
+
   test("SQL text routes through the temp-view surface too") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("sql_mv_daily")(spark, sf)
