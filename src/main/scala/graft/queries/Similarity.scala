@@ -790,13 +790,18 @@ object Similarity {
         max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
           .as("cell"),
         max(col("ccos")).as("ccos"))
+    // fit metrics round to 6dp: vec-to-CENTROID cosines can differ at
+    // the ulp level across engines (the decimal-cast rounding inside the
+    // k-means component means is engine-local half-case behavior — cell
+    // ASSIGNMENTS are robust to it, raw cosine bits are not, caught at
+    // sf0.1), so the profile reports at a grain 6 orders above the noise
     assigned
       .withColumn("units", floor(col("ccos") * lit(1e12)).cast("long"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
-        (sum(col("units")).cast("double") / count(lit(1)).cast("double") /
-          lit(1e12)).as("mean_cos"),
-        min(col("units")).as("min_cos_units"))
+        round(sum(col("units")).cast("double") / count(lit(1)).cast("double") /
+          lit(1e12), 6).as("mean_cos"),
+        round(min(col("units")).cast("double") / lit(1e12), 6).as("min_cos"))
       .orderBy(col("cell"))
   }
 
@@ -818,8 +823,8 @@ object Similarity {
       |  SELECT cell, CAST(floor(ccos * 1e12) AS BIGINT) AS units
       |  FROM assigned WHERE crank = 1)
       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-      |  CAST(SUM(units) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12 AS mean_cos,
-      |  CAST(MIN(units) AS BIGINT) AS min_cos_units
+      |  ROUND(CAST(SUM(units) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12, 6) AS mean_cos,
+      |  ROUND(CAST(MIN(units) AS DOUBLE) / 1e12, 6) AS min_cos
       |FROM u GROUP BY cell ORDER BY cell""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
