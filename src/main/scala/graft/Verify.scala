@@ -18,6 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Pre-register the MV routes BEFORE the sweep (ADVICE r6): the sweep
+    // runs alphabetically, so without this the events_* aggregates whose
+    // shapes match the routing grammar would be verified UNROUTED while
+    // the bench (whose warm pass registers routes) times them ROUTED.
+    // Registering up front makes the verified plan the benched plan —
+    // and puts the routed path itself under every matching oracle.
+    try graft.queries.MatView.enableRouting(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] mv route pre-registration failed: ${e.getMessage}")
+    }
     SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Materialized-view ROUTING: rewrite an aggregate over the raw events
   * scan onto its registered day-grain summary table — the classic OLAP
@@ -27,17 +28,34 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType
   * RAW rows, so the routing is proven semantics-preserving on real data.
   *
   * Fire conditions (all must hold — anything else is left untouched):
-  *  - the Aggregate's child is the registered events relation (optionally
-  *    under alias-only Projects — the loader's ntz→ltz cast projection
-  *    and column pruning both peel);
-  *  - every grouping expression is `date_trunc('day', ts)` (any cast
-  *    chain over the stored ts column) or the bare `event_type` column;
+  *  - `spark.graft.mv.routing.enabled` (default true) is not set false —
+  *    the explicit navigator knob, so a session can pin raw-scan plans;
+  *  - the Aggregate's child is the registered events relation, under
+  *    alias-only Projects (the loader's ntz→ltz cast projection and
+  *    column pruning both peel) and/or Filters whose every conjunct the
+  *    summary can answer (below);
+  *  - every grouping expression is `date_trunc('day'|'hour', ts)` (any
+  *    cast chain over the stored ts column) or the bare `event_type`
+  *    column;
+  *  - every peeled Filter conjunct is either (a) a predicate over
+  *    `event_type` only, (b) a bare-ts range bound `ts >= L` / `ts < L`
+  *    whose literal is aligned to the chosen summary grain (an aligned
+  *    bound never splits a bucket — `>=`/`<` only: `<=`/`>` on an
+  *    instant cannot be expressed bucket-level), or (c) any predicate
+  *    whose ts references all go through `date_trunc` at a grain no
+  *    finer than the summary's (trunc composes, so the trunc re-anchors
+  *    onto the bucket column exactly). Predicates over `value`/`user_id`
+  *    or misaligned bounds refuse the route — no silent wrong answers;
   *  - every aggregate call is count(1|*), sum(cast(value as
   *    decimal(18,2))), min(value) or max(value) — the four functions the
   *    summary can answer exactly. avg/distinct/filtered aggregates and
-  *    any other column do NOT match (no silent wrong answers: avg must
-  *    be derived as sum/count by the USER so the re-aggregation stays
-  *    visible; distinct is not decomposable over the rollup).
+  *    any other column do NOT match (avg must be derived as sum/count by
+  *    the USER so the re-aggregation stays visible; distinct is not
+  *    decomposable over the rollup).
+  *
+  * A grand aggregate (no GROUP BY) rewrites count to coalesce(Σn, 0):
+  * raw count over an empty source is one row of 0, and Σ over the empty
+  * summary must reproduce it, not NULL.
   *
   * Output exprIds and dataTypes are preserved (aliases keep their ids;
   * re-aggregated sums cast back to the original decimal type), so
@@ -46,12 +64,20 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType
   */
 object SummaryRewrite extends Rule[LogicalPlan] {
 
+  /** Explicit navigator knob (runtime conf, default on). MatViewSpec
+    * pins that turning it off restores the raw scan — and because
+    * Verify/Bench both pre-register routes before their sweeps, the
+    * VERIFIED plan for a routable query is the same routed plan the
+    * bench times (ADVICE r6: timed plan must equal checked plan). */
+  val EnabledKey = "spark.graft.mv.routing.enabled"
+
   /** (source-path suffix, grain) → summary parquet path. Registered by
     * the query builder after ensuring the summary exists; fingerprint-
-    * keyed summary paths make stale routing impossible. Grains "day" and
-    * "hour"; the navigator prefers the summary at the QUERY's grain and
-    * falls back to a finer registered one (a day query re-aggregates 24
-    * hour rows — the classic finer-view-answers-coarser-query case). */
+    * keyed summary paths plus deregistration during rebuilds (below)
+    * make stale routing impossible. Grains "day" and "hour"; the
+    * navigator prefers the summary at the QUERY's grain and falls back
+    * to a finer registered one (a day query re-aggregates 24 hour rows —
+    * the classic finer-view-answers-coarser-query case). */
   private val registry = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   def register(srcPathSuffix: String, grain: String, summaryPath: String): Unit =
@@ -61,21 +87,50 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   def register(srcPathSuffix: String, summaryPath: String): Unit =
     register(srcPathSuffix, "day", summaryPath)
 
+  /** Drop every grain's route for one source. Called by ensureSummary
+    * before a rebuild: the rebuild aggregate itself matches the routing
+    * grammar, so a stale route from a previous source fingerprint would
+    * otherwise feed the NEW summary from the OLD one (ADVICE r6). */
+  def deregister(srcPathSuffix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet.asScala.filter(_._1 == srcPathSuffix)
+      .toList.foreach(registry.remove)
+  }
+
   /** Test hook: forget all routes (no-fire behavior without rebuilding). */
   def clear(): Unit = registry.clear()
 
+  /** Thread-local routing bypass for summary REBUILD writes — belt to
+    * deregister's braces: the rebuild plan must scan raw even if a
+    * concurrent thread re-registers a route mid-build. */
+  private val bypass = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+  def withBypass[A](f: => A): A = {
+    bypass.set(true)
+    try f finally bypass.set(false)
+  }
+
   private val D182 = DecimalType(18, 2)
+  private val GrainMicros = Map("day" -> 86400000000L, "hour" -> 3600000000L)
 
   def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty) plan
+    if (registry.isEmpty || bypass.get() ||
+        !SQLConf.get.getConfString(EnabledKey, "true").toBoolean) plan
     else plan.transformUp {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x => Seq(x)
+  }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // ---- peel alias-only Projects, collecting substitutions ----------
+    // ---- peel alias-only Projects and Filters, collecting both -------
     var child = agg.child
     var subst = Map.empty[ExprId, Expression]
+    var rawPreds = Seq.empty[Expression] // conjuncts, resolved after peel
     var peeling = true
     while (peeling) child match {
       case Project(pl, c)
@@ -88,6 +143,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case a: Alias => subst += a.exprId -> a.child
           case _ => ()
         }
+        child = c
+      case Filter(cond, c) =>
+        rawPreds = rawPreds ++ splitConj(cond)
         child = c
       case _ => peeling = false
     }
@@ -141,7 +199,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case TruncTimestamp(Literal(fmt, StringType), t, _)
           if fmt != null && isTs(t) =>
         val g = fmt.toString.toLowerCase
-        if (g == "day" || g == "hour") Some(g) else None
+        if (GrainMicros.contains(g)) Some(g) else None
       case _ => None
     }
 
@@ -164,26 +222,108 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }
     }
 
-    // ---- pick the summary: query grain first, finer grain fallback ---
-    val (sumGrain, summaryPath) = qGrain match {
-      case Some(g) if routes.contains(g) => (g, routes(g))
-      case Some("day") if routes.contains("hour") => ("hour", routes("hour"))
+    // ---- candidate summaries: query grain first, finer fallback ------
+    // A candidate only wins if EVERY peeled predicate re-anchors onto
+    // its bucket column exactly; an hour-aligned (not day-aligned) bound
+    // therefore pushes a day-grain query onto the hour summary.
+    val candidates: Seq[String] = qGrain match {
+      case Some("hour") => Seq("hour")
+      case Some("day") => Seq("day", "hour")
       case Some(_) => return None
-      case None => // no time grouping: any grain re-aggregates; prefer coarse
-        routes.get("day").map(("day", _))
-          .orElse(routes.get("hour").map(("hour", _)))
-          .getOrElse(return None)
+      case None => Seq("day", "hour") // no time grouping: prefer coarse
     }
 
-    // ---- summary relation (fresh analyzed scan; attrs by name) -------
     val spark = SparkSession.active
-    val sumRel = spark.read.parquet(summaryPath).queryExecution.analyzed
-      .collectFirst { case lr: LogicalRelation => lr }.getOrElse(return None)
-    val sumAttrs = Seq(sumGrain, "event_type", "n", "sum_value_dec",
-      "min_value", "max_value").map(n => sumRel.output.find(_.name == n))
-    if (sumAttrs.exists(_.isEmpty)) return None
-    val Seq(timeA, typeA2, nA, sumDecA, minA, maxA) = sumAttrs.map(_.get)
-    val typeA = typeA2
+    // bare-ts bounds are grain-aligned in SESSION-LOCAL micros; the
+    // engine pins UTC (Ctx.prep), where timestamp micros are the local
+    // wall clock. Any other zone refuses the bare-ts path (trunc-based
+    // predicates stay routable — trunc composition is zone-independent).
+    val utcSession = {
+      val tz = SQLConf.get.sessionLocalTimeZone
+      tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "Z"
+    }
+
+    final case class Picked(grain: String, sumRel: LogicalRelation,
+        timeA: Attribute, typeA: Attribute, nA: Attribute, sumDecA: Attribute,
+        minA: Attribute, maxA: Attribute, preds: Seq[Expression])
+
+    def tryCandidate(sumGrain: String): Option[Picked] = {
+      val summaryPath = routes.getOrElse(sumGrain, return None)
+      val sumRel = spark.read.parquet(summaryPath).queryExecution.analyzed
+        .collectFirst { case lr: LogicalRelation => lr }.getOrElse(return None)
+      val sumAttrs = Seq(sumGrain, "event_type", "n", "sum_value_dec",
+        "min_value", "max_value").map(n => sumRel.output.find(_.name == n))
+      if (sumAttrs.exists(_.isEmpty)) return None
+      val Seq(timeA, typeA, nA, sumDecA, minA, maxA) = sumAttrs.map(_.get)
+
+      def aligned(v: Any): Boolean = v match {
+        case micros: java.lang.Long => micros.longValue % GrainMicros(sumGrain) == 0L
+        case _ => false
+      }
+      /** One conjunct → its summary-side twin, or None (refuse route). */
+      def rewritePred(e0: Expression): Option[Expression] = {
+        val e = resolve(e0)
+        if (!e.deterministic) return None
+        e match {
+          // null probes over ts re-anchor exactly: date_trunc is null iff
+          // ts is null, so the bucket column carries the same null set.
+          // (The optimizer infers isnotnull(ts) from any ts bound — without
+          // this case every bare-ts range query would refuse the route.)
+          case IsNotNull(t) if isTs(t) => return Some(IsNotNull(timeA))
+          case IsNull(t) if isTs(t) => return Some(IsNull(timeA))
+          case _ => ()
+        }
+        // bare-ts range bounds: aligned >= / < only (see header). The
+        // optimizer pushes the filter below the loader's ntz→ltz cast
+        // projection and unwraps the cast, so the comparison (and its
+        // literal) may arrive in TimestampNTZType — under the UTC pin
+        // ntz micros ≡ ltz micros, so re-emit the bound as an LTZ
+        // literal against the summary's bucket column.
+        def tsLit(e2: Expression): Option[Literal] = e2 match {
+          case l @ Literal(v, TimestampType) if aligned(v) => Some(l)
+          case Literal(v, TimestampNTZType) if aligned(v) =>
+            Some(Literal(v, TimestampType))
+          case _ => None
+        }
+        e match {
+          case GreaterThanOrEqual(t, l) if utcSession && isTs(t) && tsLit(l).isDefined =>
+            return Some(GreaterThanOrEqual(timeA, tsLit(l).get))
+          case LessThan(t, l) if utcSession && isTs(t) && tsLit(l).isDefined =>
+            return Some(LessThan(timeA, tsLit(l).get))
+          case LessThanOrEqual(l, t) if utcSession && isTs(t) && tsLit(l).isDefined =>
+            return Some(GreaterThanOrEqual(timeA, tsLit(l).get))
+          case GreaterThan(l, t) if utcSession && isTs(t) && tsLit(l).isDefined =>
+            return Some(LessThan(timeA, tsLit(l).get))
+          case _ => ()
+        }
+        // general path: substitute trunc-at-coarser-or-equal-grain over
+        // ts → trunc over the bucket column (exact: trunc composes), and
+        // event_type → the summary's column. Any OTHER source-column
+        // reference poisons the conjunct.
+        var ok = true
+        val sub = e.transformDown {
+          case tr @ TruncTimestamp(Literal(fmt, StringType), t, _)
+              if fmt != null && isTs(t) =>
+            val g2 = fmt.toString.toLowerCase
+            if (GrainMicros.get(g2).exists(_ >= GrainMicros(sumGrain)))
+              (if (g2 == sumGrain) timeA else tr.copy(timestamp = timeA)): Expression
+            else { ok = false; tr }
+          case a: Attribute if a.exprId == typeAttr.exprId => typeA
+          case a: Attribute if rel.outputSet.contains(a) => ok = false; a
+        }
+        if (ok) Some(sub) else None
+      }
+      val newPreds = rawPreds.map(rewritePred)
+      if (newPreds.exists(_.isEmpty)) None
+      else Some(Picked(sumGrain, sumRel, timeA, typeA, nA, sumDecA, minA,
+        maxA, newPreds.map(_.get)))
+    }
+
+    val picked = candidates.view.flatMap(tryCandidate)
+      .headOption.getOrElse(return None)
+    val sumGrain = picked.grain
+    import picked.{maxA, minA, nA, sumDecA, sumRel, timeA, typeA}
+
     // the time expression in the REWRITTEN plan: the summary's bucket
     // column at matching grain, or the original trunc re-applied to the
     // finer bucket (day of the hour bucket ≡ day of ts — trunc composes)
@@ -197,7 +337,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case ae @ AggregateExpression(fn, _, false, None, _) =>
         fn match {
           case Count(Seq(Literal(_, _))) =>
-            Some(Sum(nA).toAggregateExpression()) // LongType, matches count
+            val s = Sum(nA).toAggregateExpression() // LongType, matches count
+            // grand aggregate over an empty source: raw count is one row
+            // of 0, Σ over the empty summary is NULL — coalesce restores
+            // count's never-null contract (ADVICE r6)
+            Some(if (agg.groupingExpressions.nonEmpty) s
+            else Coalesce(Seq(s, Literal(0L, LongType))))
           case s @ Sum(se, _) =>
             resolve(se) match {
               case Cast(v, dt: DecimalType, _, _) if dt == D182 && isValue(v) =>
@@ -244,6 +389,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         Alias(ne, ar.name)(ar.exprId, ar.qualifier)
       case _ => return None
     }
-    Some(Aggregate(newGroups, newAggs, sumRel))
+    val newChild: LogicalPlan =
+      if (picked.preds.isEmpty) sumRel
+      else Filter(picked.preds.reduce(And), sumRel)
+    Some(Aggregate(newGroups, newAggs, newChild))
   }
 }

@@ -77,6 +77,73 @@ object Curation {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // curate_decontaminate_exact — EXACT-SUBSTRING decontamination (the
+  // GPT-3/Pile discipline): a verbatim eval quote of L tokens appears as
+  // L−2 CONSECUTIVE matched 3-gram positions, so the longest run of
+  // matched positions + 2 = the longest exact token overlap. The gram
+  // filter above answers "shares anything?" — one incidental collision
+  // and a 50-token verbatim quote look identical. This detector measures
+  // the overlap and flags only runs ≥ 8 tokens, separating real
+  // contamination from gram noise (CurationSpec plants both).
+  //
+  // Scale shape: posexplode is executor-side, candidate volume is
+  // bounded by eval-gram collisions (the eval set rides a broadcast,
+  // corpus never shuffles for the join), and the run detection is the
+  // islands window — one shuffle on doc_id over MATCHED positions only,
+  // not the corpus. Suffix-array overlap without building one.
+  /** Core detector, reusable over any (doc_id, shingles) frame: longest
+    * consecutive-position run of grams ∈ evalGrams, per doc, as token
+    * length (run + 2). evalGrams must be distinct single-column "g". */
+  private[graft] def exactOverlapRuns(corpus: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    corpus
+      .select(col("doc_id"), posexplode(col("shingles")).as(Seq("pos", "g")))
+      .join(broadcast(evalGrams), "g")
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((count(lit(1)) + 2).as("overlap_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("overlap_tokens")).cast("long").as("max_overlap_tokens"))
+  }
+
+  private def decontaminateExact(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    val docs = T.documents(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingles", expr("word_shingles3(tokens)"))
+    val evalGrams = docs.filter(col("doc_id") % 13 === 0)
+      .select(explode(col("shingles")).as("g")).distinct()
+    exactOverlapRuns(docs.filter(col("doc_id") % 13 =!= 0), evalGrams)
+      .filter(col("max_overlap_tokens") >= 8)
+      .orderBy(col("doc_id"))
+  }
+
+  // Position bases differ (Spark posexplode 0-based, DuckDB range
+  // 1-based) — irrelevant: islands are DELTAS of consecutive positions.
+  private val decontaminateExactSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |s AS (
+      |  SELECT doc_id, r.i AS pos,
+      |    tokens[r.i] || ' ' || tokens[r.i+1] || ' ' || tokens[r.i+2] AS g
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(tokens) - 1)) AS i) r
+      |  WHERE len(tokens) >= 3),
+      |ev AS (SELECT DISTINCT g FROM s WHERE doc_id % 13 = 0),
+      |h AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM s JOIN ev USING (g) WHERE doc_id % 13 <> 0),
+      |runs AS (
+      |  SELECT doc_id, island, COUNT(*) + 2 AS overlap_tokens
+      |  FROM h GROUP BY doc_id, island)
+      |SELECT doc_id, CAST(MAX(overlap_tokens) AS BIGINT) AS max_overlap_tokens
+      |FROM runs GROUP BY doc_id HAVING MAX(overlap_tokens) >= 8
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // curate_shard_pack — sequential greedy packing into 2000-token
   // shards, independently per source: shard = which budget window the
   // doc's FIRST token lands in (floor of the exclusive running sum).
@@ -491,6 +558,8 @@ object Curation {
     QueryDef("curate_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     QueryDef("scan_partition_pruned", partitionPruned, Some(partitionPrunedSql)),
     QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("curate_decontaminate_exact", decontaminateExact,
+      Some(decontaminateExactSql)),
     QueryDef("curate_shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("curate_domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("curate_corpus", corpusFunnel, Some(corpusFunnelSql)),

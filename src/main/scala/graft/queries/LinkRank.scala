@@ -266,7 +266,9 @@ object LinkRank {
         .as("p"))
       .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .distinct()
-    trianglesOf(orientByDegree(und))
+    val fp = graft.ops.IncrementalDedup.sourceFingerprint(
+      spark, s"$dir/lineitem.parquet")
+    trianglesOf(orientByDegree(und), spillKey = s"lineitem_$fp", reuse = true)
       .orderBy(col("triangles").desc, col("suppkey"))
       .limit(10)
   }
@@ -297,19 +299,28 @@ object LinkRank {
     * explode. Orientation-agnostic (any total order enumerates each
     * triangle exactly once), which is what GraphSpec's equivalence
     * property exercises. */
-  private[graft] def trianglesOf(oriented: DataFrame): DataFrame = {
+  private[graft] def trianglesOf(oriented: DataFrame,
+      spillKey: String = "adhoc", reuse: Boolean = false): DataFrame = {
     // Spill the oriented edge list to a temp parquet and read it back for
     // the three self-join arms — the same disk-backed reuse persist()
     // bought, but with nothing left in the block manager afterwards (the
     // old persist() had no unpersist and leaked cached blocks across a
     // 173-query session; GraphSpec now pins getPersistentRDDs empty).
-    // The file is registered with Hadoop's deleteOnExit so repeated
-    // sweeps don't grow the tmpdir across JVMs.
+    // The spill dir is KEYED, not UUID-fresh (ADVICE r6): deleteOnExit
+    // only fires at JVM shutdown, so per-call UUID dirs accumulated
+    // unbounded tmpdir usage across a long session's repeated sweeps.
+    // One dir per key, overwritten in place, bounds the footprint; the
+    // caller must consume the result before reusing a key. With
+    // reuse=true and a content-stable key (the gate query passes the
+    // source fingerprint) the spill is also memoized like every other
+    // mirror, so sweep N+1 skips the write entirely.
     val spark = oriented.sparkSession
     val path = new org.apache.hadoop.fs.Path(
-      s"${sys.props("java.io.tmpdir")}/graft-spill/tri_${java.util.UUID.randomUUID()}")
+      s"${sys.props("java.io.tmpdir")}/graft-spill/tri_$spillKey")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    oriented.write.mode("overwrite").parquet(path.toString)
+    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    if (!(reuse && fs.exists(done)))
+      oriented.write.mode("overwrite").parquet(path.toString)
     fs.deleteOnExit(path)
     val e = spark.read.parquet(path.toString)
     val ab = e.select(col("s1").as("a"), col("s2").as("b"))

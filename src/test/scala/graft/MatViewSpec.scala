@@ -98,6 +98,118 @@ class MatViewSpec extends SparkSpec {
     assert(!paths.exists(_.endsWith("events.parquet")))
   }
 
+  test("day-aligned filtered aggregate routes; answers match the raw plan") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("mv_rewrite_daily_filtered")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_daily_")),
+      s"filtered aggregate did not route: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+    val routed = df.collect().map(_.toString).sorted
+    graft.plans.SummaryRewrite.clear()
+    try {
+      val raw = SparkEntry.queries("mv_rewrite_daily_filtered")(spark, sf)
+      // the builder re-registers routes — clear again to compare raw
+      graft.plans.SummaryRewrite.clear()
+      assert(scanPaths(raw).exists(_.endsWith("events.parquet")))
+      assert(raw.collect().map(_.toString).sorted.sameElements(routed),
+        "filtered routed and raw answers differ")
+    } finally graft.queries.MatView.enableRouting(spark, sf)
+  }
+
+  test("hour-aligned (not day-aligned) bound routes the day query to the hour summary") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("mv_rewrite_day_from_hours_filtered")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_hourly_")),
+      s"hour-aligned bound should fall to the hour summary: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+  }
+
+  test("misaligned or unanswerable predicates refuse the route") {
+    assume(new java.io.File(sf).isDirectory)
+    graft.queries.MatView.enableRouting(spark, sf)
+    import org.apache.spark.sql.functions._
+    def dayAgg(f: org.apache.spark.sql.Column) = T.events(spark, sf)
+      .filter(f)
+      .groupBy(date_trunc("day", col("ts")), col("event_type"))
+      .agg(count(lit(1)))
+    // mid-hour bound: neither grain's buckets can honor the 00:30 cut
+    val misaligned = dayAgg(col("ts") >= to_timestamp(lit("2024-01-08 00:30:00")))
+    assert(scanPaths(misaligned).exists(_.endsWith("events.parquet")),
+      "misaligned ts bound must stay on the raw scan")
+    // ts <= upper bound: bucket-level cannot exclude the rest of the bucket
+    val closedUpper = dayAgg(col("ts") <= to_timestamp(lit("2024-01-08 00:00:00")))
+    assert(scanPaths(closedUpper).exists(_.endsWith("events.parquet")),
+      "ts <= bound must stay on the raw scan")
+    // predicate over a column the summary lacks
+    val valuePred = dayAgg(col("value") > 0)
+    assert(scanPaths(valuePred).exists(_.endsWith("events.parquet")),
+      "value predicate must stay on the raw scan")
+  }
+
+  test("trunc-based predicates route at any expressible shape") {
+    assume(new java.io.File(sf).isDirectory)
+    graft.queries.MatView.enableRouting(spark, sf)
+    import org.apache.spark.sql.functions._
+    // equality on date_trunc('day', ts): substitutes the bucket column
+    val eqDay = T.events(spark, sf)
+      .filter(date_trunc("day", col("ts")) === to_timestamp(lit("2024-01-08 00:00:00")))
+      .groupBy(date_trunc("day", col("ts")), col("event_type"))
+      .agg(count(lit(1)))
+    val paths = scanPaths(eqDay)
+    assert(paths.exists(_.contains("events_daily_")), s"trunc-eq did not route: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+  }
+
+  test("the navigator knob turns routing off without touching the registry") {
+    assume(new java.io.File(sf).isDirectory)
+    graft.queries.MatView.enableRouting(spark, sf)
+    import org.apache.spark.sql.functions._
+    def dayAgg() = T.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")), col("event_type"))
+      .agg(count(lit(1)))
+    spark.conf.set(graft.plans.SummaryRewrite.EnabledKey, "false")
+    try
+      assert(scanPaths(dayAgg()).exists(_.endsWith("events.parquet")),
+        "disabled navigator must leave the raw scan")
+    finally spark.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    assert(scanPaths(dayAgg()).exists(_.contains("events_daily_")),
+      "re-enabled navigator must route again")
+  }
+
+  test("summary rebuild never routes onto a stale summary (regen scenario)") {
+    assume(new java.io.File(sf).isDirectory)
+    // simulate the r5 incident: routes registered for this source, then
+    // the fingerprint changes. The rebuild's own aggregate matches the
+    // routing grammar — deregister+bypass must force it onto raw rows.
+    graft.queries.MatView.enableRouting(spark, sf)
+    import org.apache.spark.sql.functions._
+    graft.plans.SummaryRewrite.withBypass {
+      val agg = T.events(spark, sf)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(agg).exists(_.endsWith("events.parquet")),
+        "bypassed rebuild plan must scan raw events")
+    }
+    // and deregister drops every grain for the suffix
+    graft.plans.SummaryRewrite.deregister(s"$sf/events.parquet")
+    val unrouted = T.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")), col("event_type")).agg(count(lit(1)))
+    assert(scanPaths(unrouted).exists(_.endsWith("events.parquet")),
+      "deregistered source must stay raw")
+    graft.queries.MatView.enableRouting(spark, sf) // restore for later suites
+  }
+
+  test("SQL text with a WHERE routes too") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("sql_mv_daily_filtered")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_daily_")),
+      s"filtered SQL text did not route: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+  }
+
   test("non-routable shapes stay on the raw scan") {
     assume(new java.io.File(sf).isDirectory)
     graft.queries.MatView.enableRouting(spark, sf)

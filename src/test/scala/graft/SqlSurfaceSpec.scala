@@ -39,6 +39,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("sql_window_topk text plans the bounded-heap TopKPerGroup exec") {
+    // the portable row_number spelling on SQL TEXT must hit the same
+    // WindowTopKRewrite → TopKPerGroup path as the DataFrame idiom: no
+    // WindowExec, no per-partition full sort.
+    val df = SparkEntry.queries("sql_window_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), s"SQL window top-k fell back to WindowExec: $p")
+  }
+
   test("custom functions are callable in arbitrary user SQL (vec_dot)") {
     Views.register(spark, sf)
     // embeddings store array<float>; vec_dot is double-typed — the same
