@@ -2,8 +2,10 @@ package graft.streaming
 
 import graft.ops.{CopyOnWrite, Manifest}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.DecimalType
 
 /** Streaming upsert into a partitioned parquet lake table — the
   * continuous-ingest half of the copy-on-write story: every micro-batch
@@ -50,26 +52,36 @@ object LakeStream {
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val s = batch.sparkSession
-        val archive = s"$tablePath/_archive/batch-$id"
-        val merged = CopyOnWrite.mergeDetailed(s, tablePath, partCol, keyCol,
-          batch, archiveTo = Some(archive))
-        val fs = new Path(tablePath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        merged.foreach { m =>
-          m.archivedTo.foreach { to =>
-            val from = fs.makeQualified(
-              new Path(tablePath, s"$partCol=${m.value}"))
-            Manifest.remapPrefix(s, tablePath, s"$from/", s"$to/")
-          }
-        }
-        Manifest.commitWithRetry(s, tablePath) { (_, _) =>
-          Manifest.collectStats(s, Manifest.dataFiles(s, tablePath), keyCol)
-        }
+        mergeAndCommit(batch.sparkSession, tablePath, partCol, keyCol, batch, id)
         ()
       }
       .outputMode("update")
       .start()
+
+  /** One micro-batch's merge + manifest commit (the body [[start]] runs
+    * per trigger), returning the touched partitions with their archive
+    * destinations — [[startWithSummary]] needs those to compute the
+    * batch's retractions. */
+  private def mergeAndCommit(s: SparkSession, tablePath: String,
+      partCol: String, keyCol: String, batch: DataFrame,
+      id: Long): Seq[CopyOnWrite.MergedPartition] = {
+    val archive = s"$tablePath/_archive/batch-$id"
+    val merged = CopyOnWrite.mergeDetailed(s, tablePath, partCol, keyCol,
+      batch, archiveTo = Some(archive))
+    val fs = new Path(tablePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    merged.foreach { m =>
+      m.archivedTo.foreach { to =>
+        val from = fs.makeQualified(
+          new Path(tablePath, s"$partCol=${m.value}"))
+        Manifest.remapPrefix(s, tablePath, s"$from/", s"$to/")
+      }
+    }
+    Manifest.commitWithRetry(s, tablePath) { (_, _) =>
+      Manifest.collectStats(s, Manifest.dataFiles(s, tablePath), keyCol)
+    }
+    merged
+  }
 
   /** Streaming WRITE-AUDIT-PUBLISH: stage each micro-batch as
     * append-only files under `$tablePath/staged/batch-<id>` and
@@ -113,5 +125,175 @@ object LakeStream {
         ()
       }
       .outputMode("append")
+      .start()
+
+  // ---------------------------------------------------------------------
+  // Streaming maintenance of the routed day/hour summaries (VERDICT r6
+  // #4): the merge law mv_incremental_refresh proves in batch, wired to
+  // the per-micro-batch commit point — so the aggregate navigator
+  // ([[graft.plans.SummaryRewrite]]) serves dashboards off a summary
+  // that is never more than one trigger behind the table.
+  // ---------------------------------------------------------------------
+
+  private val D18 = DecimalType(18, 2)
+  private val D28 = DecimalType(18 + 10, 2) // sum-of-partials widening, pinned
+
+  /** The summary shape [[graft.queries.MatView.ensureSummary]] writes and
+    * SummaryRewrite routes onto: one row per (grain bucket, event_type)
+    * with count / exact-decimal sum / min / max partials. */
+  private def partials(df: DataFrame, grain: String): DataFrame =
+    df.groupBy(date_trunc(grain, col("ts")).as(grain), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D18)).cast(D28).as("sum_value_dec"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Re-aggregate a union of summary partials through the merge law:
+    * counts add, DECIMAL sums add exactly, min/max fold. The widened sum
+    * casts back to the stored type so every version has one schema. */
+  private def foldSummaries(parts: DataFrame, grain: String): DataFrame =
+    parts.groupBy(col(grain), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_value_dec")).cast(D28).as("sum_value_dec"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+
+  /** Incrementally refresh the `_summary/<grain>/v<batchId>` rollups of
+    * an events-shaped lake table (`ts`, `event_type`, `value` columns)
+    * after batch `batchId` merged, and return grain → the refreshed
+    * summary's path.
+    *
+    * Maintenance law, per grain:
+    *  - **append-only batch** (no replaced rows): new version =
+    *    merge-law fold of (previous version ∪ batch partials) — O(batch
+    *    ∪ summary), never the table;
+    *  - **upsert batch** (`replaced` carries the pre-merge rows whose
+    *    keys the batch rewrote): buckets the replacements touch are
+    *    recomputed from the post-merge table scoped to those buckets —
+    *    counts and sums COULD be maintained by signed retractions, but
+    *    min/max are not invertible (removing the row that held the max
+    *    forces a re-look), so the affected buckets take the scoped
+    *    rebuild and every other bucket stays on the merge law. The
+    *    bucket set is batch-bounded, so the rebuild reads a ts-pruned
+    *    sliver of the table, not the firehose;
+    *  - **bootstrap** (no previous version): full build from the
+    *    post-merge table — the one-time cost the static
+    *    [[graft.queries.MatView.ensureSummary]] pays too.
+    *
+    * Replay safety (at-least-once delivery): versions are keyed by
+    * batch id — a completed `v<batchId>` (its `_SUCCESS` marker exists)
+    * makes the refresh a no-op, and an incomplete one is rebuilt from
+    * the last complete predecessor, so a crash anywhere between the
+    * data commit and the summary write converges on replay. The whole
+    * computation runs under [[graft.plans.SummaryRewrite.withBypass]]:
+    * the scoped rebuild's own aggregate matches the routing grammar,
+    * and routing it onto the version being superseded would feed the
+    * refresh from stale partials.
+    *
+    * Retention keeps the previous version (the replay fallback) and
+    * deletes older ones eagerly — no deleteOnExit accumulation. */
+  private[graft] def refreshSummaries(spark: SparkSession, tablePath: String,
+      newRows: DataFrame, replaced: Option[DataFrame], batchId: Long,
+      grains: Seq[String] = Seq("day", "hour")): Map[String, String] = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
+    grains.map { grain =>
+      val gDir = new Path(s"$tablePath/_summary/$grain")
+      val vDir = new Path(gDir, s"v$batchId")
+      if (!complete(vDir)) graft.plans.SummaryRewrite.withBypass {
+        val prevVersions: Seq[Long] =
+          if (!fs.exists(gDir)) Seq.empty
+          else fs.listStatus(gDir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v"))
+            .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+            .filter(v => v < batchId && complete(new Path(gDir, s"v$v")))
+            .sorted
+        val prev = prevVersions.lastOption
+          .map(v => spark.read.parquet(new Path(gDir, s"v$v").toString))
+        val table = CopyOnWrite.read(spark, tablePath)
+        val newParts = partials(newRows, grain)
+        val out = prev match {
+          case None => partials(table, grain)
+          case Some(p) =>
+            // affected buckets: where the batch REPLACED rows. Driver
+            // state is O(batch-span buckets) — the same bounded shape as
+            // CoW's touched-partition list.
+            val bRows = replaced.map(_.select(
+                date_trunc(grain, col("ts")).as("b")).distinct().collect())
+              .getOrElse(Array.empty)
+            val hasNullB = bRows.exists(_.isNullAt(0))
+            val bVals = bRows.filterNot(_.isNullAt(0)).map(_.getTimestamp(0))
+            if (bRows.isEmpty) foldSummaries(p.unionByName(newParts), grain)
+            else {
+              def inB(c: Column): Column = {
+                val nonNull =
+                  if (bVals.isEmpty) lit(false)
+                  else coalesce(c.isin(bVals.toSeq: _*), lit(false))
+                if (hasNullB) nonNull || c.isNull else nonNull
+              }
+              // redundant PUSHABLE conjunct: isin-over-trunc never reaches
+              // the parquet scan, but a bare-ts window does — row groups
+              // outside [min bucket, max bucket + grain) skip on stats, so
+              // the scoped rebuild reads a batch-bounded sliver at scale
+              val grainMs = if (grain == "day") 86400000L else 3600000L
+              val tsWindow: Column =
+                if (bVals.isEmpty) col("ts").isNull
+                else {
+                  val lo = bVals.minBy(_.getTime)
+                  val hi = new java.sql.Timestamp(
+                    bVals.maxBy(_.getTime).getTime + grainMs)
+                  val range = col("ts") >= lit(lo) && col("ts") < lit(hi)
+                  if (hasNullB) range || col("ts").isNull else range
+                }
+              val scoped = partials(
+                table.filter(tsWindow && inB(date_trunc(grain, col("ts")))),
+                grain)
+              foldSummaries(
+                p.filter(!inB(col(grain)))
+                  .unionByName(newParts.filter(!inB(col(grain)))), grain)
+                .unionByName(scoped)
+            }
+        }
+        out.repartition(1).write.mode("overwrite").parquet(vDir.toString)
+        prevVersions.dropRight(1) // keep the replay fallback, drop the rest
+          .foreach(v => fs.delete(new Path(gDir, s"v$v"), true))
+      }
+      grain -> fs.makeQualified(vDir).toString
+    }.toMap
+  }
+
+  /** [[start]] plus summary maintenance: each micro-batch merges into
+    * the table, commits its manifest version, refreshes the day/hour
+    * summaries under the SAME batch id (summary `v<N>` ≡ manifest
+    * version `N` — a reader can pin a consistent (data, summary) pair
+    * at any trigger boundary), and re-registers the navigator routes so
+    * raw-spelling dashboard aggregates over the table keep reading the
+    * fresh rollup instead of the firehose. */
+  def startWithSummary(source: DataFrame, tablePath: String, partCol: String,
+      keyCol: String, checkpoint: String,
+      grains: Seq[String] = Seq("day", "hour")): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val merged = mergeAndCommit(s, tablePath, partCol, keyCol, batch, id)
+        val archDirs = merged.flatMap(_.archivedTo)
+        // pre-merge rows the batch rewrote: the archived partitions'
+        // content, restricted to the batch's keys. Empty archive set ⇒
+        // pure appends ⇒ the merge-law path.
+        val replaced =
+          if (archDirs.isEmpty) None
+          else Some(s.read.parquet(archDirs: _*)
+            .join(broadcast(batch.select(col(keyCol)).distinct()),
+              Seq(keyCol), "left_semi"))
+        val paths = refreshSummaries(s, tablePath, batch, replaced, id, grains)
+        graft.functions.VecExprs.register(s) // the routing RULE, if absent
+        paths.foreach { case (grain, p) =>
+          graft.plans.SummaryRewrite.register(tablePath, grain, p)
+        }
+        ()
+      }
+      .outputMode("update")
       .start()
 }

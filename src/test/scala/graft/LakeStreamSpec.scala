@@ -13,6 +13,7 @@ class LakeStreamSpec extends SparkSpec {
 
   case class Rec(k: Long, p: String, v: Double)
   case class KV(k: Long, v: Long)
+  import LakeStreamSpec.Ev
 
   test("streaming merges upsert into the partitioned table and converge on replay") {
     val dir = Files.createTempDirectory("graft-lakestream").toString
@@ -100,4 +101,126 @@ class LakeStreamSpec extends SparkSpec {
       assert(Manifest.refHead(spark, dir, "main").get._2 == audited)
     } finally q.stop()
   }
+
+  test("streaming summary maintenance: per-batch refresh ≡ flat rebuild, routes, replays") {
+    import graft.ops.CopyOnWrite
+    import graft.plans.SummaryRewrite
+    import org.apache.spark.sql.types.DecimalType
+    val dir = Files.createTempDirectory("graft-sumstream").toString
+    val ckpt = Files.createTempDirectory("graft-sumstream-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // pre-stream history in the table: the first batch must BOOTSTRAP the
+    // summary from the table, not just its own rows
+    Seq(
+      Ev(1L, "2024-01-01", ts("2024-01-01 08:10:00"), "view", 5.0),
+      Ev(2L, "2024-01-01", ts("2024-01-01 09:20:00"), "click", 3.0),
+      Ev(3L, "2024-01-02", ts("2024-01-02 10:00:00"), "view", 9.0))
+      .toDF().write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    def rebuild(grain: String): Seq[String] = SummaryRewrite.withBypass {
+      CopyOnWrite.read(spark, dir)
+        .groupBy(date_trunc(grain, col("ts")).as(grain), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DecimalType(28, 2)).as("sum_value_dec"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def latestSummary(grain: String): String = {
+      val g = new java.io.File(s"$dir/_summary/$grain")
+      val vs = g.listFiles().map(_.getName).filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).sorted
+      s"$dir/_summary/$grain/v${vs.last}"
+    }
+    def stored(grain: String): Seq[String] =
+      spark.read.parquet(latestSummary(grain))
+        .collect().map(_.toString).sorted.toSeq
+
+    val mem = MemoryStream[Ev](spark)
+    val q = LakeStream.startWithSummary(mem.toDF(), dir, "day", "event_id", ckpt)
+    try {
+      // batch 0: append-only into existing + new partitions (bootstrap)
+      mem.addData(
+        Ev(4L, "2024-01-02", ts("2024-01-02 10:30:00"), "click", 2.0),
+        Ev(5L, "2024-01-03", ts("2024-01-03 11:00:00"), "view", 7.0))
+      q.processAllAvailable()
+      Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g),
+        s"bootstrap summary != rebuild at grain $g"))
+
+      // batch 1: UPSERT — event 1 changes value AND hour (retraction
+      // path: its old and new buckets both need the scoped rebuild; the
+      // old 08:00 hour bucket must drop to zero rows, not linger)
+      mem.addData(
+        Ev(1L, "2024-01-01", ts("2024-01-01 12:45:00"), "view", 50.0),
+        Ev(6L, "2024-01-03", ts("2024-01-03 11:15:00"), "click", 4.0))
+      q.processAllAvailable()
+      Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g),
+        s"post-upsert summary != rebuild at grain $g"))
+      assert(!stored("hour").exists(_.contains("2024-01-01 08:")),
+        "retracted hour bucket must disappear from the summary")
+
+      // batch 2: plain append — merge-law path on top of the upsert
+      mem.addData(Ev(7L, "2024-01-01", ts("2024-01-01 12:50:00"), "purchase", 1.0))
+      q.processAllAvailable()
+      Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g),
+        s"post-append summary != rebuild at grain $g"))
+
+      // summary versions pair with manifest versions (same batch ids),
+      // and retention keeps exactly {previous, current}
+      assert(graft.ops.Manifest.versions(spark, dir) == Seq(0, 1, 2))
+      val kept = new java.io.File(s"$dir/_summary/day").listFiles()
+        .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+      assert(kept == Seq("v1", "v2"), s"retention kept $kept")
+
+      // replay idempotence: re-running batch 2's refresh (at-least-once
+      // delivery) is a no-op — the completed v2 short-circuits, even
+      // with a decoy batch frame attached
+      val before = stored("day")
+      val decoy = Seq(Ev(99L, "2024-01-09", ts("2024-01-09 00:00:00"),
+        "view", 1000.0)).toDF()
+      LakeStream.refreshSummaries(spark, dir, decoy, None, 2L)
+      assert(stored("day") == before, "replayed refresh must be a no-op")
+
+      // the navigator serves raw-spelling aggregates over the TABLE from
+      // the maintained summary — registered by the stream itself
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+      // the stream installs the rule on ITS (cloned) session; a reader
+      // session opts in the usual way
+      graft.functions.VecExprs.register(spark)
+      // def, not val: a DataFrame memoizes its QueryExecution, so the
+      // bypassed comparison below must build a FRESH frame
+      def dash = CopyOnWrite.read(spark, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      val routedDf = dash
+      val paths = scanPaths(routedDf)
+      assert(paths.exists(_.contains("_summary/day/v")),
+        s"dashboard aggregate did not route onto the streamed summary: $paths")
+      val routed = routedDf.collect().map(_.toString).sorted
+      val raw = SummaryRewrite.withBypass {
+        dash.collect().map(_.toString).sorted
+      }
+      assert(routed.sameElements(raw), "routed answer drifted from raw")
+    } finally {
+      q.stop()
+      SummaryRewrite.deregister(dir)
+    }
+  }
+}
+
+object LakeStreamSpec {
+  /** Top-level so Spark can build an Encoder without an outer scope. */
+  case class Ev(event_id: Long, day: String, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
 }
