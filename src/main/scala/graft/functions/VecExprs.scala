@@ -290,6 +290,9 @@ object VecExprs {
     registry.createOrReplaceTempFunction(
       "kmv_bottomk", exprs => KmvBottomK(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    registry.createOrReplaceTempFunction(
+      "space_saving", exprs => SpaceSavingTopK(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
     // post-hoc twin of injectOptimizerRule for sessions the engine did
     // not build: extraOptimizations run as their own batch after the
     // main optimizer, where the portable HOF spellings are already

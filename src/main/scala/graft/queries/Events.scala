@@ -1184,7 +1184,98 @@ object Events {
       |  abs(sum_cents_sample * 256 - sum_cents_exact * 13) * 4 <= sum_cents_exact * 13 AS sum_within
       |FROM a ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // events_heavy_hitters — SpaceSaving top-k (Metwally et al., ICDT'05)
+  // as a native bounded-state aggregate (functions/SpaceSaving.scala):
+  // per day, the top-3 event types by frequency out of a 64-counter
+  // summary. Per-group distinct (5 types) is under capacity, so the
+  // sketch is EXACT and deterministic here — which is what lets DuckDB
+  // hash-check it from plain counts; the eviction path is exercised by
+  // sketch_heavy_hitters_contract below and property-pinned in
+  // SpaceSavingSpec. At 100 TB the sketch's O(m) partials shuffle
+  // `capacity` counters per partition instead of the key universe —
+  // the difference between "top slugs per day over a firehose" as one
+  // map-side pass vs a full groupBy shuffle.
+  private def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("space_saving(event_type, 64)").as("hh"))
+      .select(col("day"), explode(col("hh")).as("e"))
+      .select(col("day"), col("e.value").as("event_type"),
+        col("e.cnt").as("cnt"))
+      // tiny window: |days| × ≤64 summary rows, not the event count
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("day"))
+          .orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rank") <= 3)
+      .orderBy(col("day"), col("rank"))
+  }
+
+  private val heavyHittersSql =
+    """WITH c AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT day, event_type, cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY cnt DESC, event_type) AS INT) AS rank
+      |  FROM c)
+      |SELECT day, event_type, cnt, rank FROM r WHERE rank <= 3
+      |ORDER BY day, rank""".stripMargin
+
+  // sketch_heavy_hitters_contract — the guarantee gate for the eviction
+  // path (B19 pattern). A deterministic skewed key (half the stream on 3
+  // hot slugs, the other half spread over ~150 user keys) overflows the
+  // 64-counter summary, so counters ARE evicted; the SpaceSaving theorem
+  // says every key with true frequency > N/64 must still be reported,
+  // with count − err ≤ true ≤ count. Spark emits, per heavy key, its
+  // exact count plus the found/bounds booleans computed against its own
+  // sketch; the oracle recomputes the heavy set and exact counts and
+  // asserts the theorem's booleans — DuckDB has no heavy-hitter sketch,
+  // so TRUE here is the CONTRACT the hash compare holds Spark to, same
+  // as the error-bound columns of approx_distinct_check.
+  private def heavyHittersContract(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    val keyed = T.events(spark, dir).withColumn("k",
+      when(pmod(col("event_id"), lit(2)) === 0,
+        concat(lit("hot_"), pmod(col("event_id"), lit(3)).cast("string")))
+        .otherwise(concat(lit("u"), col("user_id").cast("string"))))
+    val sketch = keyed.agg(expr("space_saving(k, 64)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.value").as("k"), col("e.cnt").as("s_cnt"),
+        col("e.err").as("s_err"))
+    val truth = keyed.groupBy(col("k"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val n = keyed.agg(count(lit(1)).as("n"))
+    truth.crossJoin(broadcast(n))
+      .filter(col("true_cnt") * 64 > col("n")) // heavy: true freq > N/64
+      .join(sketch, Seq("k"), "left")
+      .select(col("k"), col("true_cnt"),
+        col("s_cnt").isNotNull.as("found"),
+        (col("s_cnt").isNotNull &&
+          col("s_cnt") - col("s_err") <= col("true_cnt") &&
+          col("true_cnt") <= col("s_cnt")).as("bounds_ok"))
+      .orderBy(col("k"))
+  }
+
+  private val heavyHittersContractSql =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN event_id % 2 = 0
+      |    THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+      |    ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+      |  FROM events),
+      |t AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM keyed GROUP BY k),
+      |n AS (SELECT COUNT(*) AS n FROM keyed)
+      |SELECT k, true_cnt, TRUE AS found, TRUE AS bounds_ok
+      |FROM t, n WHERE true_cnt * 64 > n ORDER BY k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("events_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("sketch_heavy_hitters_contract", heavyHittersContract,
+      Some(heavyHittersContractSql)),
     QueryDef("approx_sample_estimate", sampleEstimate, Some(sampleEstimateSql)),
     QueryDef("events_daily_percentiles", dailyPercentiles, Some(dailyPercentilesSql)),
     QueryDef("events_ts_quarantine", tsQuarantine, Some(tsQuarantineSql)),
