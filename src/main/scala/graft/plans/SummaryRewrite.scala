@@ -9,13 +9,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DecimalType, LongType, StringType, TimestampNTZType, TimestampType}
 
-/** Materialized-view ROUTING: rewrite an aggregate over the raw events
-  * scan onto its registered day-grain summary table — the classic OLAP
+/** Materialized-view ROUTING: rewrite an aggregate over a raw table
+  * scan onto its registered grain summary — the classic OLAP
   * "aggregate navigator" (Gray et al., Data Cube, ICDE'96; every serious
   * warehouse ships one), done the Spark way: a `Rule[LogicalPlan]` that
   * fires after the main optimizer batches, so users (and SQL text) keep
   * writing the portable raw-table spelling and the plan quietly reads
-  * the summary instead.
+  * the summary instead. The rule is SCHEMA-GENERIC: each route carries a
+  * [[SummaryRewrite.SummarySchema]] naming the source's time column,
+  * dimension columns, and measure column — events (ts × event_type over
+  * value) is just the default instance, and mv_rewrite_orders_daily
+  * routes the same grammar over orders (o_orderdate × o_orderstatus
+  * over o_totalprice).
   *
   * At 100 TB this is the difference between a dashboard query scanning
   * the event firehose and scanning a |days|×|types|-row rollup: the
@@ -64,6 +69,16 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StringType, TimestampN
   */
 object SummaryRewrite extends Rule[LogicalPlan] {
 
+  /** What a summary summarizes: the source's event-time column, the
+    * dimension columns the rollup groups by (each stored under its own
+    * name in the summary), and the measure column behind the
+    * n/sum/min/max partials. The navigator is schema-generic — the
+    * events table is just the default instance. */
+  final case class SummarySchema(timeCol: String, dims: Seq[String],
+      valueCol: String)
+  val EventsSchema: SummarySchema =
+    SummarySchema("ts", Seq("event_type"), "value")
+
   /** Explicit navigator knob (runtime conf, default on). MatViewSpec
     * pins that turning it off restores the raw scan — and because
     * Verify/Bench both pre-register routes before their sweeps, the
@@ -71,17 +86,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * bench times (ADVICE r6: timed plan must equal checked plan). */
   val EnabledKey = "spark.graft.mv.routing.enabled"
 
-  /** (source-path suffix, grain) → summary parquet path. Registered by
-    * the query builder after ensuring the summary exists; fingerprint-
-    * keyed summary paths plus deregistration during rebuilds (below)
-    * make stale routing impossible. Grains "day" and "hour"; the
+  /** (source-path suffix, grain) → (summary parquet path, schema).
+    * Registered by the query builder after ensuring the summary exists;
+    * fingerprint-keyed summary paths plus deregistration during rebuilds
+    * (below) make stale routing impossible. Grains "day" and "hour"; the
     * navigator prefers the summary at the QUERY's grain and falls back
     * to a finer registered one (a day query re-aggregates 24 hour rows —
     * the classic finer-view-answers-coarser-query case). */
-  private val registry = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private val registry = new java.util.concurrent.ConcurrentHashMap[(String, String), (String, SummarySchema)]()
+
+  def register(srcPathSuffix: String, grain: String, summaryPath: String,
+      schema: SummarySchema): Unit =
+    registry.put((srcPathSuffix, grain.toLowerCase), (summaryPath, schema))
 
   def register(srcPathSuffix: String, grain: String, summaryPath: String): Unit =
-    registry.put((srcPathSuffix, grain.toLowerCase), summaryPath)
+    register(srcPathSuffix, grain, summaryPath, EventsSchema)
 
   /** Back-compat single-grain registration (day). */
   def register(srcPathSuffix: String, summaryPath: String): Unit =
@@ -158,17 +177,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         h.location.rootPaths.headOption.map(_.toString).getOrElse(return None)
       case _ => return None
     }
-    val routes: Map[String, String] = {
+    val routes: Map[String, (String, SummarySchema)] = {
       import scala.jdk.CollectionConverters._
       registry.asScala.collect {
         case ((suffix, grain), sp) if srcPath.endsWith(suffix) => grain -> sp
       }.toMap
     }
     if (routes.isEmpty) return None
+    // one schema per source (builders register grains consistently)
+    val schema = routes.head._2._2
 
-    val tsAttr = rel.output.find(_.name == "ts").getOrElse(return None)
-    val typeAttr = rel.output.find(_.name == "event_type").getOrElse(return None)
-    val valueAttr = rel.output.find(_.name == "value").getOrElse(return None)
+    val tsAttr = rel.output.find(_.name == schema.timeCol).getOrElse(return None)
+    val dimAttrs: Seq[AttributeReference] = schema.dims.map(d =>
+      rel.output.collectFirst {
+        case a: AttributeReference if a.name == d => a
+      }.getOrElse(return None))
+    val dimIdx: Map[ExprId, Int] =
+      dimAttrs.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    val valueAttr = rel.output.find(_.name == schema.valueCol).getOrElse(return None)
 
     // chase project aliases down to relation-attribute expressions
     def resolve(e: Expression): Expression = {
@@ -188,6 +214,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     def isTs(e: Expression): Boolean = e match {
       case a: Attribute => a.exprId == tsAttr.exprId
       case Cast(c, TimestampType, _, _) => isTs(c)
+      case Cast(c, TimestampNTZType, _, _) => isTs(c)
       case _ => false
     }
     def isValue(e: Expression): Boolean = e match {
@@ -206,7 +233,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // ---- classify grouping expressions -------------------------------
     sealed trait GKind
     case object GTime extends GKind
-    case object GType extends GKind
+    final case class GDim(i: Int) extends GKind
     var qGrain: Option[String] = None
     var qTrunc: Option[TruncTimestamp] = None // original node, for re-trunc
     val gkinds: Seq[GKind] = agg.groupingExpressions.map { g0 =>
@@ -217,7 +244,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           qGrain = Some(gr)
           qTrunc = Some(g.asInstanceOf[TruncTimestamp])
           GTime
-        case a: Attribute if a.exprId == typeAttr.exprId => GType
+        case a: Attribute if dimIdx.contains(a.exprId) => GDim(dimIdx(a.exprId))
         case _ => return None
       }
     }
@@ -244,17 +271,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
 
     final case class Picked(grain: String, sumRel: LogicalRelation,
-        timeA: Attribute, typeA: Attribute, nA: Attribute, sumDecA: Attribute,
-        minA: Attribute, maxA: Attribute, preds: Seq[Expression])
+        timeA: Attribute, dimAs: Seq[Attribute], nA: Attribute,
+        sumDecA: Attribute, minA: Attribute, maxA: Attribute,
+        preds: Seq[Expression])
 
     def tryCandidate(sumGrain: String): Option[Picked] = {
-      val summaryPath = routes.getOrElse(sumGrain, return None)
+      val (summaryPath, _) = routes.getOrElse(sumGrain, return None)
       val sumRel = spark.read.parquet(summaryPath).queryExecution.analyzed
         .collectFirst { case lr: LogicalRelation => lr }.getOrElse(return None)
-      val sumAttrs = Seq(sumGrain, "event_type", "n", "sum_value_dec",
-        "min_value", "max_value").map(n => sumRel.output.find(_.name == n))
+      val sumAttrs = (Seq(sumGrain) ++ schema.dims ++
+        Seq("n", "sum_value_dec", "min_value", "max_value"))
+        .map(n => sumRel.output.find(_.name == n))
       if (sumAttrs.exists(_.isEmpty)) return None
-      val Seq(timeA, typeA, nA, sumDecA, minA, maxA) = sumAttrs.map(_.get)
+      val timeA = sumAttrs.head.get
+      val dimAs = sumAttrs.slice(1, 1 + schema.dims.size).map(_.get)
+      val Seq(nA, sumDecA, minA, maxA) =
+        sumAttrs.drop(1 + schema.dims.size).map(_.get)
+      val sumDim: Map[ExprId, Attribute] =
+        dimAttrs.zip(dimAs).map { case (src, dst) => src.exprId -> dst }.toMap
 
       def aligned(v: Any): Boolean = v match {
         case micros: java.lang.Long => micros.longValue % GrainMicros(sumGrain) == 0L
@@ -308,21 +342,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             if (GrainMicros.get(g2).exists(_ >= GrainMicros(sumGrain)))
               (if (g2 == sumGrain) timeA else tr.copy(timestamp = timeA)): Expression
             else { ok = false; tr }
-          case a: Attribute if a.exprId == typeAttr.exprId => typeA
+          case a: Attribute if sumDim.contains(a.exprId) => sumDim(a.exprId)
           case a: Attribute if rel.outputSet.contains(a) => ok = false; a
         }
         if (ok) Some(sub) else None
       }
       val newPreds = rawPreds.map(rewritePred)
       if (newPreds.exists(_.isEmpty)) None
-      else Some(Picked(sumGrain, sumRel, timeA, typeA, nA, sumDecA, minA,
+      else Some(Picked(sumGrain, sumRel, timeA, dimAs, nA, sumDecA, minA,
         maxA, newPreds.map(_.get)))
     }
 
     val picked = candidates.view.flatMap(tryCandidate)
       .headOption.getOrElse(return None)
     val sumGrain = picked.grain
-    import picked.{maxA, minA, nA, sumDecA, sumRel, timeA, typeA}
+    import picked.{dimAs, maxA, minA, nA, sumDecA, sumRel, timeA}
 
     // the time expression in the REWRITTEN plan: the summary's bucket
     // column at matching grain, or the original trunc re-applied to the
@@ -363,9 +397,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case g if truncGrain(resolve(g)) == qGrain && qGrain.isDefined =>
         Some(timeRepr)
       case a: Attribute if (resolve(a) match {
-            case r: Attribute => r.exprId == typeAttr.exprId
+            case r: Attribute => dimIdx.contains(r.exprId)
             case _ => false
-          }) => Some(typeA)
+          }) =>
+        val r = resolve(a).asInstanceOf[Attribute]
+        Some(dimAs(dimIdx(r.exprId)))
       case _: Attribute => None // any other source column: no route
       case other =>
         // non-aggregate scaffolding (casts, arithmetic over results):
@@ -377,7 +413,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
     val newGroups: Seq[Expression] = gkinds.map {
       case GTime => timeRepr
-      case GType => typeA
+      case GDim(i) => dimAs(i)
     }
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case al @ Alias(expr, name) =>

@@ -59,14 +59,72 @@ object MatView {
     * VecExprs.register). Both builds complete BEFORE either route is
     * registered — ensureSummary deregisters the source's routes when it
     * has to rebuild, so registering between the two builds would let the
-    * second build drop the first's fresh route. */
+    * second build drop the first's fresh route. Also registers the
+    * ORDERS summary (below): one entry point keeps Verify's
+    * pre-registration and Bench's warm pass enabling the SAME route set,
+    * so verified plans stay equal to benched plans (ADVICE r6). */
   private[graft] def enableRouting(spark: SparkSession, dir: String): Unit = {
     graft.functions.VecExprs.register(spark)
     val dayPath = ensureSummary(spark, dir, "day")
     val hourPath = ensureSummary(spark, dir, "hour")
     graft.plans.SummaryRewrite.register(s"$dir/events.parquet", "day", dayPath)
     graft.plans.SummaryRewrite.register(s"$dir/events.parquet", "hour", hourPath)
+    val ordersPath = ensureOrdersSummary(spark, dir)
+    graft.plans.SummaryRewrite.register(s"$dir/orders.parquet", "day",
+      ordersPath, OrdersSchema)
   }
+
+  /** The navigator is schema-generic (SummaryRewrite.SummarySchema) —
+    * the orders rollup proves it on a second table: day(o_orderdate) ×
+    * o_orderstatus with n/sum/min/max partials over o_totalprice. */
+  private val OrdersSchema = graft.plans.SummaryRewrite.SummarySchema(
+    "o_orderdate", Seq("o_orderstatus"), "o_totalprice")
+
+  private[graft] def ensureOrdersSummary(spark: SparkSession,
+      dir: String): String = {
+    Ctx.prep(spark)
+    val fp = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/orders_daily_$fp"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      graft.plans.SummaryRewrite.deregister(s"$dir/orders.parquet")
+      graft.plans.SummaryRewrite.withBypass {
+        T.orders(spark, dir)
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(D)).as("sum_value_dec"),
+            min(col("o_totalprice")).as("min_value"),
+            max(col("o_totalprice")).as("max_value"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    path
+  }
+
+  // Same raw portable spelling as mv_rewrite_daily, on a DIFFERENT
+  // table with different column names — proving the navigator routes by
+  // registered schema, not by knowing the events table.
+  private def mvOrdersDaily(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("day"), col("o_orderstatus"))
+  }
+
+  private val mvOrdersDailySql =
+    """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+      |  o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1, 2 ORDER BY day, o_orderstatus""".stripMargin
 
   // The raw portable spelling — identical to what a user ignorant of the
   // summary would write. SummaryRewrite reroutes it; the oracle (and
@@ -224,6 +282,7 @@ object MatView {
     QueryDef("mv_rewrite_day_from_hours_filtered", mvDayFromHoursFiltered,
       Some(mvDayFromHoursFilteredSql)),
     QueryDef("mv_rewrite_daily_total", mvDailyTotal, Some(mvDailyTotalSql)),
+    QueryDef("mv_rewrite_orders_daily", mvOrdersDaily, Some(mvOrdersDailySql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
     QueryDef("mv_incremental_refresh", mvIncrementalRefresh,
       Some(mvIncrementalRefreshSql))

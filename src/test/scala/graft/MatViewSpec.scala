@@ -89,6 +89,33 @@ class MatViewSpec extends SparkSpec {
     } finally graft.queries.MatView.enableRouting(spark, sf)
   }
 
+  test("schema-generic route: the orders aggregate reads the orders summary") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("mv_rewrite_orders_daily")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("orders_daily_")),
+      s"orders aggregate did not route: $paths")
+    assert(!paths.exists(_.endsWith("orders.parquet")),
+      s"raw orders still scanned: $paths")
+    // routed ≡ raw (the events summaries must not bleed into this table)
+    val routed = df.collect().map(_.toString).sorted
+    val raw = graft.plans.SummaryRewrite.withBypass {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      T.orders(spark, sf)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("day"), col("o_orderstatus"))
+        .collect().map(_.toString).sorted
+    }
+    assert(routed.sameElements(raw), "orders routed and raw answers differ")
+  }
+
   test("SQL text routes through the temp-view surface too") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("sql_mv_daily")(spark, sf)
