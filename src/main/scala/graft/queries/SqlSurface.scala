@@ -211,7 +211,41 @@ object SqlSurface {
   private def sqlRollup(spark: SparkSession, dir: String): DataFrame =
     Views.sql(spark, dir, sqlRollupText)
 
+  // sql_heavy_hitters — the bounded-state SpaceSaving aggregate invoked
+  // from SQL TEXT (functions/SpaceSaving.scala): per-day top event types
+  // off a 64-counter summary, exploded and ranked. Under capacity the
+  // sketch is exact (see events_heavy_hitters), so the oracle recomputes
+  // from plain counts; the point here is that the sketch surface is
+  // first-class in SQL, not Scala-only — same contract as sql_rabin_karp
+  // for scalar expressions and sql_udaf_weighted_avg for UDAFs.
+  private val sqlHeavyText =
+    """SELECT day, event_type, cnt, rank FROM (
+      |  SELECT day, e.value AS event_type, e.cnt AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY e.cnt DESC, e.value) AS rank
+      |  FROM (
+      |    SELECT day, explode(s) AS e FROM (
+      |      SELECT date_trunc('day', ts) AS day,
+      |        space_saving(event_type, 64) AS s
+      |      FROM events GROUP BY 1))) t
+      |WHERE rank <= 3 ORDER BY day, rank""".stripMargin
+
+  private def sqlHeavy(spark: SparkSession, dir: String): DataFrame =
+    Views.sql(spark, dir, sqlHeavyText)
+
+  private val sqlHeavyOracle =
+    """WITH c AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, cnt, rank FROM (
+      |  SELECT day, event_type, cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY cnt DESC, event_type) AS INT) AS rank
+      |  FROM c) t
+      |WHERE rank <= 3 ORDER BY day, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_heavy_hitters", sqlHeavy, Some(sqlHeavyOracle)),
     QueryDef("sql_q6_forecast", q6, Some(q6Text)),
     QueryDef("sql_rabin_karp", sqlRabin, Some(sqlRabinSql)),
     QueryDef("sql_recursive_months", recMonths, Some(recMonthsSql)),
