@@ -316,6 +316,53 @@ object Curation {
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // -------------------------------------------------------------------
+  // scan_dpp_join — DYNAMIC partition pruning: the partition values to
+  // keep are not in the query text (scan_partition_pruned's static
+  // case) but come out of a JOIN — lineitem mirrored once partitioned
+  // by ship month, joined to the months a filtered orders window
+  // produces. Spark plants a dynamicpruning#N subquery into the fact
+  // scan's PartitionFilters and reuses the dim side's broadcast to
+  // evaluate it, so only the joined months' directories are read —
+  // pinned by NewQueryPlanSpec. At 100 TB this is the star-join scan
+  // contract: the fact table prunes on the DIM's predicate ("urgent
+  // quarter", "audited sources") without anyone materializing the
+  // partition list by hand.
+  private def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val factPath = graft.ops.PartitionedLayout.ensureDerived(
+      spark, s"$dir/lineitem.parquet", s"lineitem_month_$dir", "ship_month")(
+      T.lineitem(spark, dir).withColumn("ship_month",
+        date_format(col("l_shipdate"), "yyyy-MM")))
+    val fact = spark.read.parquet(factPath)
+    val dim = T.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1995-04-01")))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .distinct()
+    fact.join(dim, Seq("ship_month"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("ship_month"))
+  }
+
+  private val dppJoinSql =
+    """WITH dim AS (
+      |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01'),
+      |fact AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_quantity
+      |  FROM lineitem)
+      |SELECT f.ship_month, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM fact f JOIN dim d ON f.ship_month = d.ship_month
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // curate_split_hash — reproducible train/val/test partition by
   // content-addressed draw: the first md5 byte of the doc id routes
   // each document to train (<0xcc ≈ 80%), val (<0xe6 ≈ 10%) or test —
@@ -557,6 +604,7 @@ object Curation {
     QueryDef("curate_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     QueryDef("curate_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     QueryDef("scan_partition_pruned", partitionPruned, Some(partitionPrunedSql)),
+    QueryDef("scan_dpp_join", dppJoin, Some(dppJoinSql)),
     QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("curate_decontaminate_exact", decontaminateExact,
       Some(decontaminateExactSql)),

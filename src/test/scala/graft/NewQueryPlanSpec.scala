@@ -47,6 +47,13 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"))
   }
 
+  test("scan_dpp_join: dynamic pruning subquery lands in the fact scan") {
+    assume(new java.io.File(sf).isDirectory)
+    val p = executedPlan("scan_dpp_join")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruning filter in the fact scan: ${p.take(1500)}")
+  }
+
   test("text_bm25: global ranking bounded by TakeOrderedAndProject, not a corpus window") {
     assume(new java.io.File(sf).isDirectory)
     val p = executedPlan("text_bm25")
