@@ -24,14 +24,22 @@ object MatView {
 
   /** Build-or-reuse the summary at `grain` ("day"/"hour"); returns its
     * path. Partial sums ride as DECIMAL so downstream re-aggregation is
-    * exact. The bucket column is NAMED after the grain — the rule looks
-    * it up by that name. */
+    * exact, and `uhll` carries a mergeable DataSketches HLL partial of
+    * the bucket's distinct users — `hll_union_agg` is the merge law for
+    * distinct counting, the one aggregate n/sum/min/max cannot answer
+    * (mv_distinct_users_daily gates it). The bucket column is NAMED
+    * after the grain — the rule looks it up by that name; extra columns
+    * are invisible to the routing grammar. The `_u` in the path versions
+    * the summary LAYOUT: fingerprint memoization only keys on the
+    * source, so a schema change must move the mirror path or stale
+    * sketchless mirrors from older sessions would satisfy the reuse
+    * check. */
   private[graft] def ensureSummary(spark: SparkSession, dir: String,
       grain: String = "day"): String = {
     Ctx.prep(spark)
     val fp = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
     val tag = if (grain == "day") "daily" else "hourly"
-    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/events_${tag}_$fp"
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/events_${tag}_u_$fp"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
@@ -47,7 +55,8 @@ object MatView {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(D)).as("sum_value_dec"),
             min(col("value")).as("min_value"),
-            max(col("value")).as("max_value"))
+            max(col("value")).as("max_value"),
+            hll_sketch_agg(col("user_id")).as("uhll"))
           .write.mode("overwrite").parquet(path)
       }
     }
@@ -255,6 +264,41 @@ object MatView {
       |  MIN(value) AS min_value, MAX(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mv_distinct_users_daily — distinct counting at SUMMARY cost: the one
+  // dashboard aggregate the n/sum/min/max partials cannot answer
+  // (distinct is not decomposable — SummaryRewrite's no-fire grammar
+  // refuses it by design). The summary's `uhll` column carries a
+  // mergeable DataSketches HLL partial per (day, type) bucket;
+  // `hll_union_agg` across the day's buckets IS the merge law for
+  // distinct, so per-day distinct users costs |types| sketch unions
+  // instead of a firehose distinct-shuffle. Routed answers must be
+  // bit-exact, so this is NOT a silent rewrite: the query asks the
+  // summary explicitly and the contract is B19-style — each engine
+  // computes its OWN estimate (DuckDB: approx_count_distinct, also HLL)
+  // against its OWN exact count and both emit the same within-5% verdict
+  // alongside the hash-matched exact values.
+  private def mvDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val sumPath = ensureSummary(spark, dir, "day")
+    val est = spark.read.parquet(sumPath)
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("uhll"))).as("est"))
+    val exact = T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact")).as("est_ok"))
+      .orderBy(col("day"))
+  }
+
+  private val mvDistinctUsersSql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) * 20
+      |    <= COUNT(DISTINCT user_id) AS est_ok
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   // Hour grain — routes to the hour summary (exact-grain match); the
   // day-grain gates above keep routing to the day summary, and
   // MatViewSpec additionally pins the NAVIGATOR fallback: with only the
@@ -284,6 +328,8 @@ object MatView {
     QueryDef("mv_rewrite_daily_total", mvDailyTotal, Some(mvDailyTotalSql)),
     QueryDef("mv_rewrite_orders_daily", mvOrdersDaily, Some(mvOrdersDailySql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
+    QueryDef("mv_distinct_users_daily", mvDistinctUsers,
+      Some(mvDistinctUsersSql)),
     QueryDef("mv_incremental_refresh", mvIncrementalRefresh,
       Some(mvIncrementalRefreshSql))
   )
