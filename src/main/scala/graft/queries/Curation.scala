@@ -316,6 +316,129 @@ object Curation {
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // -------------------------------------------------------------------
+  // curate_pipeline_e2e — the whole curation DAG as ONE dataset-card
+  // funnel: language gate → quality gate → exact dedup → near-dup dedup
+  // → decontamination, each stage a PER-DOC boolean computed globally
+  // (clusters and hash groups over the full corpus — the production
+  // shape: dedup indexes are built once, filters compose by
+  // conjunction), and the output is the funnel every dataset card
+  // reports: docs and chars surviving each prefix of the pipeline.
+  // Every stage reuses an already-gated operator's exact logic (stored
+  // lang labels; text_quality's integer token folds; md5 exact groups;
+  // dedup_clusters' simhash-CC survivors, absent docs trivially
+  // surviving; curate_decontaminate's eval-gram hit set with the
+  // held-out 1/13 removed from the corpus) — so the composite's oracle
+  // is the same proven CTEs composed, and a pass here means the STAGES
+  // AGREE end-to-end, not just individually. Scale shape: conjunction
+  // of map-side flags + the stages' own bounded joins; the funnel
+  // aggregate is 6 rows.
+  private def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    val toks = T.documents(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("n_unique", size(array_distinct(col("tokens"))))
+      .withColumn("sum_len",
+        expr("aggregate(transform(tokens, x -> length(x)), 0, (a, b) -> a + b)"))
+    val wExact = Window.partitionBy(col("h"))
+    // quality: minimum length, bounded mean token length, and a
+    // repetition gate (type-token ratio ≥ 1/3) — all integer-exact
+    val base = toks.select(col("doc_id"), col("n_chars"),
+        col("lang").isin("en", "fr", "de", "es").as("c_lang"),
+        (col("n_tokens") >= 5 &&
+          col("sum_len") < col("n_tokens") * 12 &&
+          col("n_unique") * 3 >= col("n_tokens")).as("c_quality"),
+        md5(col("text")).as("h"))
+      .withColumn("c_exact", min(col("doc_id")).over(wExact) === col("doc_id"))
+    val nd = TextOps.dedupClusters(spark, dir)
+      .select(col("doc_id"), (col("is_survivor") === 1).as("surv"))
+    val sh = shingled(spark, dir)
+    val evalGrams = sh.filter(col("doc_id") % 13 === 0)
+      .select(explode(col("shingle_set")).as("g")).distinct()
+    val contaminated = sh.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct().withColumn("hit", lit(true))
+    val flags = base
+      .join(nd, Seq("doc_id"), "left")
+      .withColumn("c_neardup", coalesce(col("surv"), lit(true)))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("c_decontam",
+        col("doc_id") % 13 =!= 0 && col("hit").isNull)
+    flags.select(col("n_chars"), explode(array(
+        struct(lit("0_input").as("stage"), lit(true).as("pass")),
+        struct(lit("1_lang").as("stage"), col("c_lang").as("pass")),
+        struct(lit("2_quality").as("stage"),
+          (col("c_lang") && col("c_quality")).as("pass")),
+        struct(lit("3_exact_dedup").as("stage"),
+          (col("c_lang") && col("c_quality") && col("c_exact")).as("pass")),
+        struct(lit("4_near_dedup").as("stage"),
+          (col("c_lang") && col("c_quality") && col("c_exact") &&
+            col("c_neardup")).as("pass")),
+        struct(lit("5_decontam").as("stage"),
+          (col("c_lang") && col("c_quality") && col("c_exact") &&
+            col("c_neardup") && col("c_decontam")).as("pass"))
+      )).as("s"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage").as("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("stage"))
+  }
+
+  // Oracle: the proven per-stage CTEs composed under one WITH RECURSIVE
+  // (shingleCte defines `sh`; TextOps.nearDupCcCte defines t/h/s/b/bb/
+  // pairs/edges/reach — disjoint names, prefix-stripped to merge the
+  // two WITH headers).
+  private val pipelineE2eSql =
+    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") + ",\n" +
+      TextOps.nearDupCcCte.stripPrefix("WITH RECURSIVE") + ",\n" +
+      """q AS (
+        |  SELECT doc_id, n_chars,
+        |    lang IN ('en','fr','de','es') AS c_lang,
+        |    len(tokens) >= 5 AND
+        |      list_reduce(list_transform(tokens, x -> length(x)), (a,b) -> a+b)
+        |        < len(tokens) * 12 AND
+        |      len(list_distinct(tokens)) * 3 >= len(tokens) AS c_quality,
+        |    md5(text) AS hsh
+        |  FROM (SELECT doc_id, n_chars, lang, text,
+        |          string_split(text, ' ') AS tokens FROM documents)),
+        |x AS (
+        |  SELECT doc_id, n_chars, c_lang, c_quality,
+        |    MIN(doc_id) OVER (PARTITION BY hsh) = doc_id AS c_exact
+        |  FROM q),
+        |nd AS (
+        |  SELECT src AS doc_id, src = MIN(dst) AS surv
+        |  FROM reach GROUP BY src),
+        |ev AS (SELECT DISTINCT unnest(s3) AS g FROM sh WHERE doc_id % 13 = 0),
+        |cont AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(s3) AS g FROM sh WHERE doc_id % 13 <> 0) c
+        |  JOIN ev USING (g)),
+        |f AS (
+        |  SELECT x.doc_id, x.n_chars, x.c_lang, x.c_quality, x.c_exact,
+        |    COALESCE(nd.surv, TRUE) AS c_neardup,
+        |    (x.doc_id % 13 <> 0 AND cont.doc_id IS NULL) AS c_decontam
+        |  FROM x LEFT JOIN nd USING (doc_id) LEFT JOIN cont USING (doc_id))
+        |SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total FROM f
+        |UNION ALL SELECT '1_lang', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT) FROM f WHERE c_lang
+        |UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT) FROM f WHERE c_lang AND c_quality
+        |UNION ALL SELECT '3_exact_dedup', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT) FROM f
+        |  WHERE c_lang AND c_quality AND c_exact
+        |UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT) FROM f
+        |  WHERE c_lang AND c_quality AND c_exact AND c_neardup
+        |UNION ALL SELECT '5_decontam', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT) FROM f
+        |  WHERE c_lang AND c_quality AND c_exact AND c_neardup AND c_decontam
+        |ORDER BY stage""".stripMargin
+
+  // -------------------------------------------------------------------
   // scan_dpp_join — DYNAMIC partition pruning: the partition values to
   // keep are not in the query text (scan_partition_pruned's static
   // case) but come out of a JOIN — lineitem mirrored once partitioned
@@ -605,6 +728,7 @@ object Curation {
     QueryDef("curate_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     QueryDef("scan_partition_pruned", partitionPruned, Some(partitionPrunedSql)),
     QueryDef("scan_dpp_join", dppJoin, Some(dppJoinSql)),
+    QueryDef("curate_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("curate_decontaminate_exact", decontaminateExact,
       Some(decontaminateExactSql)),

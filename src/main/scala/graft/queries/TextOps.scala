@@ -727,7 +727,7 @@ object TextOps {
   // tiny, so 2–3 rounds; the driver-side loop checks convergence on a
   // count, not on data). At 100 TB this is the standard iterative-CC
   // shape (large-star/small-star refines it; same plan per round).
-  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupPairs(spark, dir)
     graft.ops.Graph.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
