@@ -244,7 +244,54 @@ object SqlSurface {
       |  FROM c) t
       |WHERE rank <= 3 ORDER BY day, rank""".stripMargin
 
+  // sql_pipe_syntax — Spark 4's SQL pipe operators (SPARK-49555): the
+  // linear FROM |> WHERE |> AGGREGATE |> ORDER BY spelling plans to the
+  // exact same scan-filter-aggregate as the nested classic form. The
+  // oracle is the classic ANSI spelling — proving the pipe surface is
+  // sugar over identical semantics, not a dialect fork.
+  private val sqlPipeText =
+    """FROM orders
+      ||> WHERE o_orderstatus = 'F'
+      ||> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |   GROUP BY o_orderpriority
+      ||> ORDER BY o_orderpriority""".stripMargin
+
+  private def sqlPipe(spark: SparkSession, dir: String): DataFrame =
+    Views.sql(spark, dir, sqlPipeText)
+
+  private val sqlPipeOracle =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // sql_parameterized — named parameter markers (Spark 3.4+): the query
+  // text carries :lo/:hi/:status placeholders and the values bind at
+  // execution, the injection-safe surface a service exposes. The oracle
+  // inlines the same literals.
+  private def sqlParameterized(spark: SparkSession, dir: String): DataFrame =
+    Views.register(spark, dir).sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= CAST(:lo AS TIMESTAMP)
+        |  AND o_orderdate < CAST(:hi AS TIMESTAMP)
+        |  AND o_orderstatus = :status
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("lo" -> "1995-01-01", "hi" -> "1996-01-01", "status" -> "O"))
+
+  private val sqlParameterizedOracle =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND o_orderstatus = 'O'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_pipe_syntax", sqlPipe, Some(sqlPipeOracle)),
+    QueryDef("sql_parameterized", sqlParameterized,
+      Some(sqlParameterizedOracle)),
     QueryDef("sql_heavy_hitters", sqlHeavy, Some(sqlHeavyOracle)),
     QueryDef("sql_q6_forecast", q6, Some(q6Text)),
     QueryDef("sql_rabin_karp", sqlRabin, Some(sqlRabinSql)),
