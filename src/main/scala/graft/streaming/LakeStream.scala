@@ -140,23 +140,37 @@ object LakeStream {
 
   /** The summary shape [[graft.queries.MatView.ensureSummary]] writes and
     * SummaryRewrite routes onto: one row per (grain bucket, event_type)
-    * with count / exact-decimal sum / min / max partials. */
-  private def partials(df: DataFrame, grain: String): DataFrame =
+    * with count / exact-decimal sum / min / max partials — plus, when the
+    * table carries a `user_id` column, a mergeable HLL partial of the
+    * bucket's distinct users (the batch summaries' `uhll` twin, so a
+    * streamed table answers mv_distinct-style questions too). */
+  private def partials(df: DataFrame, grain: String): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("value").cast(D18)).cast(D28).as("sum_value_dec"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value")) ++
+      (if (df.columns.contains("user_id"))
+        Seq(hll_sketch_agg(col("user_id")).as("uhll")) else Nil)
     df.groupBy(date_trunc(grain, col("ts")).as(grain), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(D18)).cast(D28).as("sum_value_dec"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Re-aggregate a union of summary partials through the merge law:
-    * counts add, DECIMAL sums add exactly, min/max fold. The widened sum
-    * casts back to the stored type so every version has one schema. */
-  private def foldSummaries(parts: DataFrame, grain: String): DataFrame =
+    * counts add, DECIMAL sums add exactly, min/max fold, HLL partials
+    * union (`hll_union_agg` — sketch union is the distinct-count merge
+    * law; retractions never reach it because upsert-affected buckets go
+    * through the scoped rebuild, same as min/max). The widened sum casts
+    * back to the stored type so every version has one schema. */
+  private def foldSummaries(parts: DataFrame, grain: String): DataFrame = {
+    val aggs = Seq(sum(col("n")).as("n"),
+      sum(col("sum_value_dec")).cast(D28).as("sum_value_dec"),
+      min(col("min_value")).as("min_value"),
+      max(col("max_value")).as("max_value")) ++
+      (if (parts.columns.contains("uhll"))
+        Seq(hll_union_agg(col("uhll")).as("uhll")) else Nil)
     parts.groupBy(col(grain), col("event_type"))
-      .agg(sum(col("n")).as("n"),
-        sum(col("sum_value_dec")).cast(D28).as("sum_value_dec"),
-        min(col("min_value")).as("min_value"),
-        max(col("max_value")).as("max_value"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Incrementally refresh the `_summary/<grain>/v<batchId>` rollups of
     * an events-shaped lake table (`ts`, `event_type`, `value` columns)

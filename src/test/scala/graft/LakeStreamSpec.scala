@@ -113,9 +113,9 @@ class LakeStreamSpec extends SparkSpec {
     // pre-stream history in the table: the first batch must BOOTSTRAP the
     // summary from the table, not just its own rows
     Seq(
-      Ev(1L, "2024-01-01", ts("2024-01-01 08:10:00"), "view", 5.0),
-      Ev(2L, "2024-01-01", ts("2024-01-01 09:20:00"), "click", 3.0),
-      Ev(3L, "2024-01-02", ts("2024-01-02 10:00:00"), "view", 9.0))
+      Ev(1L, "2024-01-01", ts("2024-01-01 08:10:00"), "view", 5.0, 100L),
+      Ev(2L, "2024-01-01", ts("2024-01-01 09:20:00"), "click", 3.0, 101L),
+      Ev(3L, "2024-01-02", ts("2024-01-02 10:00:00"), "view", 9.0, 100L))
       .toDF().write.mode("overwrite").partitionBy("day").parquet(dir)
 
     def rebuild(grain: String): Seq[String] = SummaryRewrite.withBypass {
@@ -134,8 +134,11 @@ class LakeStreamSpec extends SparkSpec {
         .map(_.drop(1).toLong).sorted
       s"$dir/_summary/$grain/v${vs.last}"
     }
+    // uhll is a binary sketch (toString is identity-hashed) — row
+    // equality covers the exact partials; the sketch is asserted via
+    // its estimate below
     def stored(grain: String): Seq[String] =
-      spark.read.parquet(latestSummary(grain))
+      spark.read.parquet(latestSummary(grain)).drop("uhll")
         .collect().map(_.toString).sorted.toSeq
 
     val mem = MemoryStream[Ev](spark)
@@ -143,8 +146,8 @@ class LakeStreamSpec extends SparkSpec {
     try {
       // batch 0: append-only into existing + new partitions (bootstrap)
       mem.addData(
-        Ev(4L, "2024-01-02", ts("2024-01-02 10:30:00"), "click", 2.0),
-        Ev(5L, "2024-01-03", ts("2024-01-03 11:00:00"), "view", 7.0))
+        Ev(4L, "2024-01-02", ts("2024-01-02 10:30:00"), "click", 2.0, 102L),
+        Ev(5L, "2024-01-03", ts("2024-01-03 11:00:00"), "view", 7.0, 100L))
       q.processAllAvailable()
       Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g),
         s"bootstrap summary != rebuild at grain $g"))
@@ -153,8 +156,8 @@ class LakeStreamSpec extends SparkSpec {
       // path: its old and new buckets both need the scoped rebuild; the
       // old 08:00 hour bucket must drop to zero rows, not linger)
       mem.addData(
-        Ev(1L, "2024-01-01", ts("2024-01-01 12:45:00"), "view", 50.0),
-        Ev(6L, "2024-01-03", ts("2024-01-03 11:15:00"), "click", 4.0))
+        Ev(1L, "2024-01-01", ts("2024-01-01 12:45:00"), "view", 50.0, 103L),
+        Ev(6L, "2024-01-03", ts("2024-01-03 11:15:00"), "click", 4.0, 101L))
       q.processAllAvailable()
       Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g),
         s"post-upsert summary != rebuild at grain $g"))
@@ -162,7 +165,7 @@ class LakeStreamSpec extends SparkSpec {
         "retracted hour bucket must disappear from the summary")
 
       // batch 2: plain append — merge-law path on top of the upsert
-      mem.addData(Ev(7L, "2024-01-01", ts("2024-01-01 12:50:00"), "purchase", 1.0))
+      mem.addData(Ev(7L, "2024-01-01", ts("2024-01-01 12:50:00"), "purchase", 1.0, 100L))
       q.processAllAvailable()
       Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g),
         s"post-append summary != rebuild at grain $g"))
@@ -179,7 +182,7 @@ class LakeStreamSpec extends SparkSpec {
       // with a decoy batch frame attached
       val before = stored("day")
       val decoy = Seq(Ev(99L, "2024-01-09", ts("2024-01-09 00:00:00"),
-        "view", 1000.0)).toDF()
+        "view", 1000.0, 999L)).toDF()
       LakeStream.refreshSummaries(spark, dir, decoy, None, 2L)
       assert(stored("day") == before, "replayed refresh must be a no-op")
 
@@ -212,6 +215,19 @@ class LakeStreamSpec extends SparkSpec {
         dash.collect().map(_.toString).sorted
       }
       assert(routed.sameElements(raw), "routed answer drifted from raw")
+
+      // the maintained HLL partial answers distinct-users at summary
+      // cost: per-day estimate ≡ exact (sketch is in exact coupon mode
+      // at this cardinality)
+      val est = spark.read.parquet(latestSummary("day"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("uhll"))).as("est"))
+      val exactU = CopyOnWrite.read(spark, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n"))
+      val mismatch = exactU.join(est, Seq("day"))
+        .filter(col("est") =!= col("n")).count()
+      assert(mismatch == 0L, "summary sketch distinct != exact distinct")
     } finally {
       q.stop()
       SummaryRewrite.deregister(dir)
@@ -222,5 +238,5 @@ class LakeStreamSpec extends SparkSpec {
 object LakeStreamSpec {
   /** Top-level so Spark can build an Encoder without an outer scope. */
   case class Ev(event_id: Long, day: String, ts: java.sql.Timestamp,
-      event_type: String, value: Double)
+      event_type: String, value: Double, user_id: Long)
 }
