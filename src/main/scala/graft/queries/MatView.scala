@@ -84,16 +84,23 @@ object MatView {
   }
 
   /** The navigator is schema-generic (SummaryRewrite.SummarySchema) —
-    * the orders rollup proves it on a second table: day(o_orderdate) ×
-    * o_orderstatus with n/sum/min/max partials over o_totalprice. */
+    * the orders rollup proves it on a second table WITH TWO dimensions:
+    * day(o_orderdate) × o_orderstatus × o_orderpriority over
+    * o_totalprice. A query grouping by a SUBSET of the dims (day ×
+    * status — mv_rewrite_orders_daily) still routes: the rewritten
+    * Aggregate keeps its grouping and simply re-aggregates the finer
+    * dim rows, the same rollup law as the hour→day grain fallback. */
   private val OrdersSchema = graft.plans.SummaryRewrite.SummarySchema(
-    "o_orderdate", Seq("o_orderstatus"), "o_totalprice")
+    "o_orderdate", Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
 
   private[graft] def ensureOrdersSummary(spark: SparkSession,
       dir: String): String = {
     Ctx.prep(spark)
     val fp = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
-    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/orders_daily_$fp"
+    // `_p` versions the layout (added priority dim) — fingerprint
+    // memoization keys on the source only, so a schema change must
+    // move the mirror path
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/orders_daily_p_$fp"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
@@ -101,7 +108,7 @@ object MatView {
       graft.plans.SummaryRewrite.withBypass {
         T.orders(spark, dir)
           .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
-            col("o_orderstatus"))
+            col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast(D)).as("sum_value_dec"),
             min(col("o_totalprice")).as("min_value"),
@@ -134,6 +141,30 @@ object MatView {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY 1, 2 ORDER BY day, o_orderstatus""".stripMargin
+
+  // Exact-dims twin: all three grouping columns (day × status ×
+  // priority) — the dims-exact route; mv_rewrite_orders_daily above is
+  // the dims-SUBSET route over the same summary. A filter on the second
+  // dim rides along to prove multi-dim predicate re-anchoring.
+  private def mvOrdersByPriority(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy(col("day"), col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val mvOrdersByPrioritySql =
+    """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+      |  o_orderstatus, o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY 1, 2, 3 ORDER BY day, o_orderstatus, o_orderpriority""".stripMargin
 
   // The raw portable spelling — identical to what a user ignorant of the
   // summary would write. SummaryRewrite reroutes it; the oracle (and
@@ -327,6 +358,8 @@ object MatView {
       Some(mvDayFromHoursFilteredSql)),
     QueryDef("mv_rewrite_daily_total", mvDailyTotal, Some(mvDailyTotalSql)),
     QueryDef("mv_rewrite_orders_daily", mvOrdersDaily, Some(mvOrdersDailySql)),
+    QueryDef("mv_rewrite_orders_by_priority", mvOrdersByPriority,
+      Some(mvOrdersByPrioritySql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
     QueryDef("mv_distinct_users_daily", mvDistinctUsers,
       Some(mvDistinctUsersSql)),

@@ -116,6 +116,15 @@ class MatViewSpec extends SparkSpec {
     assert(routed.sameElements(raw), "orders routed and raw answers differ")
   }
 
+  test("multi-dim route: exact dims + dim predicate read the orders summary") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("mv_rewrite_orders_by_priority")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("orders_daily_")),
+      s"multi-dim aggregate did not route: $paths")
+    assert(!paths.exists(_.endsWith("orders.parquet")))
+  }
+
   test("SQL text routes through the temp-view surface too") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("sql_mv_daily")(spark, sf)
