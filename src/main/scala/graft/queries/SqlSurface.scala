@@ -288,7 +288,56 @@ object SqlSurface {
       |  AND o_orderstatus = 'O'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // sql_join_hints — the join-strategy hint surface: SHUFFLE_HASH forces
+  // a shuffled hash join where the planner's default for a small dim is
+  // broadcast. Hints are the 100 TB escape hatch when statistics mislead
+  // (a "small" side that explodes after filters, a broadcast that OOMs);
+  // results must be hint-invariant, so the oracle is the plain join and
+  // SqlSurfaceSpec pins that the physical strategy actually moved.
+  private val sqlJoinHintsText =
+    """SELECT /*+ SHUFFLE_HASH(c) */ c.c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
+  private def sqlJoinHints(spark: SparkSession, dir: String): DataFrame =
+    Views.sql(spark, dir, sqlJoinHintsText)
+
+  private val sqlJoinHintsOracle =
+    """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
+  // fn_collation_distinct — Spark 4 collations: UTF8_LCASE equality
+  // folds case at COMPARE time (no data rewrite), here counting brands
+  // case-insensitively over a deterministically case-mangled key. The
+  // oracle lowers explicitly — proving collated distinct ≡ lower()
+  // distinct on this (ASCII) domain while the engine-side spelling keeps
+  // the original bytes intact.
+  private def collationDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Ctx.prep(spark)
+    T.part(spark, dir)
+      .withColumn("k",
+        when(pmod(col("p_partkey"), org.apache.spark.sql.functions.lit(2)) === 0,
+          upper(col("p_brand"))).otherwise(lower(col("p_brand"))))
+      .agg(
+        countDistinct(collate(col("k"), "UTF8_LCASE")).as("n_brands_ci"),
+        countDistinct(col("k")).as("n_brands_cs"))
+  }
+
+  private val collationDistinctSql =
+    """SELECT CAST(COUNT(DISTINCT lower(k)) AS BIGINT) AS n_brands_ci,
+      |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_brands_cs
+      |FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+      |             ELSE lower(p_brand) END AS k FROM part)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_join_hints", sqlJoinHints, Some(sqlJoinHintsOracle)),
+    QueryDef("fn_collation_distinct", collationDistinct,
+      Some(collationDistinctSql)),
     QueryDef("sql_pipe_syntax", sqlPipe, Some(sqlPipeOracle)),
     QueryDef("sql_parameterized", sqlParameterized,
       Some(sqlParameterizedOracle)),

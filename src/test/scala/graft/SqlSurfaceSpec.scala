@@ -27,6 +27,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(df.head.getLong(1) > 0) // n_lines
   }
 
+  test("join hint overrides the planner: SHUFFLE_HASH beats the broadcast default") {
+    val hinted = SparkEntry.queries("sql_join_hints")(spark, sf)
+    val hintedPlan = hinted.queryExecution.executedPlan.toString
+    assert(hintedPlan.contains("ShuffledHashJoin"), hintedPlan.take(1200))
+    // the same text without the hint broadcasts the small dim
+    val plain = Views.sql(spark, sf,
+      """SELECT c.c_mktsegment, COUNT(*) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin)
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    assert(plainPlan.contains("BroadcastHashJoin"), plainPlan.take(1200))
+  }
+
   test("rabin_karp from SQL text plans the codegen'd expression") {
     val df = SparkEntry.queries("sql_rabin_karp")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
