@@ -132,6 +132,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   private val D182 = DecimalType(18, 2)
   private val GrainMicros = Map("day" -> 86400000000L, "hour" -> 3600000000L)
+  // The grain lattice the navigator understands, coarsest → finest.
+  // Summaries are stored at day/hour; every CALENDAR grain above day
+  // composes over both stored grains (week/month/quarter/year
+  // boundaries are day-aligned, so trunc_g(trunc_day(ts)) ≡
+  // trunc_g(ts)) — a monthly dashboard re-truncs ~30 day rows, never
+  // the firehose. Bare-ts range bounds stay day/hour-aligned only
+  // (calendar grains have no fixed micro length to check alignment
+  // against; trunc-based predicates cover them instead).
+  private val GrainRank = Map("year" -> 6, "quarter" -> 5, "month" -> 4,
+    "week" -> 3, "day" -> 2, "hour" -> 1)
+  private val GrainSynonyms = Map("yyyy" -> "year", "yy" -> "year",
+    "mon" -> "month", "mm" -> "month", "dd" -> "day")
 
   def apply(plan: LogicalPlan): LogicalPlan =
     if (registry.isEmpty || bypass.get() ||
@@ -221,12 +233,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case a: Attribute => a.exprId == valueAttr.exprId
       case _ => false
     }
-    /** grain of a time-trunc grouping over the stored ts, if any */
+    /** normalized grain of a time-trunc grouping over the stored ts */
     def truncGrain(e: Expression): Option[String] = e match {
       case TruncTimestamp(Literal(fmt, StringType), t, _)
           if fmt != null && isTs(t) =>
-        val g = fmt.toString.toLowerCase
-        if (GrainMicros.contains(g)) Some(g) else None
+        val g0 = fmt.toString.toLowerCase
+        val g = GrainSynonyms.getOrElse(g0, g0)
+        if (GrainRank.contains(g)) Some(g) else None
       case _ => None
     }
 
@@ -256,6 +269,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val candidates: Seq[String] = qGrain match {
       case Some("hour") => Seq("hour")
       case Some("day") => Seq("day", "hour")
+      // calendar grains above day compose over both stored grains
+      case Some(g) if GrainRank.get(g).exists(_ > GrainRank("day")) =>
+        Seq("day", "hour")
       case Some(_) => return None
       case None => Seq("day", "hour") // no time grouping: prefer coarse
     }
@@ -338,8 +354,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         val sub = e.transformDown {
           case tr @ TruncTimestamp(Literal(fmt, StringType), t, _)
               if fmt != null && isTs(t) =>
-            val g2 = fmt.toString.toLowerCase
-            if (GrainMicros.get(g2).exists(_ >= GrainMicros(sumGrain)))
+            val g20 = fmt.toString.toLowerCase
+            val g2 = GrainSynonyms.getOrElse(g20, g20)
+            if (GrainRank.get(g2).exists(_ >= GrainRank(sumGrain)))
               (if (g2 == sumGrain) timeA else tr.copy(timestamp = timeA)): Expression
             else { ok = false; tr }
           case a: Attribute if sumDim.contains(a.exprId) => sumDim(a.exprId)

@@ -330,6 +330,30 @@ object MatView {
       |    <= COUNT(DISTINCT user_id) AS est_ok
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // Month grain — NO month summary exists; the navigator re-truncs the
+  // day summary's buckets (calendar grains compose over day:
+  // trunc_month(trunc_day(ts)) ≡ trunc_month(ts)), so the monthly
+  // dashboard re-aggregates ~30 day rows per month instead of scanning
+  // the firehose. Same mechanism as the hour→day fallback, one level up
+  // the grain lattice.
+  private def mvMonthly(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .groupBy(date_trunc("month", col("ts")).as("month"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
+  private val mvMonthlySql =
+    """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
+
   // Hour grain — routes to the hour summary (exact-grain match); the
   // day-grain gates above keep routing to the day summary, and
   // MatViewSpec additionally pins the NAVIGATOR fallback: with only the
@@ -361,6 +385,7 @@ object MatView {
     QueryDef("mv_rewrite_orders_by_priority", mvOrdersByPriority,
       Some(mvOrdersByPrioritySql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
+    QueryDef("mv_rewrite_monthly", mvMonthly, Some(mvMonthlySql)),
     QueryDef("mv_distinct_users_daily", mvDistinctUsers,
       Some(mvDistinctUsersSql)),
     QueryDef("mv_incremental_refresh", mvIncrementalRefresh,

@@ -116,6 +116,24 @@ class MatViewSpec extends SparkSpec {
     assert(routed.sameElements(raw), "orders routed and raw answers differ")
   }
 
+  test("grain lattice: a month query re-truncs the day summary") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("mv_rewrite_monthly")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_daily_")),
+      s"month grain did not route onto the day summary: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+    val routed = df.collect().map(_.toString).sorted
+    graft.plans.SummaryRewrite.clear()
+    try {
+      val raw = SparkEntry.queries("mv_rewrite_monthly")(spark, sf)
+      graft.plans.SummaryRewrite.clear()
+      assert(scanPaths(raw).exists(_.endsWith("events.parquet")))
+      assert(raw.collect().map(_.toString).sorted.sameElements(routed),
+        "month-over-day re-trunc differs from the raw aggregate")
+    } finally graft.queries.MatView.enableRouting(spark, sf)
+  }
+
   test("multi-dim route: exact dims + dim predicate read the orders summary") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("mv_rewrite_orders_by_priority")(spark, sf)
