@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DecimalType, LongType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Materialized-view ROUTING: rewrite an aggregate over a raw table
   * scan onto its registered grain summary — the classic OLAP
@@ -243,12 +243,45 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    // ---- time-derived categorical groupings --------------------------
+    // `year(ts)`, `dayofweek(ts)`, `hour(ts)` — extractor spellings that
+    // are CONSTANT within a bucket of the required grain, so the bucket
+    // column answers them exactly (year of any instant in a day = year
+    // of ts). Whitelisted with the grain each needs: the calendar
+    // extractors are day-constant (and therefore hour-constant too);
+    // Hour needs the hour summary. Minute/second never route.
+    def isTsOrDateOfTs(e: Expression): Boolean = e match {
+      case Cast(c, DateType, _, _) => isTsOrDateOfTs(c)
+      case c => isTs(c)
+    }
+    // returns the minimum stored grain ("day" or "hour") that can
+    // answer the extractor, if whitelisted
+    def derivedGrain(e: Expression): Option[String] = e match {
+      case Year(c) if isTsOrDateOfTs(c) => Some("day")
+      case Quarter(c) if isTsOrDateOfTs(c) => Some("day")
+      case Month(c) if isTsOrDateOfTs(c) => Some("day")
+      case DayOfMonth(c) if isTsOrDateOfTs(c) => Some("day")
+      case DayOfWeek(c) if isTsOrDateOfTs(c) => Some("day")
+      case WeekDay(c) if isTsOrDateOfTs(c) => Some("day")
+      case DayOfYear(c) if isTsOrDateOfTs(c) => Some("day")
+      case WeekOfYear(c) if isTsOrDateOfTs(c) => Some("day")
+      case Hour(c, _) if isTs(c) => Some("hour")
+      case _ => None
+    }
+    /** the extractor re-anchored onto the summary bucket column */
+    def derivedRepr(e: Expression, timeA: Attribute): Expression =
+      e.transformDown {
+        case a: Attribute if a.exprId == tsAttr.exprId => timeA
+      }
+
     // ---- classify grouping expressions -------------------------------
     sealed trait GKind
     case object GTime extends GKind
     final case class GDim(i: Int) extends GKind
+    final case class GDerived(resolved: Expression) extends GKind
     var qGrain: Option[String] = None
     var qTrunc: Option[TruncTimestamp] = None // original node, for re-trunc
+    var needHour = false // an hour-constant-only extractor in the mix
     val gkinds: Seq[GKind] = agg.groupingExpressions.map { g0 =>
       resolve(g0) match {
         case g @ TruncTimestamp(_, _, _) if truncGrain(g).isDefined =>
@@ -258,6 +291,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           qTrunc = Some(g.asInstanceOf[TruncTimestamp])
           GTime
         case a: Attribute if dimIdx.contains(a.exprId) => GDim(dimIdx(a.exprId))
+        case g if derivedGrain(g).isDefined =>
+          if (derivedGrain(g).contains("hour")) needHour = true
+          GDerived(g)
         case _ => return None
       }
     }
@@ -266,7 +302,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // A candidate only wins if EVERY peeled predicate re-anchors onto
     // its bucket column exactly; an hour-aligned (not day-aligned) bound
     // therefore pushes a day-grain query onto the hour summary.
-    val candidates: Seq[String] = qGrain match {
+    val candidates0: Seq[String] = qGrain match {
       case Some("hour") => Seq("hour")
       case Some("day") => Seq("day", "hour")
       // calendar grains above day compose over both stored grains
@@ -275,6 +311,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case Some(_) => return None
       case None => Seq("day", "hour") // no time grouping: prefer coarse
     }
+    val candidates: Seq[String] =
+      if (needHour) candidates0.filter(_ == "hour") else candidates0
 
     val spark = SparkSession.active
     // bare-ts bounds are grain-aligned in SESSION-LOCAL micros; the
@@ -359,6 +397,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             if (GrainRank.get(g2).exists(_ >= GrainRank(sumGrain)))
               (if (g2 == sumGrain) timeA else tr.copy(timestamp = timeA)): Expression
             else { ok = false; tr }
+          // whitelisted extractor predicates (WHERE year(ts) = 1995):
+          // day-constant extractors re-anchor on either grain's bucket,
+          // hour-constant ones only on the hour summary
+          case ex if derivedGrain(ex).isDefined &&
+              (derivedGrain(ex).contains("day") || sumGrain == "hour") =>
+            derivedRepr(ex, timeA)
           case a: Attribute if sumDim.contains(a.exprId) => sumDim(a.exprId)
           case a: Attribute if rel.outputSet.contains(a) => ok = false; a
         }
@@ -413,6 +457,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _: AggregateExpression => None // distinct / filtered: no route
       case g if truncGrain(resolve(g)) == qGrain && qGrain.isDefined =>
         Some(timeRepr)
+      case g if derivedGrain(resolve(g)).isDefined =>
+        // candidates already guaranteed the picked grain can answer it
+        Some(derivedRepr(resolve(g), timeA))
       case a: Attribute if (resolve(a) match {
             case r: Attribute => dimIdx.contains(r.exprId)
             case _ => false
@@ -431,6 +478,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val newGroups: Seq[Expression] = gkinds.map {
       case GTime => timeRepr
       case GDim(i) => dimAs(i)
+      case GDerived(e) => derivedRepr(e, timeA)
     }
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case al @ Alias(expr, name) =>

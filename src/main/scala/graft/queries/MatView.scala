@@ -354,6 +354,30 @@ object MatView {
       |  MIN(value) AS min_value, MAX(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
 
+  // Extractor spellings — `dayofweek(ts)` grouping with a
+  // `dayofmonth(ts)` predicate: both are constant within a day bucket,
+  // so the navigator re-anchors them onto the day summary's bucket
+  // column (the seasonality-profile dashboard shape, no date_trunc
+  // anywhere in the query text). Minute-level extractors refuse —
+  // no stored grain can answer them.
+  private def mvDowProfile(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .filter(dayofmonth(col("ts")) <= 15)
+      .groupBy(dayofweek(col("ts")).as("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy(col("dow"), col("event_type"))
+  }
+
+  private val mvDowProfileSql =
+    """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE date_part('day', ts) <= 15
+      |GROUP BY 1, 2 ORDER BY dow, event_type""".stripMargin
+
   // Hour grain — routes to the hour summary (exact-grain match); the
   // day-grain gates above keep routing to the day summary, and
   // MatViewSpec additionally pins the NAVIGATOR fallback: with only the
@@ -386,6 +410,7 @@ object MatView {
       Some(mvOrdersByPrioritySql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
     QueryDef("mv_rewrite_monthly", mvMonthly, Some(mvMonthlySql)),
+    QueryDef("mv_rewrite_dow_profile", mvDowProfile, Some(mvDowProfileSql)),
     QueryDef("mv_distinct_users_daily", mvDistinctUsers,
       Some(mvDistinctUsersSql)),
     QueryDef("mv_incremental_refresh", mvIncrementalRefresh,

@@ -134,6 +134,34 @@ class MatViewSpec extends SparkSpec {
     } finally graft.queries.MatView.enableRouting(spark, sf)
   }
 
+  test("extractor spellings route; minute-level extractors refuse") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("mv_rewrite_dow_profile")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_daily_")),
+      s"dayofweek grouping did not route: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+    val routed = df.collect().map(_.toString).sorted
+    graft.plans.SummaryRewrite.clear()
+    try {
+      val raw = SparkEntry.queries("mv_rewrite_dow_profile")(spark, sf)
+      graft.plans.SummaryRewrite.clear()
+      assert(raw.collect().map(_.toString).sorted.sameElements(routed),
+        "extractor route differs from raw")
+    } finally graft.queries.MatView.enableRouting(spark, sf)
+    // hour(ts) is only hour-constant: must land on the HOUR summary
+    import org.apache.spark.sql.functions._
+    val byHourOfDay = T.events(spark, sf)
+      .groupBy(hour(col("ts"))).agg(count(lit(1)))
+    assert(scanPaths(byHourOfDay).exists(_.contains("events_hourly_")),
+      "hour(ts) must route to the hour summary")
+    // minute(ts): no stored grain answers it — raw scan
+    val byMinute = T.events(spark, sf)
+      .groupBy(minute(col("ts"))).agg(count(lit(1)))
+    assert(scanPaths(byMinute).exists(_.endsWith("events.parquet")),
+      "minute(ts) must stay on the raw scan")
+  }
+
   test("multi-dim route: exact dims + dim predicate read the orders summary") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("mv_rewrite_orders_by_priority")(spark, sf)
