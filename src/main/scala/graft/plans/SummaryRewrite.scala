@@ -52,11 +52,21 @@ import org.apache.spark.sql.types.{DateType, DecimalType, LongType, StringType, 
   *    onto the bucket column exactly). Predicates over `value`/`user_id`
   *    or misaligned bounds refuse the route — no silent wrong answers;
   *  - every aggregate call is count(1|*), sum(cast(value as
-  *    decimal(18,2))), min(value) or max(value) — the four functions the
-  *    summary can answer exactly. avg/distinct/filtered aggregates and
-  *    any other column do NOT match (avg must be derived as sum/count by
-  *    the USER so the re-aggregation stays visible; distinct is not
-  *    decomposable over the rollup).
+  *    decimal(18,2))), min(value), max(value) or avg(cast(value as
+  *    decimal(18,2))) — the functions the summary can answer exactly
+  *    (avg routes as Σsum/Σn replicating Average's own decimal
+  *    division tree, bit-equal; avg over the bare DOUBLE column refuses
+  *    — float addition is order-sensitive) — optionally carrying a
+  *    FILTER (WHERE …)
+  *    whose every conjunct the summary answers under the same grammar as
+  *    a peeled WHERE (whole-bucket predicates: every raw row of a bucket
+  *    passes or fails together, so the FILTER re-anchors onto the
+  *    summary's columns; count FILTER gains a coalesce-to-0 because a
+  *    group whose every bucket fails the FILTER must count 0, not NULL).
+  *    distinct aggregates and any other column do NOT match (distinct
+  *    is not decomposable over the rollup — the stored HLL partial
+  *    answers it approximately via the EXPLICIT mv_distinct_users_daily
+  *    surface instead).
   *
   * A grand aggregate (no GROUP BY) rewrites count to coalesce(Σn, 0):
   * raw count over an empty source is one row of 0, and Σ over the empty
@@ -314,6 +324,20 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val candidates: Seq[String] =
       if (needHour) candidates0.filter(_ == "hour") else candidates0
 
+    // ---- FILTER-clause aggregates ------------------------------------
+    // count(*) FILTER (WHERE event_type = 'x') — the pivot/dashboard
+    // conditional-aggregate shape. A FILTER whose every conjunct the
+    // summary can answer (dims / bucket-constant time predicates — the
+    // same grammar as a peeled WHERE) applies whole-bucket: every raw
+    // row in a bucket passes or fails together, so the routed aggregate
+    // keeps the FILTER, re-anchored on the summary's own columns. The
+    // rewritten predicates are candidate-specific (an hour-extractor
+    // FILTER forces the hour summary exactly like an hour-grain WHERE),
+    // so they are produced inside tryCandidate and carried in Picked.
+    val aggFilterExprs: Seq[Expression] = agg.aggregateExpressions.flatMap {
+      ne => ne.collect { case AggregateExpression(_, _, _, Some(f), _) => f }
+    }.distinct
+
     val spark = SparkSession.active
     // bare-ts bounds are grain-aligned in SESSION-LOCAL micros; the
     // engine pins UTC (Ctx.prep), where timestamp micros are the local
@@ -327,7 +351,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     final case class Picked(grain: String, sumRel: LogicalRelation,
         timeA: Attribute, dimAs: Seq[Attribute], nA: Attribute,
         sumDecA: Attribute, minA: Attribute, maxA: Attribute,
-        preds: Seq[Expression])
+        preds: Seq[Expression], aggFilt: Map[Expression, Expression])
 
     def tryCandidate(sumGrain: String): Option[Picked] = {
       val (summaryPath, _) = routes.getOrElse(sumGrain, return None)
@@ -409,9 +433,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         if (ok) Some(sub) else None
       }
       val newPreds = rawPreds.map(rewritePred)
-      if (newPreds.exists(_.isEmpty)) None
-      else Some(Picked(sumGrain, sumRel, timeA, dimAs, nA, sumDecA, minA,
-        maxA, newPreds.map(_.get)))
+      if (newPreds.exists(_.isEmpty)) return None
+      // FILTER-clause predicates must re-anchor under the SAME grammar;
+      // a conjunct the summary can't answer refuses this candidate (the
+      // finer grain may still take it — same economics as WHERE).
+      val aggFilt: Map[Expression, Expression] = aggFilterExprs.map { f =>
+        val parts = splitConj(f).map(rewritePred)
+        if (parts.exists(_.isEmpty)) return None
+        f -> parts.map(_.get).reduce(And)
+      }.toMap
+      Some(Picked(sumGrain, sumRel, timeA, dimAs, nA, sumDecA, minA,
+        maxA, newPreds.map(_.get), aggFilt))
     }
 
     val picked = candidates.view.flatMap(tryCandidate)
@@ -429,14 +461,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // ---- rewrite one expression tree ---------------------------------
     // returns None if any aggregate call or leaf is outside the grammar
     def rewriteExpr(e: Expression): Option[Expression] = e match {
-      case ae @ AggregateExpression(fn, _, false, None, _) =>
+      case ae @ AggregateExpression(fn, _, false, filt, _) =>
+        // FILTER (WHERE …) rides along re-anchored: whole-bucket
+        // predicates (tryCandidate proved every conjunct rewrites), so
+        // filtering summary rows ≡ filtering the raw rows they roll up
+        val newFilt: Option[Expression] = filt match {
+          case None => None
+          case Some(f) => Some(picked.aggFilt.getOrElse(f, return None))
+        }
         fn match {
           case Count(Seq(Literal(_, _))) =>
-            val s = Sum(nA).toAggregateExpression() // LongType, matches count
-            // grand aggregate over an empty source: raw count is one row
-            // of 0, Σ over the empty summary is NULL — coalesce restores
-            // count's never-null contract (ADVICE r6)
-            Some(if (agg.groupingExpressions.nonEmpty) s
+            val s = Sum(nA).toAggregateExpression(isDistinct = false,
+              filter = newFilt) // LongType, matches count
+            // count's never-null contract: raw count is 0 for a grand
+            // aggregate over an empty source (ADVICE r6) AND for a group
+            // whose every bucket fails the FILTER — Σ gives NULL in both
+            Some(if (agg.groupingExpressions.nonEmpty && newFilt.isEmpty) s
             else Coalesce(Seq(s, Literal(0L, LongType))))
           case s @ Sum(se, _) =>
             resolve(se) match {
@@ -444,17 +484,42 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 // Σ of decimal partials widens (38,2); cast back to the
                 // original (28,2) — exact, the partials bound the value.
                 // evalMode copied from the matched sum, not re-derived.
-                Some(Cast(s.copy(child = sumDecA).toAggregateExpression(),
-                  s.dataType))
+                // (sum FILTER with zero passing rows is NULL raw and NULL
+                // routed — no coalesce wanted.)
+                Some(Cast(s.copy(child = sumDecA).toAggregateExpression(
+                  isDistinct = false, filter = newFilt), s.dataType))
               case _ => None
             }
           case Min(se) if isValue(resolve(se)) =>
-            Some(Min(minA).toAggregateExpression())
+            Some(Min(minA).toAggregateExpression(isDistinct = false,
+              filter = newFilt))
           case Max(se) if isValue(resolve(se)) =>
-            Some(Max(maxA).toAggregateExpression())
+            Some(Max(maxA).toAggregateExpression(isDistinct = false,
+              filter = newFilt))
+          case a @ Average(se, evalMode) =>
+            resolve(se) match {
+              case Cast(v, dt: DecimalType, _, _) if dt == D182 && isValue(v) =>
+                // avg over the decimal spelling routes as Σsum/Σn,
+                // replicating Average.evaluateExpression's own tree for
+                // a DECIMAL(18,2) child: Divide(sum:(28,2),
+                // count:(20,0)) → (38,12), cast to resultType (22,6).
+                // Every step is decimal-exact or HALF_UP on identical
+                // operands (Σ of bucket partials ≡ the raw running sum;
+                // both divisions see the same dividend/divisor), so the
+                // routed answer is bit-equal — MatViewPropertySpec's
+                // parity net covers it. avg over the bare DOUBLE column
+                // does NOT route: float addition is order-sensitive, so
+                // no summary partial can reproduce it exactly.
+                val sumC = Cast(Sum(sumDecA).toAggregateExpression(
+                  isDistinct = false, filter = newFilt), DecimalType(28, 2))
+                val cntC = Cast(Sum(nA).toAggregateExpression(
+                  isDistinct = false, filter = newFilt), DecimalType(20, 0))
+                Some(Cast(Divide(sumC, cntC, evalMode), a.dataType))
+              case _ => None
+            }
           case _ => None
         }
-      case _: AggregateExpression => None // distinct / filtered: no route
+      case _: AggregateExpression => None // distinct: no route
       case g if truncGrain(resolve(g)) == qGrain && qGrain.isDefined =>
         Some(timeRepr)
       case g if derivedGrain(resolve(g)).isDefined =>

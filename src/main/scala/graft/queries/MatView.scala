@@ -378,6 +378,75 @@ object MatView {
       |WHERE date_part('day', ts) <= 15
       |GROUP BY 1, 2 ORDER BY dow, event_type""".stripMargin
 
+  // FILTER-clause aggregates — the pivot/dashboard shape: one row per
+  // day, one conditional aggregate per segment, spelled with the
+  // standard SQL FILTER (WHERE …) clause. The predicates reference only
+  // dimension columns, so they apply WHOLE-BUCKET on the summary (every
+  // raw row of a (day, type) bucket passes or fails together) and the
+  // navigator keeps the FILTER, re-anchored on the summary's own
+  // columns — |days|×|types| rows scanned for a five-way segmented
+  // dashboard instead of five passes over the firehose. count FILTER
+  // coalesces to 0 (a day where no bucket passes must count 0, not
+  // NULL); sum/max FILTER keep their NULL-when-empty contract. The
+  // oracle recomputes every segment from RAW rows.
+  private def mvPivot(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_all"),
+        expr("count(1) FILTER (WHERE event_type = 'click')").as("n_click"),
+        expr("count(1) FILTER (WHERE event_type = 'purchase')")
+          .as("n_purchase"),
+        expr("sum(cast(value as decimal(18,2))) FILTER " +
+          "(WHERE event_type = 'purchase')").cast("double")
+          .as("purchase_value"),
+        expr("max(value) FILTER (WHERE event_type IN ('click','view'))")
+          .as("max_click_view"))
+      .orderBy(col("day"))
+  }
+
+  private val mvPivotSql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_all,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+      |  MAX(value) FILTER (WHERE event_type IN ('click','view')) AS max_click_view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // avg at summary cost — avg(cast(value as decimal(18,2))) routes as
+  // Σsum/Σn through Average's own decimal division tree (bit-equal to
+  // the raw plan; the parity net covers it). Cross-engine, the result
+  // is pinned EXACTLY by scaling to integer micros: Spark's avg yields
+  // DECIMAL(22,6) = the 12dp HALF_UP quotient re-rounded to 6dp; the
+  // oracle replicates both rounding steps in HUGEINT arithmetic
+  // ((2·x + d) // (2·d) is HALF_UP for the non-negative values here),
+  // so the hash compare needs no float tolerance.
+  private def mvAvg(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (avg(col("value").cast(D)) * lit(1000000)).cast("long")
+          .as("avg_micros"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val mvAvgSql =
+    """WITH g AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |q AS (
+      |  SELECT day, event_type, n_events,
+      |    (2 * cents * 10000000000 + n_events) // (2 * n_events) AS q12
+      |  FROM g)
+      |SELECT day, event_type, n_events,
+      |  CAST((2 * q12 + 1000000) // 2000000 AS BIGINT) AS avg_micros
+      |FROM q ORDER BY day, event_type""".stripMargin
+
   // Hour grain — routes to the hour summary (exact-grain match); the
   // day-grain gates above keep routing to the day summary, and
   // MatViewSpec additionally pins the NAVIGATOR fallback: with only the
@@ -408,6 +477,8 @@ object MatView {
     QueryDef("mv_rewrite_orders_daily", mvOrdersDaily, Some(mvOrdersDailySql)),
     QueryDef("mv_rewrite_orders_by_priority", mvOrdersByPriority,
       Some(mvOrdersByPrioritySql)),
+    QueryDef("mv_rewrite_pivot", mvPivot, Some(mvPivotSql)),
+    QueryDef("mv_rewrite_avg", mvAvg, Some(mvAvgSql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
     QueryDef("mv_rewrite_monthly", mvMonthly, Some(mvMonthlySql)),
     QueryDef("mv_rewrite_dow_profile", mvDowProfile, Some(mvDowProfileSql)),

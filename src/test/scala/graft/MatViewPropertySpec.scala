@@ -35,6 +35,10 @@ class MatViewPropertySpec extends SparkSpec {
       }
       val typeFilter =
         if (rnd.nextBoolean()) Some(types.take(1 + rnd.nextInt(3))) else None
+      // drawn OUTSIDE build(): it runs twice (routed + bypassed) and
+      // both runs must spell the identical query
+      val filterAggType =
+        if (rnd.nextBoolean()) Some(types(rnd.nextInt(types.size))) else None
 
       def build(): DataFrame = {
         var df = graft.T.events(spark, sf)
@@ -46,11 +50,18 @@ class MatViewPropertySpec extends SparkSpec {
           if (withType)
             Seq(date_trunc(grain, col("ts")).as("g"), col("event_type"))
           else Seq(date_trunc(grain, col("ts")).as("g"))
-        df.groupBy(groups: _*)
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(D)).cast("double").as("s"),
-            min(col("value")).as("mn"),
-            max(col("value")).as("mx"))
+        // half the cases carry a FILTER-clause aggregate too (pivot
+        // shape) — predicate over a pre-drawn type segment
+        val aggs = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("s"),
+          min(col("value")).as("mn"),
+          max(col("value")).as("mx"),
+          avg(col("value").cast(D)).as("av")) ++
+          filterAggType.toSeq.flatMap(t =>
+            Seq(expr(s"count(1) FILTER (WHERE event_type = '$t')").as("nf"),
+              expr("sum(cast(value as decimal(18,2))) FILTER " +
+                s"(WHERE event_type = '$t')").cast("double").as("sf")))
+        df.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
       }
 
       val routed = build().collect().map(_.toString).sorted

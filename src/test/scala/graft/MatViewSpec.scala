@@ -297,7 +297,8 @@ class MatViewSpec extends SparkSpec {
     graft.queries.MatView.enableRouting(spark, sf)
     import org.apache.spark.sql.functions._
     val ev = T.events(spark, sf)
-    // avg is not decomposable without exposing sum/count — must not route
+    // avg over the bare DOUBLE column — float addition is
+    // order-sensitive, no partial reproduces it exactly: must not route
     val avgQ = ev.groupBy(date_trunc("day", col("ts"))).agg(avg(col("value")))
     assert(scanPaths(avgQ).exists(_.endsWith("events.parquet")))
     // grouping by a column the summary lacks — must not route
@@ -310,5 +311,64 @@ class MatViewSpec extends SparkSpec {
     val dist = ev.groupBy(date_trunc("day", col("ts")))
       .agg(countDistinct(col("event_type")))
     assert(scanPaths(dist).exists(_.endsWith("events.parquet")))
+  }
+
+  test("FILTER-clause aggregates route; value FILTER refuses") {
+    assume(new java.io.File(sf).isDirectory)
+    graft.queries.MatView.enableRouting(spark, sf)
+    import org.apache.spark.sql.functions._
+    // the registered pivot gate reads the day summary only
+    val piv = SparkEntry.queries("mv_rewrite_pivot")(spark, sf)
+    val paths = scanPaths(piv)
+    assert(paths.exists(_.contains("events_daily_")), s"not routed: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+    // routed ≡ bypassed, including the count-FILTER coalesce-to-0 and
+    // sum/max-FILTER NULL contracts
+    def build() = T.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("count(1) FILTER (WHERE event_type = 'signup')").as("n"),
+        expr("sum(cast(value as decimal(18,2))) FILTER " +
+          "(WHERE event_type = 'signup')").as("s"),
+        expr("max(value) FILTER (WHERE event_type = 'nope')").as("mx"))
+    val routed = build().collect().map(_.toString).sorted
+    val raw = graft.plans.SummaryRewrite.withBypass {
+      build().collect().map(_.toString).sorted
+    }
+    assert(routed.sameElements(raw), "FILTER route moved an answer")
+    // an hour-extractor FILTER narrows the candidate to the HOUR summary
+    val hourFilt = T.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("count(1) FILTER (WHERE hour(ts) = 12)").as("n_noon"))
+    val hp = scanPaths(hourFilt)
+    assert(hp.exists(_.contains("events_hourly_")), s"not hour-routed: $hp")
+    assert(!hp.exists(_.endsWith("events.parquet")))
+    // a FILTER over the measure column cannot apply whole-bucket: refuse
+    val valFilt = T.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("count(1) FILTER (WHERE value > 50)").as("n_big"))
+    assert(scanPaths(valFilt).exists(_.endsWith("events.parquet")))
+  }
+
+  test("avg over the decimal spelling routes bit-equal; double avg stays raw") {
+    assume(new java.io.File(sf).isDirectory)
+    graft.queries.MatView.enableRouting(spark, sf)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(18, 2)
+    def build() = T.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(avg(col("value").cast(D)).as("a"),
+        expr("avg(cast(value as decimal(18,2))) FILTER " +
+          "(WHERE event_type = 'click')").as("af"))
+    val paths = scanPaths(build())
+    assert(paths.exists(_.contains("events_daily_")), s"not routed: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+    // DECIMAL(22,6) output compared VERBATIM — the routed division must
+    // reproduce Average's own quotient bit-for-bit, not within an ulp
+    val routed = build().collect().map(_.toString).sorted
+    val raw = graft.plans.SummaryRewrite.withBypass {
+      build().collect().map(_.toString).sorted
+    }
+    assert(routed.sameElements(raw), "routed avg moved an answer")
   }
 }
