@@ -1272,6 +1272,71 @@ object Events {
       |SELECT k, true_cnt, TRUE AS found, TRUE AS bounds_ok
       |FROM t, n WHERE true_cnt * 64 > n ORDER BY k""".stripMargin
 
+  // -------------------------------------------------------------------
+  // events_attribution_last — last-click attribution, the composite the
+  // range join (join_range_events) and as-of join (join_asof_events)
+  // exist to serve: a purchase is attributed iff the same user clicked
+  // within the hour before it [purchase_ts − 1h, purchase_ts), credit
+  // going to the LATEST such click. Per day: purchase count, attributed
+  // count, attributed revenue (decimal-exact), and total click→purchase
+  // latency in integer µs over attributed pairs.
+  //
+  // 100 TB shape: the purchase side explodes to 2 hour buckets and
+  // equi-joins clicks on (user, bucket) + residual range filter —
+  // candidate volume is bounded by per-user-hour co-residency, never
+  // the O(clicks × purchases) BNLJ the naive time-proximity spelling
+  // degenerates to. The per-purchase last-click then folds as max()
+  // (no window), and the day rollup is an ordinary partial+final hash
+  // aggregate. Latency sums ride as int64 µs — associative, no float.
+  private def attributionLast(spark: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000L // 1h in µs
+    val e = ev(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts"),
+      unix_micros(col("ts")).as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("us").as("c_us"),
+        floor(col("us") / H).as("cb"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"),
+        col("us"))
+    val lastClick = purch
+      .withColumn("b",
+        explode(array(floor(col("us") / H) - 1, floor(col("us") / H))))
+      .join(clicks, col("user_id") === col("c_uid") && col("b") === col("cb"))
+      .filter(col("c_us") < col("us") && col("c_us") >= col("us") - H)
+      .groupBy(col("event_id")).agg(max(col("c_us")).as("last_click_us"))
+    purch.join(lastClick, Seq("event_id"), "left")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("last_click_us")).as("n_attributed"),
+        sum(when(col("last_click_us").isNotNull, col("value")).cast(D))
+          .cast("double").as("attributed_value"),
+        sum(when(col("last_click_us").isNotNull,
+          col("us") - col("last_click_us"))).as("total_latency_us"))
+      .orderBy(col("day"))
+  }
+
+  private val attributionLastSql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, value, ts, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |a AS (
+      |  SELECT p.event_id, MAX(epoch_us(c.ts)) AS last_click_us
+      |  FROM p JOIN events c
+      |    ON c.event_type = 'click' AND c.user_id = p.user_id
+      |   AND epoch_us(c.ts) < p.us AND epoch_us(c.ts) >= p.us - 3600000000
+      |  GROUP BY p.event_id)
+      |SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(COUNT(a.last_click_us) AS BIGINT) AS n_attributed,
+      |  CAST(SUM(CASE WHEN a.last_click_us IS NOT NULL
+      |    THEN CAST(p.value AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS attributed_value,
+      |  CAST(SUM(CASE WHEN a.last_click_us IS NOT NULL
+      |    THEN p.us - a.last_click_us END) AS BIGINT) AS total_latency_us
+      |FROM p LEFT JOIN a USING (event_id)
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("events_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("sketch_heavy_hitters_contract", heavyHittersContract,
@@ -1301,6 +1366,8 @@ object Events {
     QueryDef("events_variant_stored", variantStored, Some(variantStoredSql)),
     QueryDef("events_funnel", funnel, Some(funnelSql)),
     QueryDef("events_retention", retention, Some(retentionSql)),
-    QueryDef("join_asof_events", asofJoin, Some(asofJoinSql))
+    QueryDef("join_asof_events", asofJoin, Some(asofJoinSql)),
+    QueryDef("events_attribution_last", attributionLast,
+      Some(attributionLastSql))
   )
 }

@@ -54,6 +54,13 @@ class NewQueryPlanSpec extends SparkSpec {
       s"no dynamicpruning filter in the fact scan: ${p.take(1500)}")
   }
 
+  test("events_attribution_last: bucketed equi-join, no BNLJ/cartesian") {
+    assume(new java.io.File(sf).isDirectory)
+    val p = executedPlan("events_attribution_last")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("text_bm25: global ranking bounded by TakeOrderedAndProject, not a corpus window") {
     assume(new java.io.File(sf).isDirectory)
     val p = executedPlan("text_bm25")
