@@ -176,6 +176,26 @@ object SqlSurface {
     Views.sql(spark, dir, sqlMvDailyFilteredText)
   }
 
+  // The pivot-dashboard spelling on SQL TEXT: standard FILTER (WHERE …)
+  // conditional aggregates, one per segment. SummaryRewrite re-anchors
+  // each FILTER's dim predicate onto the summary columns (whole-bucket
+  // predicates; count FILTER coalesces to 0), so the segmented
+  // dashboard statement a BI tool emits verbatim routes too. Same text
+  // is the DuckDB oracle over RAW rows.
+  private val sqlMvPivotText =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_all,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |    AS n_click,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  private def sqlMvPivot(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.MatView.enableRouting(spark, dir)
+    Views.sql(spark, dir, sqlMvPivotText)
+  }
+
   // -------------------------------------------------------------------
   // sql_window_topk — the PORTABLE top-k-per-group window spelling on
   // SQL TEXT. The statement is what a BI tool emits (row_number window,
@@ -350,6 +370,7 @@ object SqlSurface {
     QueryDef("sql_mv_daily", sqlMvDaily, Some(sqlMvDailyText)),
     QueryDef("sql_mv_daily_filtered", sqlMvDailyFiltered,
       Some(sqlMvDailyFilteredText)),
+    QueryDef("sql_mv_pivot", sqlMvPivot, Some(sqlMvPivotText)),
     QueryDef("sql_window_topk", sqlWindowTopk, Some(sqlWindowTopkText)),
     QueryDef("sql_rollup", sqlRollup, Some(sqlRollupText)))
 }

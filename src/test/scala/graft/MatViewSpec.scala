@@ -180,6 +180,31 @@ class MatViewSpec extends SparkSpec {
     assert(!paths.exists(_.endsWith("events.parquet")))
   }
 
+  test("SQL-text pivot (FILTER clause) routes; HAVING stays routed") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("sql_mv_pivot")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_daily_")),
+      s"pivot SQL did not route: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+    // HAVING sits ABOVE the Aggregate (a Filter over its output), so the
+    // swap underneath leaves it untouched — the routed plan must still
+    // read the summary and agree with the bypassed plan
+    graft.sql.Views.register(spark, sf)
+    def having() = spark.sql(
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  COUNT(*) AS n FROM events
+        |GROUP BY 1 HAVING COUNT(*) > 10 ORDER BY day""".stripMargin)
+    val hp = scanPaths(having())
+    assert(hp.exists(_.contains("events_daily_")), s"HAVING broke route: $hp")
+    assert(!hp.exists(_.endsWith("events.parquet")))
+    val routed = having().collect().map(_.toString).sorted
+    val raw = graft.plans.SummaryRewrite.withBypass {
+      having().collect().map(_.toString).sorted
+    }
+    assert(routed.sameElements(raw), "HAVING route moved an answer")
+  }
+
   test("day-aligned filtered aggregate routes; answers match the raw plan") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("mv_rewrite_daily_filtered")(spark, sf)
