@@ -168,8 +168,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // Grouping-sets shape (rollup / cube / GROUPING SETS): the Aggregate
+    // sits on an Expand that replays each input row once per grouping
+    // set, with the grouping variants (expr / NULL subtotal marker) and
+    // a grouping-id literal as extra columns. The same grammar routes:
+    // the Expand's variant elements re-anchor onto the summary's
+    // columns, its pass-through aggregate-input columns swap for the
+    // partials, and the Aggregate's calls rewrite exactly as in the
+    // flat path — every grouping set (subtotals and grand total
+    // included) then re-aggregates summary rows, which is the original
+    // Data-Cube navigator claim: ONE stored rollup answers the whole
+    // lattice below it.
+    val expandOpt: Option[Expand] = agg.child match {
+      case e: Expand => Some(e)
+      case _ => None
+    }
     // ---- peel alias-only Projects and Filters, collecting both -------
-    var child = agg.child
+    var child = expandOpt.map(_.child: LogicalPlan).getOrElse(agg.child)
     var subst = Map.empty[ExprId, Expression]
     var rawPreds = Seq.empty[Expression] // conjuncts, resolved after peel
     var peeling = true
@@ -292,7 +307,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     var qGrain: Option[String] = None
     var qTrunc: Option[TruncTimestamp] = None // original node, for re-trunc
     var needHour = false // an hour-constant-only extractor in the mix
-    val gkinds: Seq[GKind] = agg.groupingExpressions.map { g0 =>
+    val gkinds: Seq[GKind] = if (expandOpt.isDefined) Nil
+    else agg.groupingExpressions.map { g0 =>
       resolve(g0) match {
         case g @ TruncTimestamp(_, _, _) if truncGrain(g).isDefined =>
           val gr = truncGrain(g).get
@@ -308,21 +324,67 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }
     }
 
+    // ---- classify the Expand shape (grouping-sets path) --------------
+    // The Aggregate's groupings must be bare Expand-output attrs (the
+    // analyzer's construction). Each projection element is then one of:
+    // a pass-through aggregate-input column at a non-grouping position
+    // (must be the bare source attr, identical in every projection — it
+    // becomes the partials), a grouping variant within the flat
+    // grammar (trunc / dim / extractor — re-anchors per picked grain),
+    // a NULL subtotal marker, or the non-null grouping-id literal (both
+    // kept verbatim). Anything else refuses the route.
+    val gAttrIds: Set[ExprId] = expandOpt match {
+      case None => Set.empty
+      case Some(_) => agg.groupingExpressions.map {
+        case a: Attribute => a.exprId
+        case _ => return None
+      }.toSet
+    }
+    var exDayOk = true // a trunc finer than day / hour-extractor forbids day
+    expandOpt.foreach { ex =>
+      val out = ex.output
+      for (p <- ex.projections) {
+        if (p.size != out.size) return None
+        for (i <- out.indices) p(i) match {
+          case el if !gAttrIds.contains(out(i).exprId) =>
+            el match { // pass-through aggregate input
+              case a: Attribute if a.exprId == out(i).exprId => ()
+              case _ => return None
+            }
+          case Literal(_, _) => () // NULL subtotal marker or grouping id
+          case e0 => resolve(e0) match {
+            case g if truncGrain(g).isDefined =>
+              if (GrainRank(truncGrain(g).get) < GrainRank("day"))
+                exDayOk = false
+            case a: Attribute if dimIdx.contains(a.exprId) => ()
+            case g if derivedGrain(g).isDefined =>
+              if (derivedGrain(g).contains("hour")) exDayOk = false
+            case _ => return None
+          }
+        }
+      }
+    }
+
     // ---- candidate summaries: query grain first, finer fallback ------
     // A candidate only wins if EVERY peeled predicate re-anchors onto
     // its bucket column exactly; an hour-aligned (not day-aligned) bound
     // therefore pushes a day-grain query onto the hour summary.
-    val candidates0: Seq[String] = qGrain match {
-      case Some("hour") => Seq("hour")
-      case Some("day") => Seq("day", "hour")
-      // calendar grains above day compose over both stored grains
-      case Some(g) if GrainRank.get(g).exists(_ > GrainRank("day")) =>
-        Seq("day", "hour")
-      case Some(_) => return None
-      case None => Seq("day", "hour") // no time grouping: prefer coarse
+    val candidates0: Seq[String] = expandOpt match {
+      case Some(_) => // per-element constraints, coarse preferred
+        if (exDayOk) Seq("day", "hour") else Seq("hour")
+      case None => qGrain match {
+        case Some("hour") => Seq("hour")
+        case Some("day") => Seq("day", "hour")
+        // calendar grains above day compose over both stored grains
+        case Some(g) if GrainRank.get(g).exists(_ > GrainRank("day")) =>
+          Seq("day", "hour")
+        case Some(_) => return None
+        case None => Seq("day", "hour") // no time grouping: prefer coarse
+      }
     }
     val candidates: Seq[String] =
-      if (needHour) candidates0.filter(_ == "hour") else candidates0
+      if (expandOpt.isEmpty && needHour) candidates0.filter(_ == "hour")
+      else candidates0
 
     // ---- FILTER-clause aggregates ------------------------------------
     // count(*) FILTER (WHERE event_type = 'x') — the pivot/dashboard
@@ -437,11 +499,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // FILTER-clause predicates must re-anchor under the SAME grammar;
       // a conjunct the summary can't answer refuses this candidate (the
       // finer grain may still take it — same economics as WHERE).
-      val aggFilt: Map[Expression, Expression] = aggFilterExprs.map { f =>
-        val parts = splitConj(f).map(rewritePred)
-        if (parts.exists(_.isEmpty)) return None
-        f -> parts.map(_.get).reduce(And)
-      }.toMap
+      val aggFilt: Map[Expression, Expression] = expandOpt match {
+        case Some(ex) =>
+          // above an Expand only its outputs exist: a FILTER over
+          // grouping-output attrs survives the swap verbatim (those
+          // attrs are preserved, and they carry the EXPANDED values —
+          // NULL on subtotal rows — so semantics are identical); any
+          // reference to a pass-through source column refuses.
+          val gOut = AttributeSet(
+            ex.output.filter(o => gAttrIds.contains(o.exprId)))
+          aggFilterExprs.map { f =>
+            if (f.references.subsetOf(gOut)) f -> f else return None
+          }.toMap
+        case None => aggFilterExprs.map { f =>
+          val parts = splitConj(f).map(rewritePred)
+          if (parts.exists(_.isEmpty)) return None
+          f -> parts.map(_.get).reduce(And)
+        }.toMap
+      }
       Some(Picked(sumGrain, sumRel, timeA, dimAs, nA, sumDecA, minA,
         maxA, newPreds.map(_.get), aggFilt))
     }
@@ -520,6 +595,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
       case _: AggregateExpression => None // distinct: no route
+      case a: Attribute if gAttrIds.contains(a.exprId) =>
+        Some(a) // Expand grouping output — survives the swap unchanged
       case g if truncGrain(resolve(g)) == qGrain && qGrain.isDefined =>
         Some(timeRepr)
       case g if derivedGrain(resolve(g)).isDefined =>
@@ -540,24 +617,64 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         else Some(other.withNewChildren(kids.map(_.get)))
     }
 
-    val newGroups: Seq[Expression] = gkinds.map {
-      case GTime => timeRepr
-      case GDim(i) => dimAs(i)
-      case GDerived(e) => derivedRepr(e, timeA)
-    }
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case al @ Alias(expr, name) =>
         val ne = rewriteExpr(expr).getOrElse(return None)
         Alias(ne, name)(al.exprId, al.qualifier, al.explicitMetadata)
       case ar: AttributeReference =>
-        // bare grouping-attribute passthrough (groupBy(col) output)
-        val ne = rewriteExpr(ar).getOrElse(return None)
-        Alias(ne, ar.name)(ar.exprId, ar.qualifier)
+        // bare grouping-attribute passthrough (groupBy(col) output);
+        // an attr the swap preserves (Expand grouping output) stays
+        // unwrapped — never alias an attribute to its own exprId
+        rewriteExpr(ar).getOrElse(return None) match {
+          case a: Attribute if a.exprId == ar.exprId => ar
+          case ne => Alias(ne, ar.name)(ar.exprId, ar.qualifier)
+        }
       case _ => return None
     }
     val newChild: LogicalPlan =
       if (picked.preds.isEmpty) sumRel
       else Filter(picked.preds.reduce(And), sumRel)
-    Some(Aggregate(newGroups, newAggs, newChild))
+
+    expandOpt match {
+      case Some(ex) =>
+        // ---- rebuild: Aggregate over a rewritten Expand --------------
+        // Partials ride every projection; grouping variants re-anchor
+        // per element (a trunc coarser than the picked grain re-truncs
+        // the bucket column — the lattice walk, applied per grouping
+        // set); NULL markers and the grouping-id literal pass verbatim.
+        // Grouping-output attrs keep their exprIds, so the Aggregate
+        // above (and everything over it) is untouched by the swap.
+        def rewriteElem(el: Expression): Option[Expression] = el match {
+          case l: Literal => Some(l)
+          case e0 => resolve(e0) match {
+            case tr @ TruncTimestamp(_, _, _) if truncGrain(tr).isDefined =>
+              val gr = truncGrain(tr).get
+              Some(if (gr == sumGrain) timeA
+              else tr.copy(timestamp = timeA))
+            case a: Attribute if dimIdx.contains(a.exprId) =>
+              Some(dimAs(dimIdx(a.exprId)))
+            case g if derivedGrain(g).isDefined =>
+              Some(derivedRepr(g, timeA))
+            case _ => None
+          }
+        }
+        val out = ex.output
+        val keepIdx = out.indices.filter(i => gAttrIds.contains(out(i).exprId))
+        val newOutput: Seq[Attribute] =
+          Seq(nA, sumDecA, minA, maxA) ++ keepIdx.map(out)
+        val newProjections: Seq[Seq[Expression]] = ex.projections.map { p =>
+          (Seq(nA, sumDecA, minA, maxA): Seq[Expression]) ++
+            keepIdx.map(i => rewriteElem(p(i)).getOrElse(return None))
+        }
+        Some(Aggregate(agg.groupingExpressions, newAggs,
+          Expand(newProjections, newOutput, newChild)))
+      case None =>
+        val newGroups: Seq[Expression] = gkinds.map {
+          case GTime => timeRepr
+          case GDim(i) => dimAs(i)
+          case GDerived(e) => derivedRepr(e, timeA)
+        }
+        Some(Aggregate(newGroups, newAggs, newChild))
+    }
   }
 }

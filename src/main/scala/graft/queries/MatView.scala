@@ -415,6 +415,41 @@ object MatView {
       |  MAX(value) FILTER (WHERE event_type IN ('click','view')) AS max_click_view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ROLLUP at summary cost — the grouping-sets navigator: the Aggregate
+  // sits on an Expand (one replay per grouping set), and SummaryRewrite
+  // swaps the Expand's source for the summary, re-anchoring the
+  // grouping variants and riding the partials through every projection.
+  // Detail rows, per-day subtotals AND the grand total all re-aggregate
+  // |days|×|types| summary rows — the original Data-Cube claim that one
+  // stored rollup answers the whole lattice below it. Subtotal NULLs
+  // are labeled 'ALL' post-aggregate in both engines; the oracle
+  // recomputes GROUP BY ROLLUP from RAW rows.
+  private def mvRollup(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"))
+      .select(
+        coalesce(date_format(col("day"), "yyyy-MM-dd"), lit("ALL"))
+          .as("day_s"),
+        coalesce(col("event_type"), lit("ALL")).as("type_s"),
+        col("n_events"), col("sum_value"), col("min_value"))
+      .orderBy(col("day_s"), col("type_s"))
+  }
+
+  private val mvRollupSql =
+    """SELECT
+      |  COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day_s,
+      |  COALESCE(event_type, 'ALL') AS type_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value
+      |FROM events
+      |GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+      |ORDER BY day_s, type_s""".stripMargin
+
   // avg at summary cost — avg(cast(value as decimal(18,2))) routes as
   // Σsum/Σn through Average's own decimal division tree (bit-equal to
   // the raw plan; the parity net covers it). Cross-engine, the result
@@ -479,6 +514,7 @@ object MatView {
       Some(mvOrdersByPrioritySql)),
     QueryDef("mv_rewrite_pivot", mvPivot, Some(mvPivotSql)),
     QueryDef("mv_rewrite_avg", mvAvg, Some(mvAvgSql)),
+    QueryDef("mv_rewrite_rollup", mvRollup, Some(mvRollupSql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
     QueryDef("mv_rewrite_monthly", mvMonthly, Some(mvMonthlySql)),
     QueryDef("mv_rewrite_dow_profile", mvDowProfile, Some(mvDowProfileSql)),

@@ -196,6 +196,41 @@ object SqlSurface {
     Views.sql(spark, dir, sqlMvPivotText)
   }
 
+  // GROUP BY ROLLUP on SQL TEXT — the grouping-sets navigator firing on
+  // the verbatim warehouse spelling: the parser/analyzer produce the
+  // same Aggregate-over-Expand shape as DataFrame .rollup, so
+  // SummaryRewrite swaps the Expand's source for the day summary and
+  // detail rows, subtotals and the grand total all re-aggregate
+  // |days|×|types| summary rows. Same text is the DuckDB oracle over
+  // RAW rows (strftime/date_format labels differ per engine, so the
+  // oracle carries its own spelling).
+  private val sqlMvRollupText =
+    """SELECT
+      |  COALESCE(date_format(date_trunc('day', ts), 'yyyy-MM-dd'), 'ALL')
+      |    AS day_s,
+      |  COALESCE(event_type, 'ALL') AS type_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+      |ORDER BY day_s, type_s""".stripMargin
+
+  private val sqlMvRollupOracle =
+    """SELECT
+      |  COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL')
+      |    AS day_s,
+      |  COALESCE(event_type, 'ALL') AS type_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+      |ORDER BY day_s, type_s""".stripMargin
+
+  private def sqlMvRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.MatView.enableRouting(spark, dir)
+    Views.sql(spark, dir, sqlMvRollupText)
+  }
+
   // -------------------------------------------------------------------
   // sql_window_topk — the PORTABLE top-k-per-group window spelling on
   // SQL TEXT. The statement is what a BI tool emits (row_number window,
@@ -371,6 +406,7 @@ object SqlSurface {
     QueryDef("sql_mv_daily_filtered", sqlMvDailyFiltered,
       Some(sqlMvDailyFilteredText)),
     QueryDef("sql_mv_pivot", sqlMvPivot, Some(sqlMvPivotText)),
+    QueryDef("sql_mv_rollup", sqlMvRollup, Some(sqlMvRollupOracle)),
     QueryDef("sql_window_topk", sqlWindowTopk, Some(sqlWindowTopkText)),
     QueryDef("sql_rollup", sqlRollup, Some(sqlRollupText)))
 }

@@ -39,6 +39,8 @@ class MatViewPropertySpec extends SparkSpec {
       // both runs must spell the identical query
       val filterAggType =
         if (rnd.nextBoolean()) Some(types(rnd.nextInt(types.size))) else None
+      // 0 = flat groupBy, 1 = rollup, 2 = cube (the grouping-sets path)
+      val shape = rnd.nextInt(3)
 
       def build(): DataFrame = {
         var df = graft.T.events(spark, sf)
@@ -61,7 +63,12 @@ class MatViewPropertySpec extends SparkSpec {
             Seq(expr(s"count(1) FILTER (WHERE event_type = '$t')").as("nf"),
               expr("sum(cast(value as decimal(18,2))) FILTER " +
                 s"(WHERE event_type = '$t')").cast("double").as("sf")))
-        df.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
+        val grouped = shape match {
+          case 0 => df.groupBy(groups: _*)
+          case 1 => df.rollup(groups: _*)
+          case _ => df.cube(groups: _*)
+        }
+        grouped.agg(aggs.head, aggs.tail: _*)
       }
 
       val routed = build().collect().map(_.toString).sorted

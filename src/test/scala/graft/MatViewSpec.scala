@@ -187,6 +187,12 @@ class MatViewSpec extends SparkSpec {
     assert(paths.exists(_.contains("events_daily_")),
       s"pivot SQL did not route: $paths")
     assert(!paths.exists(_.endsWith("events.parquet")))
+    // GROUP BY ROLLUP from SQL text produces the same Expand shape as
+    // DataFrame .rollup — the grouping-sets path must fire there too
+    val rp = scanPaths(SparkEntry.queries("sql_mv_rollup")(spark, sf))
+    assert(rp.exists(_.contains("events_daily_")),
+      s"SQL rollup did not route: $rp")
+    assert(!rp.exists(_.endsWith("events.parquet")))
     // HAVING sits ABOVE the Aggregate (a Filter over its output), so the
     // swap underneath leaves it untouched — the routed plan must still
     // read the summary and agree with the bypassed plan
@@ -372,6 +378,42 @@ class MatViewSpec extends SparkSpec {
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(expr("count(1) FILTER (WHERE value > 50)").as("n_big"))
     assert(scanPaths(valFilt).exists(_.endsWith("events.parquet")))
+  }
+
+  test("grouping sets route: rollup/cube re-aggregate the summary") {
+    assume(new java.io.File(sf).isDirectory)
+    graft.queries.MatView.enableRouting(spark, sf)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(18, 2)
+    // the registered rollup gate reads the day summary only
+    val paths = scanPaths(SparkEntry.queries("mv_rewrite_rollup")(spark, sf))
+    assert(paths.exists(_.contains("events_daily_")), s"not routed: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")))
+    // cube + WHERE + grouping_id: routed ≡ bypassed, subtotals included
+    def cubeQ() = T.events(spark, sf)
+      .filter(col("ts") >= to_timestamp(lit("2024-01-08 00:00:00")))
+      .cube(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("s"),
+        grouping_id().as("gid"))
+    val cp = scanPaths(cubeQ())
+    assert(cp.exists(_.contains("events_daily_")), s"cube not routed: $cp")
+    assert(!cp.exists(_.endsWith("events.parquet")))
+    val routed = cubeQ().collect().map(_.toString).sorted
+    val raw = graft.plans.SummaryRewrite.withBypass {
+      cubeQ().collect().map(_.toString).sorted
+    }
+    assert(routed.sameElements(raw), "grouping-sets route moved an answer")
+    // a rollup including a column the summary lacks must stay raw
+    val userRoll = T.events(spark, sf)
+      .rollup(date_trunc("day", col("ts")), col("user_id"))
+      .agg(count(lit(1)))
+    assert(scanPaths(userRoll).exists(_.endsWith("events.parquet")))
+    // minute-grain rollup: no stored grain answers it — stays raw
+    val minRoll = T.events(spark, sf)
+      .rollup(date_trunc("minute", col("ts")), col("event_type"))
+      .agg(count(lit(1)))
+    assert(scanPaths(minRoll).exists(_.endsWith("events.parquet")))
   }
 
   test("avg over the decimal spelling routes bit-equal; double avg stays raw") {
