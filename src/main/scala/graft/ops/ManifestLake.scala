@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** A table whose membership is defined ONLY by the manifest-list chain
@@ -101,17 +101,168 @@ object ManifestLake {
     .withColumn("_graft_file", col("_metadata.file_path"))
     .withColumn("_graft_pos", col("_metadata.row_index"))
 
+  // ---- schema evolution (metadata-only) -----------------------------
+  /** One entry in the table's schema-op log. `op` ∈ rename | add |
+    * drop, recorded against the list version that was head when it
+    * committed. CURRENT reads always apply the whole log (a rename is
+    * visible immediately); an explicit-version read applies only the
+    * ops committed while that snapshot was not yet head
+    * (`atVersion < v`), so time travel sees each snapshot under the
+    * schema it was created with — Iceberg's per-snapshot schema.
+    *
+    * The Iceberg idea with a lighter arbiter than field ids: data files
+    * are NEVER rewritten — files written before a rename keep the old
+    * physical column, and the read path maps every logical column over
+    * its name history (coalesce across the physical spellings; each
+    * row's file wrote exactly one of them). `add` needs no per-file
+    * work at all (absent column reads NULL via schema merge) and `drop`
+    * hides the column and its whole history. The one contract, same
+    * class as partition evolution's value-space rule: NAMES ARE NEVER
+    * RECYCLED — a name renamed away or dropped must not be
+    * reintroduced, which is exactly the ambiguity Iceberg's numeric
+    * field ids exist to resolve. */
+  final case class SchemaOp(op: String, colName: String, to: String,
+      atVersion: Int)
+
+  private def schemaOpsPath(tablePath: String, k: Int): Path =
+    new Path(tablePath, s"_manifest/schema-v$k.json")
+
+  private def schemaVersions(spark: SparkSession, tablePath: String): Seq[Int] = {
+    val mdir = new Path(tablePath, "_manifest")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mdir)) return Seq.empty
+    val V = """schema-v(\d+)\.json""".r
+    fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .collect { case V(n) => n.toInt }.sorted
+  }
+
+  /** The table's full schema-op log, oldest first (empty when no
+    * schema change ever committed). One metadata file read. */
+  def schemaOps(spark: SparkSession, tablePath: String): Seq[SchemaOp] = {
+    val ks = schemaVersions(spark, tablePath)
+    if (ks.isEmpty) return Seq.empty
+    val p = schemaOpsPath(tablePath, ks.last)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Line = """\{"op":"(\w+)","col":"([^"]*)","to":"([^"]*)","at":(-?\d+)\}""".r
+    text.split('\n').filter(_.nonEmpty).toSeq.map {
+      case Line(o, c, t, a) => SchemaOp(o, c, t, a.toInt)
+    }
+  }
+
+  /** Append one op to the log — whole-log rewrite (ops are few) CAS'd
+    * by the same no-overwrite rename the list chain uses, so concurrent
+    * schema changes serialize and none is lost. */
+  private def commitSchemaOp(spark: SparkSession, tablePath: String,
+      op: String, colName: String, to: String = ""): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var attempt = 0
+    while (attempt < 10) {
+      val at = Manifest.currentListVersion(spark, tablePath)
+      val ops = schemaOps(spark, tablePath) :+ SchemaOp(op, colName, to, at)
+      val next = schemaVersions(spark, tablePath).lastOption.getOrElse(-1) + 1
+      val bytes = ops.map(o =>
+        s"""{"op":"${o.op}","col":"${o.colName}","to":"${o.to}","at":${o.atVersion}}""" + "\n")
+        .mkString.getBytes("UTF-8")
+      val dst = schemaOpsPath(tablePath, next)
+      val tmp = new Path(tablePath,
+        s"_manifest/.tmp-${java.util.UUID.randomUUID()}-schema-v$next.json")
+      val fs = tmp.getFileSystem(conf)
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        return next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); attempt += 1
+        case _: java.io.IOException if fs.exists(dst) =>
+          fs.delete(tmp, false); attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"schema-op commit lost 10 consecutive races at $tablePath")
+  }
+
+  /** Metadata-only column RENAME — zero data files touched. */
+  def renameColumn(spark: SparkSession, tablePath: String, from: String,
+      to: String): Int = commitSchemaOp(spark, tablePath, "rename", from, to)
+
+  /** Declare a column added by future writes: old files read it as
+    * NULL. The op only forces schema-merge on reads — no file work. */
+  def addColumn(spark: SparkSession, tablePath: String, name: String): Int =
+    commitSchemaOp(spark, tablePath, "add", name)
+
+  /** Metadata-only column DROP — hides the column and its whole rename
+    * history from reads at or after the commit; time travel before it
+    * still sees the data. */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Int =
+    commitSchemaOp(spark, tablePath, "drop", name)
+
+  /** Apply the op log to a physical frame: every logical column reads
+    * as coalesce over its name history (each row's file wrote exactly
+    * one spelling — the others are absent, i.e. NULL, for that row);
+    * dropped names and names renamed away leave the output. Column
+    * order: first physical appearance of each logical group. The
+    * `_graft_*` address columns ride through untouched. */
+  private def applySchemaOps(df: DataFrame, ops: Seq[SchemaOp]): DataFrame = {
+    if (ops.isEmpty) return df
+    var formers = Map.empty[String, List[String]] // logical -> former names
+    var hidden = Set.empty[String]                // physical names dropped
+    ops.foreach {
+      case SchemaOp("rename", from, to, _) =>
+        formers = (formers - from) + (to -> (from :: formers.getOrElse(from, Nil)))
+      case SchemaOp("drop", name, _, _) =>
+        hidden ++= (name :: formers.getOrElse(name, Nil)).toSet
+        formers -= name
+      case _ => () // "add": read-side schema merge is the whole effect
+    }
+    val phys = df.columns.toSeq
+    val physSet = phys.toSet
+    val metaCols = Set("_graft_file", "_graft_pos")
+    val logicalOf: Map[String, String] =
+      formers.flatMap { case (to, hist) => hist.map(_ -> to) }
+    var seen = Set.empty[String]
+    val outCols = Seq.newBuilder[Column]
+    phys.foreach { p =>
+      if (!hidden.contains(p) && !metaCols.contains(p)) {
+        val logical = logicalOf.getOrElse(p, p)
+        if (!seen(logical)) {
+          seen += logical
+          val names = (logical :: formers.getOrElse(logical, Nil))
+            .filter(physSet)
+          outCols += (if (names.size <= 1) col(names.headOption.getOrElse(p)).as(logical)
+          else coalesce(names.map(col): _*).as(logical))
+        }
+      }
+    }
+    df.select(outCols.result() ++ phys.filter(metaCols).map(col): _*)
+  }
+
   /** Scan of a version's data files with its delete vectors applied.
     * Clean files (no vector names them) are scanned directly; dirty
     * files anti-join their positions. `keepMeta` retains the
     * `_graft_file`/`_graft_pos` address columns for callers that need
     * row positions (the delete writer itself). */
   private def morScan(spark: SparkSession, dataEntries: Seq[Manifest.FileEntry],
-      delEntries: Seq[Manifest.FileEntry], keepMeta: Boolean): DataFrame = {
+      delEntries: Seq[Manifest.FileEntry], keepMeta: Boolean,
+      ops: Seq[SchemaOp] = Seq.empty): DataFrame = {
     require(dataEntries.nonEmpty, "version has no data files")
     val dataPaths = dataEntries.map(_.path)
+    // schema-evolved tables read with footer merge (files written under
+    // different epochs carry different physical columns) and tolerant
+    // unions; unchanged tables keep the strict single-schema path
+    val evolved = ops.nonEmpty
+    def rd(paths: Seq[String]): DataFrame = {
+      val r = spark.read
+      (if (evolved) r.option("mergeSchema", "true") else r).parquet(paths: _*)
+    }
     val full = if (delEntries.isEmpty) {
-      withPos(spark.read.parquet(dataPaths: _*))
+      withPos(rd(dataPaths))
     } else {
       val dels = spark.read.parquet(delEntries.map(_.path): _*)
         .select(col("file_path"), col("row_index"))
@@ -124,17 +275,32 @@ object ManifestLake {
         if (delEntries.map(_.rows).sum <= maxBroadcast) broadcast(dels) else dels
       val dirtyDf =
         if (dirty.isEmpty) None
-        else Some(withPos(spark.read.parquet(dirty: _*))
+        else Some(withPos(rd(dirty))
           .join(delSide,
             col("_graft_file") === col("file_path") &&
               col("_graft_pos") === col("row_index"),
             "left_anti"))
       val cleanDf =
         if (clean.isEmpty) None
-        else Some(withPos(spark.read.parquet(clean: _*)))
-      (cleanDf ++ dirtyDf).reduce(_ unionByName _)
+        else Some(withPos(rd(clean)))
+      (cleanDf ++ dirtyDf).reduce(
+        _.unionByName(_, allowMissingColumns = evolved))
     }
-    if (keepMeta) full else full.drop("_graft_file", "_graft_pos")
+    val mapped = applySchemaOps(full, ops)
+    if (keepMeta) mapped else mapped.drop("_graft_file", "_graft_pos")
+  }
+
+  /** Ops in effect for a read: CURRENT reads (no explicit version)
+    * always see the latest schema — a rename is visible immediately,
+    * before any new data commit; an EXPLICIT version read is a
+    * snapshot read and applies only ops committed while that snapshot
+    * was not yet head (`atVersion < v`), so time travel sees each
+    * snapshot under the schema it was created with — the Iceberg
+    * per-snapshot-schema behavior. */
+  private def opsFor(spark: SparkSession, tablePath: String,
+      v: Int, current: Boolean): Seq[SchemaOp] = {
+    val all = schemaOps(spark, tablePath)
+    if (current) all else all.filter(_.atVersion < v)
   }
 
   /** Merge `delta` (replace-by-key within touched partitions, insert
@@ -179,7 +345,7 @@ object ManifestLake {
       val survivors =
         if (removed.isEmpty) None
         else Some(morScan(spark, dataEntries.filter(e => removed(e.path)),
-            delEntries, keepMeta = false)
+            delEntries, keepMeta = false, opsFor(spark, tablePath, head, current = true))
           .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti"))
       val newData = survivors.fold(delta)(s =>
         s.unionByName(delta, allowMissingColumns = true))
@@ -212,7 +378,8 @@ object ManifestLake {
     require(v >= 0, s"no committed list versions at $tablePath")
     val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, v)
       .partition(e => isDeleteFile(e.path))
-    morScan(spark, dataEntries, delEntries, keepMeta = false)
+    morScan(spark, dataEntries, delEntries, keepMeta = false,
+      opsFor(spark, tablePath, v, current = version < 0))
   }
 
   /** Key-range read with manifest pruning: data files whose
@@ -230,7 +397,7 @@ object ManifestLake {
     val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, v)
       .partition(e => isDeleteFile(e.path))
     morScan(spark, Manifest.prune(dataEntries, lo, hi), delEntries,
-      keepMeta = false)
+      keepMeta = false, opsFor(spark, tablePath, v, current = version < 0))
   }
 
   /** Merge-on-read DELETE: write the positions of rows matching
@@ -254,7 +421,8 @@ object ManifestLake {
       // vector already names is subtracted before the filter, so it
       // never recurs — the delete set is O(total deleted), not
       // O(commits × matches)
-      morScan(spark, dataEntries, delEntries, keepMeta = true)
+      morScan(spark, dataEntries, delEntries, keepMeta = true,
+          opsFor(spark, tablePath, head, current = true))
         .filter(predicate)
         .select(col("_graft_file").as("file_path"),
           col("_graft_pos").as("row_index"))
@@ -303,11 +471,17 @@ object ManifestLake {
       .map(_.toLong).getOrElse(4000000L)
     val delSide =
       if (fresh.map(_.rows).sum <= maxBroadcast) broadcast(dels) else dels
-    withPos(spark.read.parquet(dirty.map(_.path): _*))
+    val opsNew = opsFor(spark, tablePath, vNew, current = false)
+    val dirtyRd = {
+      val r = spark.read
+      (if (opsNew.nonEmpty) r.option("mergeSchema", "true") else r)
+        .parquet(dirty.map(_.path): _*)
+    }
+    applySchemaOps(withPos(dirtyRd)
       .join(delSide,
         col("_graft_file") === col("file_path") &&
           col("_graft_pos") === col("row_index"),
-        "left_semi")
+        "left_semi"), opsNew)
       .drop("_graft_file", "_graft_pos")
   }
 
@@ -333,7 +507,8 @@ object ManifestLake {
         if (dirty.isEmpty) Seq.empty // only dead vectors — drop, no rewrite
         else {
           val outDir = s"$tablePath/data/$tag-v${head + 1}"
-          morScan(spark, dirty, delEntries, keepMeta = false)
+          morScan(spark, dirty, delEntries, keepMeta = false,
+              opsFor(spark, tablePath, head, current = true))
             .withColumn("graft_p", col(partCol))
             .write.partitionBy("graft_p").mode("overwrite").parquet(outDir)
           val added = Manifest.collectStats(spark,

@@ -556,6 +556,61 @@ object Lake {
       |ORDER BY o_orderstatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // lake_schema_evolution — metadata-only column rename on the
+  // manifest-list table ([[ManifestLake.renameColumn]]): half of orders
+  // commits under the column name `amount`, the table renames
+  // amount→total_price touching ZERO data files, and the other half
+  // commits under the new name — so the table's files permanently spell
+  // the column two different ways. The read path maps each logical
+  // column over its name history (coalesce across the physical
+  // spellings; each row's file wrote exactly one), and the aggregate
+  // over the mixed-epoch table must equal the oracle computing from the
+  // ORIGINAL orders rows — proving the rename is invisible to queries.
+  // At 100 TB this is the Iceberg headline: renaming a column on a
+  // petabyte table is one ~100-byte metadata commit, not a rewrite.
+  // Time travel sees each snapshot under the schema it was created
+  // with, and the composition with MOR deletes/compaction is
+  // SchemaEvolutionSpec's job.
+  private def schemaEvoPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val tag = s"orders_sev_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-sev/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_SEV_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val o = T.orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      ManifestLake.mergeCommit(spark, path, "o_orderpriority", "o_orderkey",
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumnRenamed("o_totalprice", "amount"), "load")
+      ManifestLake.renameColumn(spark, path, "amount", "total_price")
+      ManifestLake.mergeCommit(spark, path, "o_orderpriority", "o_orderkey",
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .withColumnRenamed("o_totalprice", "total_price"), "evolve")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    ManifestLake.read(spark, schemaEvoPath(spark, dir))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("total_price"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
   // lake_delete_vectors — merge-on-read DELETE over a manifest-list
   // table ([[ManifestLake.deleteWhere]]): two successive deletes write
   // only (file_path, row_index) sidecars — zero data files rewritten,
@@ -645,6 +700,8 @@ object Lake {
     QueryDef("meta_parquet_stats", parquetStats, Some(parquetStatsSql)),
     QueryDef("lake_manifest_prune", manifestPrune, Some(manifestPruneSql)),
     QueryDef("lake_zorder_prune", zorderPrune, Some(zorderPruneSql)),
-    QueryDef("lake_time_travel", timeTravel, Some(timeTravelSql))
+    QueryDef("lake_time_travel", timeTravel, Some(timeTravelSql)),
+    QueryDef("lake_schema_evolution", schemaEvolution,
+      Some(schemaEvolutionSql))
   )
 }

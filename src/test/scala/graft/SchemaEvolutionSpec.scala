@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import graft.ops.{Manifest, ManifestLake}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Metadata-only schema evolution on the manifest-list table
+  * ([[ManifestLake.renameColumn]]/addColumn/dropColumn): data files are
+  * never rewritten, reads map each logical column over its name
+  * history, and time travel sees every snapshot under the schema it
+  * had. */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fs = new Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  test("rename is metadata-only; old and new files read as one column") {
+    val dir = Files.createTempDirectory("graft-sev").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "amount"), "load")
+    val v0Files = Manifest.readAll(spark, dir, 0).map(_.path)
+    val v0Stamps = v0Files.map(p => fs.getFileStatus(new Path(p))
+      .getModificationTime)
+
+    ManifestLake.renameColumn(spark, dir, "amount", "total")
+    // rename touched zero data files
+    v0Files.zip(v0Stamps).foreach { case (p, t) =>
+      assert(fs.getFileStatus(new Path(p)).getModificationTime == t, p)
+    }
+    // current read: single logical column under the NEW name
+    val cur = ManifestLake.read(spark, dir)
+    assert(cur.columns.contains("total") && !cur.columns.contains("amount"))
+    assert(cur.select("k", "total").as[(Long, Double)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, 10.0), (2L, 20.0)))
+
+    // a post-rename merge writes under the new name; both epochs of
+    // files coexist and read as ONE column
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((2L, "b", 99.0), (3L, "b", 30.0)).toDF("k", "p", "total"), "u1")
+    val merged = ManifestLake.read(spark, dir)
+    assert(merged.columns.count(_ == "total") == 1)
+    assert(!merged.columns.contains("amount"))
+    assert(merged.select("k", "total").as[(Long, Double)].collect()
+      .sortBy(_._1).toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+
+    // time travel BEFORE the rename keeps the old name
+    val v0 = ManifestLake.read(spark, dir, 0)
+    assert(v0.columns.contains("amount") && !v0.columns.contains("total"))
+
+    // chained rename composes over the whole history
+    ManifestLake.renameColumn(spark, dir, "total", "grand_total")
+    val chained = ManifestLake.read(spark, dir)
+    assert(chained.columns.contains("grand_total"))
+    assert(chained.select("k", "grand_total").as[(Long, Double)].collect()
+      .sortBy(_._1).toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("add reads old files as NULL; drop hides the whole history") {
+    val dir = Files.createTempDirectory("graft-sev2").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0)).toDF("k", "p", "v"), "load")
+    ManifestLake.addColumn(spark, dir, "note")
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((2L, "b", 20.0, "hi")).toDF("k", "p", "v", "note"), "u1")
+    val cur = ManifestLake.read(spark, dir)
+      .select(col("k"), col("note")).as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(cur == Seq((1L, None), (2L, Some("hi"))))
+
+    // drop v: gone from current reads — including its pre-rename names
+    ManifestLake.renameColumn(spark, dir, "v", "val2")
+    ManifestLake.dropColumn(spark, dir, "val2")
+    val dropped = ManifestLake.read(spark, dir)
+    assert(!dropped.columns.contains("v") && !dropped.columns.contains("val2"))
+    // time travel before the drop still carries the data
+    val v1 = ManifestLake.read(spark, dir, 1)
+    assert(v1.columns.contains("v"))
+  }
+
+  test("evolution composes with MOR deletes and survives compaction") {
+    val dir = Files.createTempDirectory("graft-sev3").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("k", "p", "amount"), "load")
+    ManifestLake.renameColumn(spark, dir, "amount", "total")
+    // delete THROUGH the mapped name — the predicate sees the logical
+    // schema even though every data file still spells "amount"
+    ManifestLake.deleteWhere(spark, dir, col("total") === 20.0, "d1")
+    def rows() = ManifestLake.read(spark, dir)
+      .select("k", "total").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows() == Seq((1L, 10.0), (3L, 30.0)))
+    // compaction folds the vectors in, physically writing CURRENT names
+    // — the mapping stays correct (current name wins the coalesce)
+    ManifestLake.compactDeletes(spark, dir, "p", "k", "c1")
+    assert(rows() == Seq((1L, 10.0), (3L, 30.0)))
+  }
+}
