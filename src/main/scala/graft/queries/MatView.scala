@@ -502,6 +502,43 @@ object MatView {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mv_trend_7d — the trend dashboard at SUMMARY cost: a 7-day trailing
+  // window (event-time RANGE frame, so missing days shrink the frame
+  // instead of silently widening it) over the day×type summary —
+  // |days|×|types| rows through one window pass, the firehose never
+  // scanned. Decimal partials keep the trailing sums exact; the oracle
+  // recomputes the daily rollup from RAW rows and applies the same
+  // frame, so the summary-backed series is hash-proven equal to the
+  // raw-data series.
+  private def mvTrend7d(spark: SparkSession, dir: String): DataFrame = {
+    val sumPath = ensureSummary(spark, dir, "day")
+    Ctx.prep(spark)
+    spark.read.parquet(sumPath)
+      .select(col("day"), col("event_type"), col("n"), col("sum_value_dec"))
+      .selectExpr("day", "event_type",
+        "CAST(sum(sum_value_dec) OVER (PARTITION BY event_type ORDER BY day " +
+          "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) " +
+          "AS DOUBLE) AS trail7_value",
+        "CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day " +
+          "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT) AS trail7_n")
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val mvTrend7dSql =
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type,
+      |  CAST(SUM(s) OVER w AS DOUBLE) AS trail7_value,
+      |  CAST(SUM(n) OVER w AS BIGINT) AS trail7_n
+      |FROM d
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY day, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
     QueryDef("mv_rewrite_daily_filtered", mvDailyFiltered,
@@ -521,6 +558,7 @@ object MatView {
     QueryDef("mv_distinct_users_daily", mvDistinctUsers,
       Some(mvDistinctUsersSql)),
     QueryDef("mv_incremental_refresh", mvIncrementalRefresh,
-      Some(mvIncrementalRefreshSql))
+      Some(mvIncrementalRefreshSql)),
+    QueryDef("mv_trend_7d", mvTrend7d, Some(mvTrend7dSql))
   )
 }

@@ -404,6 +404,23 @@ class MatViewSpec extends SparkSpec {
       cubeQ().collect().map(_.toString).sorted
     }
     assert(routed.sameElements(raw), "grouping-sets route moved an answer")
+    // explicit GROUPING SETS (non-hierarchical — no detail set) routes
+    // through the same Expand path and agrees with the bypassed plan
+    graft.sql.Views.register(spark, sf)
+    def gs() = spark.sql(
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
+        |FROM events
+        |GROUP BY GROUPING SETS ((date_trunc('day', ts)), (event_type))"""
+        .stripMargin)
+    val gp = scanPaths(gs())
+    assert(gp.exists(_.contains("events_daily_")), s"GS not routed: $gp")
+    assert(!gp.exists(_.endsWith("events.parquet")))
+    val gsRouted = gs().collect().map(_.toString).sorted
+    val gsRaw = graft.plans.SummaryRewrite.withBypass {
+      gs().collect().map(_.toString).sorted
+    }
+    assert(gsRouted.sameElements(gsRaw), "GROUPING SETS route moved an answer")
     // a rollup including a column the summary lacks must stay raw
     val userRoll = T.events(spark, sf)
       .rollup(date_trunc("day", col("ts")), col("user_id"))
