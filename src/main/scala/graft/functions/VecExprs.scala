@@ -293,6 +293,14 @@ object VecExprs {
     registry.createOrReplaceTempFunction(
       "space_saving", exprs => SpaceSavingTopK(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    registry.createOrReplaceTempFunction(
+      "bloom_agg", exprs => BloomAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].longValue,
+        // a 0.01 SQL literal evals as Catalyst Decimal, not j.l.Number
+        exprs(2).eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue
+        }), "built-in")
     // post-hoc twin of injectOptimizerRule for sessions the engine did
     // not build: extraOptimizations run as their own batch after the
     // main optimizer, where the portable HOF spellings are already

@@ -556,6 +556,55 @@ object Lake {
       |ORDER BY o_orderstatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // scan_bloom_prune — per-FILE bloom index for point lookups
+  // ([[graft.ops.BloomIndex]]): orders mirrored as 16 hash-distributed
+  // files (each file's o_orderkey span covers the whole domain — the
+  // layout min/max spans prune NOTHING for a point lookup), one bloom
+  // per file built in a single distributed pass, and the probe reads
+  // ONLY bloom-admitted files. Blooms have no false negatives, so the
+  // result must equal the oracle's plain WHERE-IN over raw rows — the
+  // hash match proves pruning never loses a row, and BloomIndexSpec
+  // pins the pruning actually happens (admitted ≪ 16 files). At 100 TB
+  // this is the id-lookup path: O(#files) driver-side sidecar consult,
+  // then a scan of ~|keys| files instead of the table.
+  private def bloomMirror(spark: SparkSession, dir: String): (String, String) = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-bloom/orders_$fp"
+    val (dataPath, idxPath) = (s"$base/data", s"$base/index")
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_BLOOM_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      T.orders(spark, dir).repartition(16, col("o_orderkey"))
+        .write.mode("overwrite").parquet(dataPath)
+      graft.ops.BloomIndex.build(spark, dataPath, "o_orderkey", idxPath)
+      fs.create(marker, true).close()
+    }
+    (dataPath, idxPath)
+  }
+
+  private def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val (dataPath, idxPath) = bloomMirror(spark, dir)
+    // deterministic probes: the 5 smallest orderkeys (O(5) driver rows)
+    val keys = T.orders(spark, dir).select(col("o_orderkey"))
+      .orderBy(col("o_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val idx = graft.ops.BloomIndex.load(spark, idxPath)
+    val files = graft.ops.BloomIndex.candidateFiles(idx, keys)
+    spark.read.parquet(files: _*)
+      .filter(col("o_orderkey").isin(keys: _*))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val bloomPruneSql =
+    """WITH probes AS (
+      |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
+      |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+      |FROM orders o JOIN probes USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // lake_schema_evolution — metadata-only column rename on the
   // manifest-list table ([[ManifestLake.renameColumn]]): half of orders
   // commits under the column name `amount`, the table renames
@@ -702,6 +751,7 @@ object Lake {
     QueryDef("lake_zorder_prune", zorderPrune, Some(zorderPruneSql)),
     QueryDef("lake_time_travel", timeTravel, Some(timeTravelSql)),
     QueryDef("lake_schema_evolution", schemaEvolution,
-      Some(schemaEvolutionSql))
+      Some(schemaEvolutionSql)),
+    QueryDef("scan_bloom_prune", bloomPrune, Some(bloomPruneSql))
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import graft.ops.BloomIndex
+import org.apache.spark.sql.functions._
+
+/** Per-file bloom index ([[BloomIndex]]): no false negatives (pruned
+  * reads recover every row), real pruning (admitted files ≪ layout),
+  * deterministic rebuilds. */
+class BloomIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("point lookups scan only admitted files and lose no rows") {
+    val base = Files.createTempDirectory("graft-bloomidx").toString
+    val (dataPath, idxPath) = (s"$base/data", s"$base/index")
+    // 10k keys hash-spread over 16 files — every file's [min, max] key
+    // span covers ~the whole domain, so span pruning would keep all 16
+    (0L until 10000L).toDF("k").withColumn("payload", col("k") * 7)
+      .repartition(16, col("k"))
+      .write.mode("overwrite").parquet(dataPath)
+    BloomIndex.build(spark, dataPath, "k", idxPath,
+      expectedPerFile = 1024, fpp = 0.01)
+    val idx = BloomIndex.load(spark, idxPath)
+    assert(idx.size == 16, s"expected 16 file filters, got ${idx.size}")
+
+    // present keys: admitted set is small and the read recovers the row
+    val keys = Seq(17L, 4242L, 9999L)
+    val files = BloomIndex.candidateFiles(idx, keys)
+    assert(files.size <= 6, // 3 true files + fpp slack (deterministic)
+      s"bloom admitted ${files.size} of 16 files")
+    val got = spark.read.parquet(files: _*)
+      .filter(col("k").isin(keys: _*))
+      .select("k", "payload").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == keys.sorted.map(k => (k, k * 7)),
+      "pruned read lost or corrupted a probed row")
+
+    // absent key: essentially nothing admitted (fpp 1% over 16 files)
+    val ghost = BloomIndex.candidateFiles(idx, Seq(123456789L))
+    assert(ghost.size <= 2, s"absent key admitted ${ghost.size} files")
+
+    // deterministic: a rebuild yields byte-identical filters
+    val idxPath2 = s"$base/index2"
+    BloomIndex.build(spark, dataPath, "k", idxPath2,
+      expectedPerFile = 1024, fpp = 0.01)
+    val again = BloomIndex.load(spark, idxPath2).toMap
+    idx.foreach { case (f, bf) =>
+      val out1 = new java.io.ByteArrayOutputStream()
+      val out2 = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out1); again(f).writeTo(out2)
+      assert(java.util.Arrays.equals(out1.toByteArray, out2.toByteArray),
+        s"rebuild changed the filter for $f")
+    }
+  }
+}
