@@ -63,10 +63,13 @@ import org.apache.spark.sql.types.{DateType, DecimalType, LongType, StringType, 
   *    passes or fails together, so the FILTER re-anchors onto the
   *    summary's columns; count FILTER gains a coalesce-to-0 because a
   *    group whose every bucket fails the FILTER must count 0, not NULL).
-  *    distinct aggregates and any other column do NOT match (distinct
-  *    is not decomposable over the rollup — the stored HLL partial
-  *    answers it approximately via the EXPLICIT mv_distinct_users_daily
-  *    surface instead).
+  *    count(DISTINCT dim) also routes — the summary holds every
+  *    (bucket, dim) pair present in raw, so distinct DIM values
+  *    re-aggregate exactly as distinct over the summary's dim column.
+  *    Distinct over the measure or any non-dim column does NOT match
+  *    (not decomposable over the rollup — the stored HLL partial
+  *    answers distinct users approximately via the EXPLICIT
+  *    mv_distinct_users_daily surface instead).
   *
   * A grand aggregate (no GROUP BY) rewrites count to coalesce(Σn, 0):
   * raw count over an empty source is one row of 0, and Σ over the empty
@@ -594,7 +597,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             }
           case _ => None
         }
-      case _: AggregateExpression => None // distinct: no route
+      case AggregateExpression(Count(Seq(d)), _, true, filt, _)
+          if expandOpt.isEmpty && (resolve(d) match {
+            case a: Attribute => dimIdx.contains(a.exprId)
+            case _ => false
+          }) =>
+        // count(DISTINCT dim) routes: the summary holds every
+        // (bucket, dim) pair present in raw, so distinct DIM values
+        // re-aggregate exactly as distinct over the summary's own dim
+        // column. Only distinct over the measure / non-dim columns is
+        // undecomposable. (Not in the Expand path — the rewritten
+        // Expand carries partials + grouping outputs only, no dim
+        // pass-through to count.)
+        val newFilt: Option[Expression] = filt match {
+          case None => None
+          case Some(f) => Some(picked.aggFilt.getOrElse(f, return None))
+        }
+        val r = resolve(d).asInstanceOf[Attribute]
+        Some(Count(dimAs(dimIdx(r.exprId))).toAggregateExpression(
+          isDistinct = true, filter = newFilt))
+      case _: AggregateExpression => None // other distinct: no route
       case a: Attribute if gAttrIds.contains(a.exprId) =>
         Some(a) // Expand grouping output — survives the swap unchanged
       case g if truncGrain(resolve(g)) == qGrain && qGrain.isDefined =>

@@ -450,6 +450,28 @@ object MatView {
       |GROUP BY ROLLUP (date_trunc('day', ts), event_type)
       |ORDER BY day_s, type_s""".stripMargin
 
+  // count(DISTINCT dim) at summary cost — the one distinct that IS
+  // decomposable: the summary holds every (day, event_type) pair
+  // present in raw, so per-day type diversity re-aggregates exactly as
+  // distinct over the summary's own dim column (distinct over the
+  // MEASURE or user_id stays refused — not answerable from partials;
+  // the stored HLL partial covers that approximately via
+  // mv_distinct_users_daily).
+  private def mvTypeDiversity(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  private val mvTypeDiversitySql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   // avg at summary cost — avg(cast(value as decimal(18,2))) routes as
   // Σsum/Σn through Average's own decimal division tree (bit-equal to
   // the raw plan; the parity net covers it). Cross-engine, the result
@@ -552,6 +574,8 @@ object MatView {
     QueryDef("mv_rewrite_pivot", mvPivot, Some(mvPivotSql)),
     QueryDef("mv_rewrite_avg", mvAvg, Some(mvAvgSql)),
     QueryDef("mv_rewrite_rollup", mvRollup, Some(mvRollupSql)),
+    QueryDef("mv_rewrite_type_diversity", mvTypeDiversity,
+      Some(mvTypeDiversitySql)),
     QueryDef("mv_rewrite_hourly", mvHourly, Some(mvHourlySql)),
     QueryDef("mv_rewrite_monthly", mvMonthly, Some(mvMonthlySql)),
     QueryDef("mv_rewrite_dow_profile", mvDowProfile, Some(mvDowProfileSql)),

@@ -338,10 +338,22 @@ class MatViewSpec extends SparkSpec {
     // aggregating a column the summary lacks — must not route
     val otherAgg = ev.groupBy(date_trunc("day", col("ts"))).agg(sum(col("user_id")))
     assert(scanPaths(otherAgg).exists(_.endsWith("events.parquet")))
-    // distinct count — not decomposable over the rollup; must not route
+    // distinct over a NON-dim column — not decomposable; must not route
     val dist = ev.groupBy(date_trunc("day", col("ts")))
-      .agg(countDistinct(col("event_type")))
+      .agg(countDistinct(col("user_id")))
     assert(scanPaths(dist).exists(_.endsWith("events.parquet")))
+    // distinct over a DIM routes (the summary holds every (bucket, dim)
+    // pair) — and agrees with the bypassed plan
+    def typeDist() = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("event_type")).as("n_types"))
+    val dp = scanPaths(typeDist())
+    assert(dp.exists(_.contains("events_daily_")), s"dim distinct: $dp")
+    assert(!dp.exists(_.endsWith("events.parquet")))
+    val dRouted = typeDist().collect().map(_.toString).sorted
+    val dRaw = graft.plans.SummaryRewrite.withBypass {
+      typeDist().collect().map(_.toString).sorted
+    }
+    assert(dRouted.sameElements(dRaw), "dim-distinct route moved an answer")
   }
 
   test("FILTER-clause aggregates route; value FILTER refuses") {
