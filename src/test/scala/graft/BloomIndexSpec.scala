@@ -11,6 +11,29 @@ class BloomIndexSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("bloom_agg is partition-invariant: same keys, same bytes, no false negatives") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    graft.functions.VecExprs.register(spark)
+    def bytesAt(keys: List[Long], n: Int): Array[Byte] =
+      keys.toDF("k").repartition(n)
+        .agg(expr("bloom_agg(k, 256L, 0.05)").as("b"))
+        .collect()(0).getAs[Array[Byte]](0)
+    val gen = for {
+      keys <- Gen.nonEmptyListOf(Gen.chooseNum(-100000L, 100000L))
+      parts <- Gen.chooseNum(1, 8)
+    } yield (keys, parts)
+    val prop = Prop.forAll(gen) { case (keys, parts) =>
+      val b1 = bytesAt(keys, 1)
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b1))
+      java.util.Arrays.equals(b1, bytesAt(keys, parts)) &&
+        keys.forall(bf.mightContainLong)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("point lookups scan only admitted files and lose no rows") {
     val base = Files.createTempDirectory("graft-bloomidx").toString
     val (dataPath, idxPath) = (s"$base/data", s"$base/index")
