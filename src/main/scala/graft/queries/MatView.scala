@@ -561,6 +561,30 @@ object MatView {
       |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY day, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mv_rewrite_having — HAVING over a routed aggregate: the clause is a
+  // Filter ABOVE the Aggregate, so the summary swap happens underneath
+  // it untouched; the post-aggregate threshold then filters
+  // |days|×|types| summary-answered groups. Oracle recomputes both the
+  // aggregate and the HAVING from RAW rows (MatViewSpec pins the plan
+  // side; this gate is the cross-engine value proof).
+  private def mvHaving(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .filter(col("n_events") > 40)
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val mvHavingSql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 40
+      |ORDER BY day, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
     QueryDef("mv_rewrite_daily_filtered", mvDailyFiltered,
@@ -583,6 +607,7 @@ object MatView {
       Some(mvDistinctUsersSql)),
     QueryDef("mv_incremental_refresh", mvIncrementalRefresh,
       Some(mvIncrementalRefreshSql)),
-    QueryDef("mv_trend_7d", mvTrend7d, Some(mvTrend7dSql))
+    QueryDef("mv_trend_7d", mvTrend7d, Some(mvTrend7dSql)),
+    QueryDef("mv_rewrite_having", mvHaving, Some(mvHavingSql))
   )
 }
