@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom filter of a group's long keys as a native imperative
@@ -47,9 +48,30 @@ case class BloomAgg(
   override def createAggregationBuffer(): BloomFilter =
     BloomFilter.create(expectedN, fpp)
 
+  // Keys enter the filter by their NATIVE type: integral keys by value
+  // (probe with mightContainLong), string/binary keys by raw UTF-8/raw
+  // bytes (probe with mightContainString/mightContainBinary — Spark's
+  // BloomFilter hashes a string via its UTF-8 bytes, so the two probes
+  // agree). The long cast the index used to apply turned a uuid-ish
+  // string id into NULL and blinded the filter.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_agg supports integral, string and binary keys, got $other")
+    }
+
   override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
     val v = child.eval(input)
-    if (v != null) buf.putLong(v.asInstanceOf[Number].longValue())
+    if (v != null) child.dataType match {
+      case StringType => buf.putBinary(v.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => buf.putBinary(v.asInstanceOf[Array[Byte]])
+      case _          => buf.putLong(v.asInstanceOf[Number].longValue())
+    }
     buf
   }
 

@@ -29,16 +29,18 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomIndex {
 
-  /** Build the index over `dataPath`'s files for long-typed `keyCol`,
-    * writing (file_path, bloom) rows to `indexPath`. `expectedPerFile`
-    * sizes each filter (overshooting costs bits, undershooting costs
-    * fpp). One distributed pass over the data. */
+  /** Build the index over `dataPath`'s files for `keyCol` — integral,
+    * string, or binary keys; each enters the filter by its native type
+    * (a long cast here would NULL out uuid-ish string ids and blind the
+    * index). Writes (file_path, bloom) rows to `indexPath`.
+    * `expectedPerFile` sizes each filter (overshooting costs bits,
+    * undershooting costs fpp). One distributed pass over the data. */
   def build(spark: SparkSession, dataPath: String, keyCol: String,
       indexPath: String, expectedPerFile: Long = 1L << 16,
       fpp: Double = 0.01): Unit = {
     graft.functions.VecExprs.register(spark)
     spark.read.parquet(dataPath)
-      .select(col(keyCol).cast("long").as("k"),
+      .select(col(keyCol).as("k"),
         col("_metadata.file_path").as("file_path"))
       .groupBy(col("file_path"))
       .agg(expr(s"bloom_agg(k, ${expectedPerFile}L, $fpp)").as("bloom"))
@@ -56,10 +58,22 @@ object BloomIndex {
 
   /** Files that might contain ANY of `keys` — the scan set for a
     * multi-key point lookup. No false negatives: every file holding one
-    * of the keys is returned. */
+    * of the keys is returned. NOTE the result can legitimately be EMPTY
+    * (every probed key absent, no false positive fired) — callers must
+    * short-circuit to an empty result instead of handing zero paths to
+    * `spark.read.parquet`, which throws. */
   def candidateFiles(index: Seq[(String, BloomFilter)],
       keys: Seq[Long]): Seq[String] =
     index.collect {
       case (f, bf) if keys.exists(bf.mightContainLong) => f
+    }
+
+  /** String-key variant (indexes built over a string/binary column —
+    * the uuid-ish-id case). `mightContainString` probes the UTF-8 bytes,
+    * matching what [[graft.functions.BloomAgg]] put in. */
+  def candidateFilesStr(index: Seq[(String, BloomFilter)],
+      keys: Seq[String]): Seq[String] =
+    index.collect {
+      case (f, bf) if keys.exists(bf.mightContainString) => f
     }
 }

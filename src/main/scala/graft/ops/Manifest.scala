@@ -209,6 +209,50 @@ object Manifest {
     try out.write(bytes) finally out.close()
   }
 
+  /** The CAS arbiter: atomically publish the fully-written temp file at
+    * `tmp` onto `dst` IFF `dst` does not exist yet. Returns true for
+    * the winner, false for a loser; the temp file (and any checksum
+    * sidecar) is cleaned up either way.
+    *
+    * Scheme-split, because "atomic no-overwrite rename" is NOT portable:
+    *  - HDFS-like schemes: `FileContext.rename(Options.Rename.NONE)` is
+    *    contractual — the NameNode arbitrates the no-overwrite check and
+    *    the rename in one namespace op.
+    *  - `file:` — the Hadoop local implementations back Rename.NONE with
+    *    an `exists()` PROBE followed by POSIX `rename(2)`, which silently
+    *    OVERWRITES: two racers can both pass the probe, both rename onto
+    *    the same version, and one commit is lost (a TOCTOU lost update —
+    *    ManifestSpec's threaded two-writer test caught it in practice).
+    *    Here the arbiter is `link(2)` via `Files.createLink(dst, tmp)`:
+    *    hardlink creation fails atomically with EEXIST when dst exists,
+    *    so exactly one racer ever owns a version. */
+  private[ops] def publishIfAbsent(conf: org.apache.hadoop.conf.Configuration,
+      tmp: Path, dst: Path): Boolean = {
+    val fs = dst.getFileSystem(conf)
+    val scheme = Option(dst.toUri.getScheme).getOrElse(fs.getScheme)
+    val won =
+      if (scheme == "file") {
+        val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+        val dstNio = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
+        try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+          fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException => false
+          // some FileContext impls surface the exists-conflict as a
+          // generic IOException; the destination existing is the proof
+          case _: java.io.IOException if fs.exists(dst) => false
+        }
+      }
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    won
+  }
+
   def write(spark: SparkSession, tablePath: String, version: Int,
       entries: Seq[FileEntry]): Unit = {
     val p = manifestPath(tablePath, version)
@@ -255,10 +299,11 @@ object Manifest {
   /** Optimistic CAS publish of `entries` as version `expected + 1`:
     * succeeds only if `expected` is still the head of the chain at
     * publish time. The arbiter is an atomic NO-OVERWRITE rename of the
-    * fully-written temp manifest onto the versioned name
-    * (`Options.Rename.NONE` — fails if the destination exists), so two
-    * racing writers can never both own a version and readers never see
-    * a partially-written manifest. Returns Right(newVersion) for the
+    * fully-written temp manifest onto the versioned name (see
+    * [[publishIfAbsent]] — hardlink-create on local FS, where Hadoop's
+    * Rename.NONE is a non-atomic probe; FileContext rename on HDFS), so
+    * two racing writers can never both own a version and readers never
+    * see a partially-written manifest. Returns Right(newVersion) for the
     * winner, Left(actualCurrentVersion) for a loser (who should rebase
     * on the new head and retry). */
   def tryCommit(spark: SparkSession, tablePath: String, expected: Int,
@@ -267,28 +312,15 @@ object Manifest {
     val next = expected + 1
     val dst = manifestPath(tablePath, next)
     val fs = dst.getFileSystem(conf)
-    // fast-path stale check (cheap listing); the rename below is the
+    // fast-path stale check (cheap listing); the publish below is the
     // authoritative arbiter either way
     val cur = currentVersion(spark, tablePath)
     if (cur != expected) return Left(cur)
     val tmp = new Path(tablePath,
       s"_manifest/.tmp-${java.util.UUID.randomUUID()}-v$next.json")
     writeBytes(fs, tmp, render(entries))
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-      Right(next)
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
-        Left(currentVersion(spark, tablePath))
-      case e: java.io.IOException if fs.exists(dst) =>
-        // some FileContext impls surface the exists-conflict as a
-        // generic IOException; the destination existing is the proof
-        fs.delete(tmp, false)
-        Left(currentVersion(spark, tablePath))
-    }
+    if (publishIfAbsent(conf, tmp, dst)) Right(next)
+    else Left(currentVersion(spark, tablePath))
   }
 
   /** CAS retry loop: read the current head, let `recompute` rebuild the
@@ -423,19 +455,8 @@ object Manifest {
     val tmp = new Path(tablePath,
       s"_manifest/.tmp-${java.util.UUID.randomUUID()}-v$next.list.json")
     writeBytes(fs, tmp, renderList(refs))
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-      Right(next)
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
-        Left(currentListVersion(spark, tablePath))
-      case _: java.io.IOException if fs.exists(dst) =>
-        fs.delete(tmp, false)
-        Left(currentListVersion(spark, tablePath))
-    }
+    if (publishIfAbsent(conf, tmp, dst)) Right(next)
+    else Left(currentListVersion(spark, tablePath))
   }
 
   /** One delta commit against the list chain: `added` files enter as
@@ -642,17 +663,7 @@ object Manifest {
       s".tmp-${java.util.UUID.randomUUID()}.ref")
     writeBytes(fs, tmp,
       s"""{"kind":"$kind","snapshot":"$snapshot"}""".getBytes("UTF-8"))
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        fs.delete(tmp, false); false
-      case _: java.io.IOException if fs.exists(dst) =>
-        fs.delete(tmp, false); false
-    }
+    publishIfAbsent(conf, tmp, dst)
   }
 
   /** Create a branch at an explicit file set (writes a fresh snapshot).

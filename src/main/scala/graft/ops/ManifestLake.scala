@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** A table whose membership is defined ONLY by the manifest-list chain
@@ -149,19 +149,63 @@ object ManifestLake {
     val Line = """\{"op":"(\w+)","col":"([^"]*)","to":"([^"]*)","at":(-?\d+)\}""".r
     text.split('\n').filter(_.nonEmpty).toSeq.map {
       case Line(o, c, t, a) => SchemaOp(o, c, t, a.toInt)
+      case bad => throw new java.io.IOException(
+        s"unparseable schema-op line in ${p}: '$bad' — the log is " +
+          "append-only JSON lines written by commitSchemaOp; hand edits " +
+          "or a corrupted write break every read of this table")
     }
   }
 
+  /** Writer-side guard for the log format AND the rename-history map:
+    * column names are restricted to plain identifiers so the JSON-lines
+    * log (string-interpolated, regex-parsed) can never be broken by a
+    * quote/newline in a name, and `coalesce` over the name history stays
+    * unambiguous. */
+  private def requireColName(what: String, name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid $what '$name': schema-evolution names must match " +
+        "[A-Za-z_][A-Za-z0-9_]* (the op log is line-oriented JSON; a " +
+        "quote or newline in a name would corrupt it for all readers)")
+
   /** Append one op to the log — whole-log rewrite (ops are few) CAS'd
-    * by the same no-overwrite rename the list chain uses, so concurrent
-    * schema changes serialize and none is lost. */
+    * by [[Manifest.publishIfAbsent]] (atomic hardlink-create on local
+    * FS, no-overwrite rename on HDFS), so concurrent schema changes
+    * serialize and none is lost.
+    *
+    * Enforces the NAMES-ARE-NEVER-RECYCLED contract at commit time: a
+    * name that was ever renamed away or dropped is dead — re-adding it
+    * (or renaming onto it) would silently alias old physical data into
+    * the wrong logical column, which is the ambiguity Iceberg's field
+    * ids exist to resolve. Rejecting the commit is the lighter fix. */
   private def commitSchemaOp(spark: SparkSession, tablePath: String,
       op: String, colName: String, to: String = ""): Int = {
+    requireColName("column name", colName)
+    if (op == "rename") requireColName("rename target", to)
+    if (op == "add") require(to.matches("""[A-Za-z0-9_(),<> ]+"""),
+      s"invalid add-column type '$to'")
     val conf = spark.sparkContext.hadoopConfiguration
     var attempt = 0
     while (attempt < 10) {
       val at = Manifest.currentListVersion(spark, tablePath)
-      val ops = schemaOps(spark, tablePath) :+ SchemaOp(op, colName, to, at)
+      val prior = schemaOps(spark, tablePath)
+      val dead: Set[String] = prior.flatMap {
+        case SchemaOp("rename", from, _, _) => Seq(from)
+        case SchemaOp("drop", name, _, _)   => Seq(name)
+        case _                              => Seq.empty
+      }.toSet
+      val introduced = op match {
+        case "add"    => Some(colName)
+        case "rename" => Some(to)
+        case _        => None
+      }
+      introduced.filter(dead).foreach { n =>
+        throw new IllegalArgumentException(
+          s"schema-op $op reintroduces dead name '$n' at $tablePath: " +
+            "names renamed away or dropped are never recycled (old data " +
+            "files still carry the physical column; reusing the name " +
+            "would alias their values into the new logical column)")
+      }
+      val ops = prior :+ SchemaOp(op, colName, to, at)
       val next = schemaVersions(spark, tablePath).lastOption.getOrElse(-1) + 1
       val bytes = ops.map(o =>
         s"""{"op":"${o.op}","col":"${o.colName}","to":"${o.to}","at":${o.atVersion}}""" + "\n")
@@ -172,17 +216,8 @@ object ManifestLake {
       val fs = tmp.getFileSystem(conf)
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-        return next
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false); attempt += 1
-        case _: java.io.IOException if fs.exists(dst) =>
-          fs.delete(tmp, false); attempt += 1
-      }
+      if (Manifest.publishIfAbsent(conf, tmp, dst)) return next
+      attempt += 1
     }
     throw new java.io.IOException(
       s"schema-op commit lost 10 consecutive races at $tablePath")
@@ -192,10 +227,14 @@ object ManifestLake {
   def renameColumn(spark: SparkSession, tablePath: String, from: String,
       to: String): Int = commitSchemaOp(spark, tablePath, "rename", from, to)
 
-  /** Declare a column added by future writes: old files read it as
-    * NULL. The op only forces schema-merge on reads — no file work. */
-  def addColumn(spark: SparkSession, tablePath: String, name: String): Int =
-    commitSchemaOp(spark, tablePath, "add", name)
+  /** Declare a column added by future writes. Old files read it as NULL:
+    * once any file carries the column, parquet schema merge surfaces it;
+    * until then [[applySchemaOps]] synthesizes a NULL column of
+    * `dataType` so the declared schema is visible immediately (the `to`
+    * slot of the op records the type; legacy logs default to string). */
+  def addColumn(spark: SparkSession, tablePath: String, name: String,
+      dataType: String = "string"): Int =
+    commitSchemaOp(spark, tablePath, "add", name, dataType)
 
   /** Metadata-only column DROP — hides the column and its whole rename
     * history from reads at or after the commit; time travel before it
@@ -213,13 +252,20 @@ object ManifestLake {
     if (ops.isEmpty) return df
     var formers = Map.empty[String, List[String]] // logical -> former names
     var hidden = Set.empty[String]                // physical names dropped
+    var added = Map.empty[String, String]         // declared adds -> type
     ops.foreach {
       case SchemaOp("rename", from, to, _) =>
         formers = (formers - from) + (to -> (from :: formers.getOrElse(from, Nil)))
+        if (added.contains(from)) added = (added - from) + (to -> added(from))
       case SchemaOp("drop", name, _, _) =>
         hidden ++= (name :: formers.getOrElse(name, Nil)).toSet
         formers -= name
-      case _ => () // "add": read-side schema merge is the whole effect
+        added -= name
+      case SchemaOp("add", name, tpe, _) =>
+        // once any file carries the column, schema merge surfaces it;
+        // until then we synthesize a typed NULL below so the declared
+        // schema is visible immediately after addColumn commits
+        added += (name -> (if (tpe.nonEmpty) tpe else "string"))
     }
     val phys = df.columns.toSeq
     val physSet = phys.toSet
@@ -238,6 +284,14 @@ object ManifestLake {
           outCols += (if (names.size <= 1) col(names.headOption.getOrElse(p)).as(logical)
           else coalesce(names.map(col): _*).as(logical))
         }
+      }
+    }
+    // declared-but-unwritten adds: no file carries the column yet, so
+    // schema merge can't surface it — append a typed NULL in its place
+    added.foreach { case (name, tpe) =>
+      if (!seen(name) && !physSet.contains(name) && !hidden.contains(name)) {
+        seen += name
+        outCols += lit(null).cast(tpe).as(name)
       }
     }
     df.select(outCols.result() ++ phys.filter(metaCols).map(col): _*)

@@ -591,6 +591,10 @@ object Lake {
       .collect().map(_.getLong(0)).toSeq
     val idx = graft.ops.BloomIndex.load(spark, idxPath)
     val files = graft.ops.BloomIndex.candidateFiles(idx, keys)
+    // all probed keys absent + zero false positives is a legal outcome:
+    // empty candidate set → empty result (zero paths would throw)
+    if (files.isEmpty) return spark.read.parquet(dataPath).limit(0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     spark.read.parquet(files: _*)
       .filter(col("o_orderkey").isin(keys: _*))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -603,6 +607,54 @@ object Lake {
       |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
       |FROM orders o JOIN probes USING (o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // scan_bloom_prune_str — the SAME per-file bloom point-lookup on a
+  // STRING key (c_name, a unique "Customer#..." id — the uuid-ish case
+  // the index header motivates). The round-7 index put keys in through
+  // `cast("long")`, which NULLs every string id and blinds the filter;
+  // keys now enter by native type ([[graft.functions.BloomAgg]]
+  // putBinary of the UTF-8 bytes, probed with mightContainString).
+  // Same contract as the long gate: no false negatives (hash-match vs
+  // the oracle's WHERE-IN over raw rows), real pruning pinned in
+  // BloomIndexSpec.
+  private def bloomMirrorStr(spark: SparkSession, dir: String): (String, String) = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/customer.parquet")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-bloom/customer_$fp"
+    val (dataPath, idxPath) = (s"$base/data", s"$base/index")
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_BLOOM_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      T.customer(spark, dir).repartition(16, col("c_name"))
+        .write.mode("overwrite").parquet(dataPath)
+      graft.ops.BloomIndex.build(spark, dataPath, "c_name", idxPath)
+      fs.create(marker, true).close()
+    }
+    (dataPath, idxPath)
+  }
+
+  private def bloomPruneStr(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val (dataPath, idxPath) = bloomMirrorStr(spark, dir)
+    val keys = T.customer(spark, dir).select(col("c_name"))
+      .orderBy(col("c_name")).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val idx = graft.ops.BloomIndex.load(spark, idxPath)
+    val files = graft.ops.BloomIndex.candidateFilesStr(idx, keys)
+    if (files.isEmpty) return spark.read.parquet(dataPath).limit(0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    spark.read.parquet(files: _*)
+      .filter(col("c_name").isin(keys: _*))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_name"))
+  }
+
+  private val bloomPruneStrSql =
+    """WITH probes AS (
+      |  SELECT c_name FROM customer ORDER BY c_name LIMIT 5)
+      |SELECT c.c_custkey, c.c_name, c.c_mktsegment
+      |FROM customer c JOIN probes USING (c_name)
+      |ORDER BY c_name""".stripMargin
 
   // -------------------------------------------------------------------
   // lake_schema_evolution — metadata-only column rename on the
@@ -752,6 +804,7 @@ object Lake {
     QueryDef("lake_time_travel", timeTravel, Some(timeTravelSql)),
     QueryDef("lake_schema_evolution", schemaEvolution,
       Some(schemaEvolutionSql)),
-    QueryDef("scan_bloom_prune", bloomPrune, Some(bloomPruneSql))
+    QueryDef("scan_bloom_prune", bloomPrune, Some(bloomPruneSql)),
+    QueryDef("scan_bloom_prune_str", bloomPruneStr, Some(bloomPruneStrSql))
   )
 }

@@ -75,4 +75,38 @@ class BloomIndexSpec extends SparkSpec {
         s"rebuild changed the filter for $f")
     }
   }
+
+  test("string keys index by native bytes — the uuid-ish id case") {
+    // Round 7's build cast every key to long: a string id became NULL
+    // and the filter admitted nothing (false negatives — rows LOST).
+    // Keys now enter by native type; this pins the string path end to
+    // end: real pruning, no false negatives, long probes unaffected.
+    val base = Files.createTempDirectory("graft-bloomidx-str").toString
+    val (dataPath, idxPath) = (s"$base/data", s"$base/index")
+    (0L until 10000L).toDF("n")
+      .select(concat(lit("id-"), format_string("%08d", col("n"))).as("k"),
+        (col("n") * 7).as("payload"))
+      .repartition(16, col("k"))
+      .write.mode("overwrite").parquet(dataPath)
+    BloomIndex.build(spark, dataPath, "k", idxPath,
+      expectedPerFile = 1024, fpp = 0.01)
+    val idx = BloomIndex.load(spark, idxPath)
+    assert(idx.size == 16)
+
+    val keys = Seq("id-00000017", "id-00004242", "id-00009999")
+    val files = BloomIndex.candidateFilesStr(idx, keys)
+    assert(files.nonEmpty && files.size <= 6,
+      s"string bloom admitted ${files.size} of 16 files")
+    val got = spark.read.parquet(files: _*)
+      .filter(col("k").isin(keys: _*))
+      .select("k", "payload").as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("id-00000017", 17L * 7),
+      ("id-00004242", 4242L * 7), ("id-00009999", 9999L * 7)),
+      "pruned string-key read lost or corrupted a probed row")
+
+    // absent key: near-nothing admitted — and an empty candidate set is
+    // a LEGAL return (callers must not hand zero paths to the reader)
+    val ghost = BloomIndex.candidateFilesStr(idx, Seq("id-99999999"))
+    assert(ghost.size <= 2, s"absent string key admitted ${ghost.size} files")
+  }
 }

@@ -136,7 +136,13 @@ class ManifestSpec extends SparkSpec {
     assert(byV(2) == byV(1) + addB.path)
   }
 
-  test("commitWithRetry: two concurrent writers serialize, neither update lost") {
+  test("commitWithRetry: concurrent writers serialize, no update lost") {
+    // This test CAUGHT a real lost update in round 7: the arbiter was
+    // FileContext.rename(Rename.NONE), which on local FS is an exists()
+    // probe + POSIX rename(2) — overwriting, not atomic. Two racers both
+    // passed the probe, both renamed onto v1, one manifest vanished.
+    // The arbiter is now hardlink-create (link(2) fails atomically with
+    // EEXIST); eight writers here keep the race window hot.
     val dir = Files.createTempDirectory("graft-cas-retry-spec").toString
     spark.range(0, 10).select(col("id").as("k"))
       .coalesce(1).write.mode("overwrite").parquet(dir)
@@ -144,20 +150,58 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.tryCommit(spark, dir, -1, base) == Right(0))
     // each thread appends ITS file to whatever base it lands on —
     // the rebase closure is the writer's merge logic
+    val nWriters = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
     def writer(tag: String): Thread = new Thread(() => {
-      Manifest.commitWithRetry(spark, dir) { (_, cur) =>
+      gate.await()
+      Manifest.commitWithRetry(spark, dir, maxAttempts = 100) { (_, cur) =>
         cur :+ Manifest.FileEntry(s"mem://$tag.parquet", 1, 1, 0, 0)
       }
       ()
     })
-    val ts = Seq(writer("t1"), writer("t2"))
-    ts.foreach(_.start()); ts.foreach(_.join())
+    val ts = (1 to nWriters).map(i => writer(s"t$i"))
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
     val head = Manifest.currentVersion(spark, dir)
-    assert(head == 2, s"expected two commits past v0, got head v$head")
+    assert(head == nWriters, s"expected $nWriters commits past v0, got head v$head")
     val finalSet = Manifest.read(spark, dir, head).map(_.path).toSet
-    assert(finalSet.contains("mem://t1.parquet"), finalSet)
-    assert(finalSet.contains("mem://t2.parquet"), finalSet)
-    assert(finalSet.size == base.size + 2)
+    (1 to nWriters).foreach { i =>
+      assert(finalSet.contains(s"mem://t$i.parquet"), finalSet)
+    }
+    assert(finalSet.size == base.size + nWriters)
+    // linearizable chain: every version is its parent plus exactly one
+    // writer's file — a lost update would show as a version whose
+    // parent-set it does not extend
+    val byV = (0 to head).map(v => Manifest.read(spark, dir, v).map(_.path).toSet)
+    (1 to head).foreach { v =>
+      assert(byV(v).size == byV(v - 1).size + 1, s"v$v not parent+1")
+      assert(byV(v - 1).subsetOf(byV(v)), s"v$v dropped entries from v${v - 1}")
+    }
+  }
+
+  test("CAS soak: 25 rounds of a 4-writer duel never lose a commit") {
+    // The arbiter is pure driver-side FS work (no Spark jobs), so this
+    // soak is cheap — and a regression back to probe-then-rename fails
+    // it with high probability in a single run, not once a week.
+    (1 to 25).foreach { round =>
+      val dir = Files.createTempDirectory(s"graft-cas-soak-$round").toString
+      assert(Manifest.tryCommit(spark, dir, -1, Seq.empty) == Right(0))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to 4).map { i =>
+        new Thread(() => {
+          gate.await()
+          Manifest.commitWithRetry(spark, dir, maxAttempts = 100) { (_, cur) =>
+            cur :+ Manifest.FileEntry(s"mem://r$round-t$i.parquet", 1, 1, 0, 0)
+          }
+          ()
+        })
+      }
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      val head = Manifest.currentVersion(spark, dir)
+      assert(head == 4, s"round $round: expected head v4, got v$head")
+      assert(Manifest.read(spark, dir, head).map(_.path).toSet ==
+        (1 to 4).map(i => s"mem://r$round-t$i.parquet").toSet,
+        s"round $round lost a writer's entry")
+    }
   }
 
   test("manifest-backed snapshot diff opens only delta-touched files") {

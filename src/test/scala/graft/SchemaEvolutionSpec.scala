@@ -80,6 +80,57 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(v1.columns.contains("v"))
   }
 
+  test("dead names are never recycled; hostile names rejected at commit") {
+    val dir = Files.createTempDirectory("graft-sev4").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0)).toDF("k", "p", "amount"), "load")
+    ManifestLake.renameColumn(spark, dir, "amount", "total")
+    // re-adding the renamed-away name would alias every old file's
+    // physical 'amount' into 'total' and vanish the new column —
+    // the commit must refuse (the documented contract, now enforced)
+    intercept[IllegalArgumentException] {
+      ManifestLake.addColumn(spark, dir, "amount")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.renameColumn(spark, dir, "total", "amount")
+    }
+    ManifestLake.dropColumn(spark, dir, "total")
+    intercept[IllegalArgumentException] {
+      ManifestLake.addColumn(spark, dir, "total")
+    }
+    // names that would corrupt the line-oriented op log never commit
+    intercept[IllegalArgumentException] {
+      ManifestLake.addColumn(spark, dir, "a\"b")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.renameColumn(spark, dir, "k", "x\ny")
+    }
+    // the log is still healthy after all the rejections
+    assert(ManifestLake.schemaOps(spark, dir).map(_.op) ==
+      Seq("rename", "drop"))
+  }
+
+  test("declared add is visible as typed NULL before any file writes it") {
+    val dir = Files.createTempDirectory("graft-sev5").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 10.0)).toDF("k", "p", "v"), "load")
+    ManifestLake.addColumn(spark, dir, "score", "double")
+    // no file carries 'score' yet — schema merge can't surface it, so
+    // the read path synthesizes a typed NULL (the docstring's contract)
+    val cur = ManifestLake.read(spark, dir)
+    assert(cur.columns.contains("score"), cur.columns.toSeq)
+    assert(cur.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(cur.select("score").collect().forall(_.isNullAt(0)))
+    // once a file writes it, real values win and old files read NULL
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((2L, "b", 20.0, 0.5)).toDF("k", "p", "v", "score"), "u1")
+    val after = ManifestLake.read(spark, dir)
+      .select(col("k"), col("score")).as[(Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(after == Seq((1L, None), (2L, Some(0.5))))
+  }
+
   test("evolution composes with MOR deletes and survives compaction") {
     val dir = Files.createTempDirectory("graft-sev3").toString
     ManifestLake.mergeCommit(spark, dir, "p", "k",
