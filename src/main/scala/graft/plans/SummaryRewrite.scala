@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -187,9 +188,35 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     // ---- peel alias-only Projects and Filters, collecting both -------
+    // STAR-SCHEMA path: ONE Inner Join to a dimension subtree may sit
+    // between the Aggregate and the fact scan. The rollup commutes with
+    // such a join exactly when every fact-side reference in the join
+    // condition is BUCKET-CONSTANT (a summary-carried dim, or time at a
+    // grain the summary answers): all raw rows of a summary bucket then
+    // match the SAME dim rows, so join-then-aggregate ≡
+    // aggregate-then-join — Gray's lattice over a star. The dim subtree
+    // is kept verbatim (its exprIds survive), the fact side swaps for
+    // the summary, and the join condition re-anchors onto the summary's
+    // columns. Joins on a non-carried fact column (user_id), non-Inner
+    // joins, fact-fact self-joins, and join-under-Expand all refuse.
     var child = expandOpt.map(_.child: LogicalPlan).getOrElse(agg.child)
     var subst = Map.empty[ExprId, Expression]
     var rawPreds = Seq.empty[Expression] // conjuncts, resolved after peel
+    var joinNode: Option[Join] = None
+    var dimPlan: LogicalPlan = null
+    var factOnLeft = true
+    def leafMatchesRegistry(p: LogicalPlan): Boolean = {
+      import scala.jdk.CollectionConverters._
+      val suffixes = registry.keySet.asScala.map(_._1).toSet
+      p.collectLeaves().exists {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.headOption
+            .exists(rp => suffixes.exists(s => rp.toString.endsWith(s)))
+          case _ => false
+        }
+        case _ => false
+      }
+    }
     var peeling = true
     while (peeling) child match {
       case Project(pl, c)
@@ -206,8 +233,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case Filter(cond, c) =>
         rawPreds = rawPreds ++ splitConj(cond)
         child = c
+      case j @ Join(l, r, Inner, _, _)
+          if joinNode.isEmpty && expandOpt.isEmpty &&
+            (leafMatchesRegistry(l) != leafMatchesRegistry(r)) =>
+        joinNode = Some(j)
+        if (leafMatchesRegistry(l)) { dimPlan = r; factOnLeft = true; child = l }
+        else { dimPlan = l; factOnLeft = false; child = r }
       case _ => peeling = false
     }
+    val dimOut: AttributeSet =
+      if (joinNode.isDefined) dimPlan.outputSet else AttributeSet.empty
     val rel = child match {
       case lr: LogicalRelation => lr
       case _ => return None
@@ -307,6 +342,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case object GTime extends GKind
     final case class GDim(i: Int) extends GKind
     final case class GDerived(resolved: Expression) extends GKind
+    final case class GDimSide(resolved: Expression) extends GKind
     var qGrain: Option[String] = None
     var qTrunc: Option[TruncTimestamp] = None // original node, for re-trunc
     var needHour = false // an hour-constant-only extractor in the mix
@@ -323,6 +359,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case g if derivedGrain(g).isDefined =>
           if (derivedGrain(g).contains("hour")) needHour = true
           GDerived(g)
+        // dim-SIDE grouping (n.name in the star shape): the subtree is
+        // kept verbatim, so the resolved expression survives unchanged
+        case g if dimOut.nonEmpty && g.references.nonEmpty &&
+            g.references.subsetOf(dimOut) && g.deterministic => GDimSide(g)
         case _ => return None
       }
     }
@@ -416,7 +456,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     final case class Picked(grain: String, sumRel: LogicalRelation,
         timeA: Attribute, dimAs: Seq[Attribute], nA: Attribute,
         sumDecA: Attribute, minA: Attribute, maxA: Attribute,
-        preds: Seq[Expression], aggFilt: Map[Expression, Expression])
+        preds: Seq[Expression], aggFilt: Map[Expression, Expression],
+        joinCond: Option[Expression])
 
     def tryCandidate(sumGrain: String): Option[Picked] = {
       val (summaryPath, _) = routes.getOrElse(sumGrain, return None)
@@ -520,8 +561,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           f -> parts.map(_.get).reduce(And)
         }.toMap
       }
+      // join condition re-anchors under the SAME grammar: fact-side
+      // references must be bucket-constant (rewritePred maps dims/time
+      // and poisons anything else — value, user_id); dim-side
+      // references pass through untouched. A fact-side cross join
+      // (no condition) never routes.
+      val joinCondRw: Option[Expression] = joinNode match {
+        case None => None
+        case Some(j) => j.condition match {
+          case None => return None
+          case Some(c) =>
+            val parts = splitConj(c).map(rewritePred)
+            if (parts.exists(_.isEmpty)) return None
+            Some(parts.map(_.get).reduce(And))
+        }
+      }
       Some(Picked(sumGrain, sumRel, timeA, dimAs, nA, sumDecA, minA,
-        maxA, newPreds.map(_.get), aggFilt))
+        maxA, newPreds.map(_.get), aggFilt, joinCondRw))
     }
 
     val picked = candidates.view.flatMap(tryCandidate)
@@ -630,6 +686,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           }) =>
         val r = resolve(a).asInstanceOf[Attribute]
         Some(dimAs(dimIdx(r.exprId)))
+      case a: Attribute if dimOut.contains(a) =>
+        Some(a) // dim-side column — the subtree survives the swap
+      case a: Attribute if (resolve(a) match {
+            case e => e.references.nonEmpty &&
+              e.references.subsetOf(dimOut) && e.deterministic
+          }) =>
+        Some(resolve(a)) // peeled alias over dim-side columns
       case _: Attribute => None // any other source column: no route
       case other =>
         // non-aggregate scaffolding (casts, arithmetic over results):
@@ -653,9 +716,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
-    val newChild: LogicalPlan =
-      if (picked.preds.isEmpty) sumRel
-      else Filter(picked.preds.reduce(And), sumRel)
+    // summary-only predicates sit on the summary scan (pushdown);
+    // predicates touching the dim side apply above the rebuilt join
+    val (predsBelow, predsAbove) =
+      picked.preds.partition(_.references.subsetOf(sumRel.outputSet))
+    val newFact: LogicalPlan =
+      if (predsBelow.isEmpty) sumRel
+      else Filter(predsBelow.reduce(And), sumRel)
+    val newChild: LogicalPlan = joinNode match {
+      case None =>
+        if (predsAbove.isEmpty) newFact
+        else Filter(predsAbove.reduce(And), newFact) // defensive: no-join preds are all summary-side
+      case Some(j) =>
+        val joined =
+          if (factOnLeft) j.copy(left = newFact, right = dimPlan,
+            condition = picked.joinCond)
+          else j.copy(left = dimPlan, right = newFact,
+            condition = picked.joinCond)
+        if (predsAbove.isEmpty) joined
+        else Filter(predsAbove.reduce(And), joined)
+    }
 
     expandOpt match {
       case Some(ex) =>
@@ -695,6 +775,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case GTime => timeRepr
           case GDim(i) => dimAs(i)
           case GDerived(e) => derivedRepr(e, timeA)
+          case GDimSide(e) => e
         }
         Some(Aggregate(newGroups, newAggs, newChild))
     }

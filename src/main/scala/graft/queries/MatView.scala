@@ -585,8 +585,78 @@ object MatView {
       |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 40
       |ORDER BY day, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mv_rewrite_joined — the STAR-SCHEMA dashboard (VERDICT r7 #1): an
+  // aggregate over events ⋈ dim, where the dim is a small broadcastable
+  // lookup keyed on the summary-carried event_type. The rollup commutes
+  // with the join because the join key is bucket-constant — every raw
+  // row of a (day, event_type) bucket matches the same dim rows — so
+  // SummaryRewrite swaps the fact side for the summary UNDER the join:
+  // the plan joins |days|×|types| rows to a 5-row dim instead of
+  // dragging the firehose through the join. The dim stays in-query
+  // (a VALUES lookup), the oracle recomputes from RAW joined rows, and
+  // MatViewSpec pins the swap plus the refusals (join on user_id — not
+  // bucket-constant; fact-fact self-join).
+  private[graft] def typeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("error", "ops")).toDF("event_type", "category")
+  }
+
+  private val typeDimSqlValues =
+    """(VALUES ('click','engagement'), ('view','engagement'),
+      |  ('purchase','conversion'), ('signup','conversion'),
+      |  ('error','ops')) AS d(event_type, category)""".stripMargin
+
+  private def mvJoined(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .join(typeDim(spark), "event_type")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("day"), col("category"))
+  }
+
+  private val mvJoinedSql =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, d.category,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM events e JOIN $typeDimSqlValues USING (event_type)
+       |GROUP BY 1, 2 ORDER BY day, category""".stripMargin
+
+  // The filtered star: a WHERE over the dim side (category) AND a
+  // day-aligned time bound — dim predicates ride above the rebuilt
+  // join untouched, the ts bound re-anchors on the summary's bucket.
+  private def mvJoinedFiltered(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .join(typeDim(spark), "event_type")
+      .filter(col("category") =!= "ops" &&
+        col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")))
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("category"))
+  }
+
+  private val mvJoinedFilteredSql =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, d.category,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events e JOIN $typeDimSqlValues USING (event_type)
+       |WHERE d.category <> 'ops' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+       |GROUP BY 1, 2 ORDER BY day, category""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
+    QueryDef("mv_rewrite_joined", mvJoined, Some(mvJoinedSql)),
+    QueryDef("mv_rewrite_joined_filtered", mvJoinedFiltered,
+      Some(mvJoinedFilteredSql)),
     QueryDef("mv_rewrite_daily_filtered", mvDailyFiltered,
       Some(mvDailyFilteredSql)),
     QueryDef("mv_rewrite_day_from_hours_filtered", mvDayFromHoursFiltered,

@@ -231,6 +231,76 @@ object SqlSurface {
     Views.sql(spark, dir, sqlMvRollupText)
   }
 
+  // HAVING on SQL TEXT (VERDICT r7 #7): the analyzer plans HAVING as a
+  // Filter over the Aggregate's output, so the route fires on the
+  // Aggregate underneath and the threshold filters summary-cheap rows.
+  // Same text runs on DuckDB over RAW rows.
+  private val sqlMvHavingText =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 40
+      |ORDER BY day, event_type""".stripMargin
+
+  private def sqlMvHaving(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.MatView.enableRouting(spark, dir)
+    Views.sql(spark, dir, sqlMvHavingText)
+  }
+
+  // GROUP BY GROUPING SETS on SQL TEXT — the explicit-lattice spelling
+  // (detail, per-type, grand total); the analyzer builds the same
+  // Aggregate-over-Expand as ROLLUP, so the navigator swaps the source
+  // and every set re-aggregates summary rows. Engine-specific date
+  // formatting keeps a separate oracle spelling, like sql_mv_rollup.
+  private val sqlMvGsetsText =
+    """SELECT
+      |  COALESCE(date_format(date_trunc('day', ts), 'yyyy-MM-dd'), 'ALL')
+      |    AS day_s,
+      |  COALESCE(event_type, 'ALL') AS type_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
+      |  (event_type), ())
+      |ORDER BY day_s, type_s""".stripMargin
+
+  private val sqlMvGsetsOracle =
+    """SELECT
+      |  COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL')
+      |    AS day_s,
+      |  COALESCE(event_type, 'ALL') AS type_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
+      |  (event_type), ())
+      |ORDER BY day_s, type_s""".stripMargin
+
+  private def sqlMvGsets(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.MatView.enableRouting(spark, dir)
+    Views.sql(spark, dir, sqlMvGsetsText)
+  }
+
+  // The STAR-SCHEMA dashboard on SQL TEXT (VERDICT r7 #1): aggregate
+  // over events joined to an inline VALUES dimension on the
+  // summary-carried event_type. SummaryRewrite swaps the fact side for
+  // the summary UNDER the join (MatViewSpec pins the swap); the same
+  // text runs on DuckDB over RAW joined rows.
+  private val sqlMvJoinedText =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, d.category,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN (VALUES ('click','engagement'),
+      |  ('view','engagement'), ('purchase','conversion'),
+      |  ('signup','conversion'), ('error','ops'))
+      |  AS d(event_type, category) USING (event_type)
+      |GROUP BY 1, 2 ORDER BY day, category""".stripMargin
+
+  private def sqlMvJoined(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.MatView.enableRouting(spark, dir)
+    Views.sql(spark, dir, sqlMvJoinedText)
+  }
+
   // -------------------------------------------------------------------
   // sql_window_topk — the PORTABLE top-k-per-group window spelling on
   // SQL TEXT. The statement is what a BI tool emits (row_number window,
@@ -407,6 +477,9 @@ object SqlSurface {
       Some(sqlMvDailyFilteredText)),
     QueryDef("sql_mv_pivot", sqlMvPivot, Some(sqlMvPivotText)),
     QueryDef("sql_mv_rollup", sqlMvRollup, Some(sqlMvRollupOracle)),
+    QueryDef("sql_mv_having", sqlMvHaving, Some(sqlMvHavingText)),
+    QueryDef("sql_mv_gsets", sqlMvGsets, Some(sqlMvGsetsOracle)),
+    QueryDef("sql_mv_joined", sqlMvJoined, Some(sqlMvJoinedText)),
     QueryDef("sql_window_topk", sqlWindowTopk, Some(sqlWindowTopkText)),
     QueryDef("sql_rollup", sqlRollup, Some(sqlRollupText)))
 }

@@ -209,6 +209,20 @@ class MatViewSpec extends SparkSpec {
       having().collect().map(_.toString).sorted
     }
     assert(routed.sameElements(raw), "HAVING route moved an answer")
+    // explicit GROUPING SETS text and the HAVING gate text route too
+    val gp = scanPaths(SparkEntry.queries("sql_mv_gsets")(spark, sf))
+    assert(gp.exists(_.contains("events_daily_")),
+      s"GROUPING SETS SQL did not route: $gp")
+    assert(!gp.exists(_.endsWith("events.parquet")))
+    val hg = scanPaths(SparkEntry.queries("sql_mv_having")(spark, sf))
+    assert(hg.exists(_.contains("events_daily_")),
+      s"HAVING gate SQL did not route: $hg")
+    assert(!hg.exists(_.endsWith("events.parquet")))
+    // the star-schema VALUES-join text swaps the fact side underneath
+    val jp = scanPaths(SparkEntry.queries("sql_mv_joined")(spark, sf))
+    assert(jp.exists(_.contains("events_daily_")),
+      s"joined SQL did not route: $jp")
+    assert(!jp.exists(_.endsWith("events.parquet")))
   }
 
   test("day-aligned filtered aggregate routes; answers match the raw plan") {
@@ -354,6 +368,77 @@ class MatViewSpec extends SparkSpec {
       typeDist().collect().map(_.toString).sorted
     }
     assert(dRouted.sameElements(dRaw), "dim-distinct route moved an answer")
+  }
+
+  test("star-schema join routes; non-carried join keys refuse") {
+    assume(new java.io.File(sf).isDirectory)
+    graft.queries.MatView.enableRouting(spark, sf)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    // the gate shape: aggregate over events ⋈ 5-row dim ON event_type
+    // (bucket-constant key) — the fact side must swap for the summary
+    // UNDER the join, and the answers must match the bypassed raw plan
+    def joined() = SparkEntry.queries("mv_rewrite_joined")(spark, sf)
+    val jp = scanPaths(joined())
+    assert(jp.exists(_.contains("events_daily_")), s"join not routed: $jp")
+    assert(!jp.exists(_.endsWith("events.parquet")), s"raw under join: $jp")
+    val routed = joined().collect().map(_.toString).sorted
+    val raw = graft.plans.SummaryRewrite.withBypass {
+      joined().collect().map(_.toString).sorted
+    }
+    assert(routed.sameElements(raw), "join route moved an answer")
+
+    // join on user_id — NOT bucket-constant (the summary doesn't carry
+    // it): each bucket's rows match different dim rows, the rollup does
+    // not commute, the route must refuse
+    val userDim = Seq((1L, "vip"), (2L, "basic")).toDF("user_id", "tier")
+    val byUser = T.events(spark, sf).join(userDim, "user_id")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("tier"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(byUser).exists(_.endsWith("events.parquet")),
+      "user-keyed join must stay on the raw scan")
+
+    // fact ⋈ fact self-join — ambiguous fact side: refuse
+    val e1 = T.events(spark, sf).select(col("ts"), col("event_type"))
+    val e2 = T.events(spark, sf).select(col("event_type").as("et2"))
+    val selfJ = e1.join(e2, col("event_type") === col("et2"))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(selfJ).exists(_.endsWith("events.parquet")),
+      "fact-fact join must stay on the raw scan")
+
+    // aggregate over a DIM-side measure — not decomposable over the
+    // summary's partials: refuse
+    val mDim = Seq(("click", 1.0), ("view", 2.0), ("purchase", 3.0),
+      ("signup", 4.0), ("error", 5.0)).toDF("event_type", "weight")
+    val dimAgg = T.events(spark, sf).join(mDim, "event_type")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("weight")).as("w"))
+    assert(scanPaths(dimAgg).exists(_.endsWith("events.parquet")),
+      "dim-measure aggregate must stay on the raw scan")
+
+    // outer join — NULL-extended fact rows break re-aggregation: refuse
+    val outerJ = T.events(spark, sf)
+      .join(graft.queries.MatView.typeDim(spark), Seq("event_type"), "left")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("category"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(outerJ).exists(_.endsWith("events.parquet")),
+      "outer join must stay on the raw scan")
+
+    // dim-side measure present but UNUSED + dim grouping: still routes
+    // (the grammar only inspects referenced expressions)
+    def catOnly() = T.events(spark, sf)
+      .join(graft.queries.MatView.typeDim(spark), "event_type")
+      .groupBy(col("category"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("s"))
+    val cp = scanPaths(catOnly())
+    assert(cp.exists(_.contains("events_daily_")), s"cat-only not routed: $cp")
+    val cRouted = catOnly().collect().map(_.toString).sorted
+    val cRaw = graft.plans.SummaryRewrite.withBypass {
+      catOnly().collect().map(_.toString).sorted
+    }
+    assert(cRouted.sameElements(cRaw), "cat-only route moved an answer")
   }
 
   test("FILTER-clause aggregates route; value FILTER refuses") {

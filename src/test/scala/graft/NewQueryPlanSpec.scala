@@ -68,4 +68,16 @@ class NewQueryPlanSpec extends SparkSpec {
     // the window sees is over limit(k) output, never the scored corpus
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("mv_rewrite_joined: summary-side join broadcasts the dim, no shuffle join") {
+    val p = executedPlan("mv_rewrite_joined")
+    // the routed star: |days|×|types| summary rows join the 5-row dim —
+    // Catalyst must pick a broadcast join (either side qualifies; a
+    // sort-merge join here would mean the swap produced a shuffle)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the scan is the summary mirror, not the raw firehose
+    assert(p.contains("events_daily_"), p.take(1500))
+    assert(!p.contains("events.parquet"), p.take(1500))
+  }
 }
