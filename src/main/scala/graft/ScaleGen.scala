@@ -20,18 +20,27 @@ import org.apache.spark.sql.functions._
   *
   * Two tables get value perturbation so the WORKLOAD shape scales
   * honestly, not just the row count:
-  *  - documents: replica r>0 suffixes every word with a replica-specific
-  *    character — a vocabulary bijection, so each replica is a disjoint
-  *    sub-corpus whose INTERNAL dup structure matches the source exactly
-  *    (docs that were near-dups stay near-dups of each other, rotated
-  *    into the same vocab), while cross-replica similarity drops to ~0
-  *    for shingles, unigrams, simhash and Jaccard alike. Identical or
+  *  - documents: replica r>0 remaps every word through a deterministic
+  *    per-replica hash into a FIXED synthetic token space sized
+  *    V0·√N (V0 = source vocabulary) — each replica is a dissimilar
+  *    sub-corpus whose INTERNAL dup structure matches the source
+  *    (docs that were near-dups stay near-dups of each other — the map
+  *    is per-replica deterministic), while cross-replica similarity
+  *    stays ~0 for shingles, unigrams, simhash and Jaccard alike
+  *    (independent hashes overlap ~|doc|/V by chance). Identical or
   *    order-permuted text would instead make every doc a 10-way near-dup
   *    (word-rotation preserves the unigram features simhash hashes), so
   *    cluster sizes — and candidate pair counts, quadratic in cluster
   *    size — would explode by CONSTRUCTION, not by engine behavior; the
   *    first sweep measured exactly that (dedup_near_simhash 5.3×,
-  *    emb_neardup_pairs 16×) before this fix.
+  *    emb_neardup_pairs 16×). An earlier word-SUFFIX bijection fixed
+  *    that but grew the vocabulary ×N — real corpora grow vocab
+  *    sublinearly (Heaps' law), and the linear growth showed up as a
+  *    4.1× generator artifact in text_lm_score's per-term state. The
+  *    hash-into-√N-space map keeps total vocabulary ≈ V0·(1+√N):
+  *    sublinear, saturating, Heaps-shaped. (Hash collisions merge two
+  *    source words with probability ~1/(V0·√N) per pair — noise far
+  *    below the near-dup thresholds.)
   *  - embeddings: replica r>0 rotates the vector's dimensions by 13·r
   *    (mod dim) — norms and coordinate distributions are preserved
   *    exactly while replica cosines decorrelate, so ANN sees N× distinct
@@ -80,10 +89,26 @@ object ScaleGen {
     save(rep(T.events(spark, src), "event_id", "user_id").drop("_r"),
       "events", 16)
 
-    val docs = rep(load("documents"), "doc_id")
+    val docs0 = load("documents")
+    // source vocabulary size → synthetic token space V0·√N (see header)
+    val v0 = docs0.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .agg(countDistinct(col("w"))).first().getLong(0)
+    val vSyn = math.max(64L, (v0 * math.sqrt(n.toDouble)).toLong)
+    val docs = rep(docs0, "doc_id")
+    // token = base-36 digits of the hashed id, cycled out to the SOURCE
+    // word's length: per-word LENGTH is preserved exactly, so n_chars,
+    // the length-band blocking keys (text_fuzzy_pairs), and every
+    // length-derived quality feature keep their source distributions —
+    // a 3-char "w17" scheme collapsed all docs into a few length bands
+    // and inflated the blocked join quadratically (generator artifact).
     val revocabed = concat_ws(" ",
-      transform(split(col("text"), " "),
-        w => concat(w, expr("char(96 + _r)"))))
+      transform(split(col("text"), " "), w => {
+        val h = conv(pmod(xxhash64(w, col("_r")), lit(vSyn)).cast("string"),
+          10, 36)
+        when(length(w) === 0, w)
+          .otherwise(repeat(h, 64).substr(lit(1), length(w)))
+      }))
     save(docs
       .withColumn("text",
         when(col("_r") === 0, col("text")).otherwise(revocabed))
