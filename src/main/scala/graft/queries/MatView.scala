@@ -652,7 +652,96 @@ object MatView {
        |WHERE d.category <> 'ops' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
        |GROUP BY 1, 2 ORDER BY day, category""".stripMargin
 
+  // mv_advisor_lattice — HRU'96 greedy view selection (Harinarayan/
+  // Rajaraman/Ullman, "Implementing Data Cubes Efficiently", SIGMOD'96)
+  // over the events lattice: time grains hour→day→month→total crossed
+  // with dim sets {event_type}/{} — 8 nodes, root = hour×event_type.
+  // The navigator answers "which summary serves this query"; this gate
+  // is the layer above it: "which summaries should exist". One firehose
+  // pass materializes the FINEST node's frame; every coarser view size
+  // re-aggregates those rows (trunc composes — never the raw table
+  // again), so size estimation costs one scan no matter how many
+  // lattice nodes are priced (at 100 TB the counts would ride
+  // approx_count_distinct sketches; MvAdvisor is agnostic). The greedy
+  // arithmetic is O(k·|lattice|²) driver work — metadata-scale. Output:
+  // every node with its exact row count, its HRU benefit against
+  // S = {root} (= |covered nodes| × (rows(root) − rows(v)), the cost
+  // reduction materializing it buys every query it can answer), and
+  // whether greedy picks it first. The oracle replays sizes from raw
+  // rows and the benefit/argmax arithmetic in SQL; MvAdvisorSpec pins
+  // the full k-step greedy against an independent brute force and the
+  // HRU (1−1/e) bound's monotone-benefit corollary.
+  private def mvAdvisorLattice(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    import graft.ops.MvAdvisor
+    import graft.ops.MvAdvisor.View
+    val fin = T.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"),
+        col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    def rowsOf(grain: String, withDim: Boolean): Long = {
+      val cols = (grain match {
+        case "total" => Seq.empty[org.apache.spark.sql.Column]
+        case "hour"  => Seq(col("h"))
+        case g       => Seq(date_trunc(g, col("h")))
+      }) ++ (if (withDim) Seq(col("et")) else Seq.empty)
+      if (cols.isEmpty) 1L else fin.select(cols: _*).distinct().count()
+    }
+    val views = for {
+      (g, tl) <- Seq("hour" -> 3, "day" -> 2, "month" -> 1, "total" -> 0)
+      (d, dl) <- Seq("event_type" -> 1, "" -> 0)
+    } yield View(s"$g:$d", rowsOf(g, dl == 1), Seq(tl, dl))
+    fin.unpersist()
+    val root = views.find(_.key == Seq(3, 1)).get
+    val pick1 = MvAdvisor.greedy(views, root, 1).headOption.map(_.view.name)
+    val rows = views.map { v =>
+      val b = if (v eq root) 0L else MvAdvisor.benefit(v, Seq(root), views)
+      val Array(g, d) = v.name.split(":", -1)
+      (g, d, v.rows, b, pick1.contains(v.name))
+    }
+    import spark.implicits._
+    rows.toDF("time_grain", "dim_set", "view_rows", "benefit1", "picked1")
+      .orderBy(col("time_grain"), col("dim_set"))
+  }
+
+  private val mvAdvisorLatticeSql =
+    """WITH sizes AS (
+      |  SELECT 'hour' AS g, 'event_type' AS d, 3 AS tl, 1 AS dl, COUNT(*) AS n
+      |    FROM (SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)
+      |  UNION ALL SELECT 'hour', '', 3, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('hour', ts) FROM events)
+      |  UNION ALL SELECT 'day', 'event_type', 2, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('day', ts), event_type FROM events)
+      |  UNION ALL SELECT 'day', '', 2, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('day', ts) FROM events)
+      |  UNION ALL SELECT 'month', 'event_type', 1, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('month', ts), event_type FROM events)
+      |  UNION ALL SELECT 'month', '', 1, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('month', ts) FROM events)
+      |  UNION ALL SELECT 'total', 'event_type', 0, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT event_type FROM events)
+      |  UNION ALL SELECT 'total', '', 0, 0, 1
+      |), ben AS (
+      |  SELECT v.g, v.d, v.n,
+      |    CASE WHEN v.tl = 3 AND v.dl = 1 THEN 0
+      |         ELSE (SELECT COUNT(*) FROM sizes w
+      |                WHERE w.tl <= v.tl AND w.dl <= v.dl)
+      |              * ((SELECT n FROM sizes r WHERE r.tl = 3 AND r.dl = 1)
+      |                 - v.n)
+      |    END AS b
+      |  FROM sizes v
+      |), pick AS (
+      |  SELECT g, d FROM ben WHERE b > 0
+      |  ORDER BY b DESC, n ASC, g ASC, d ASC LIMIT 1)
+      |SELECT b1.g AS time_grain, b1.d AS dim_set,
+      |  CAST(b1.n AS BIGINT) AS view_rows, CAST(b1.b AS BIGINT) AS benefit1,
+      |  EXISTS (SELECT 1 FROM pick p WHERE p.g = b1.g AND p.d = b1.d)
+      |    AS picked1
+      |FROM ben b1 ORDER BY time_grain, dim_set""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mv_advisor_lattice", mvAdvisorLattice, Some(mvAdvisorLatticeSql)),
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
     QueryDef("mv_rewrite_joined", mvJoined, Some(mvJoinedSql)),
     QueryDef("mv_rewrite_joined_filtered", mvJoinedFiltered,

@@ -1,0 +1,116 @@
+package graft
+
+import graft.ops.MvAdvisor
+import graft.ops.MvAdvisor.{Pick, View}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Pins the HRU'96 greedy ("Implementing Data Cubes Efficiently") that
+  * backs the `mv_advisor_lattice` gate: each pick must be the true
+  * argmax of the benefit function at that step (checked against an
+  * independent brute force, not the implementation's own loop), on both
+  * a hand lattice shaped like the paper's running example and random
+  * lattices. */
+class MvAdvisorSpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Brute-force benefit: literal HRU definition, written independently
+    * of MvAdvisor.benefit (different traversal, no shared code path). */
+  private def bfBenefit(v: View, s: Seq[View], all: Seq[View]): Long = {
+    var total = 0L
+    for (w <- all) {
+      val vCovers = v.key.indices.forall(i => w.key(i) <= v.key(i))
+      if (vCovers) {
+        var best = Long.MaxValue
+        for (u <- s)
+          if (u.key.indices.forall(i => w.key(i) <= u.key(i)))
+            best = math.min(best, u.rows)
+        if (best - v.rows > 0) total += best - v.rows
+      }
+    }
+    total
+  }
+
+  /** An 8-view cube lattice in the shape of HRU'96's running example
+    * (parts × suppliers × customers, sizes in rows): psc is the raw
+    * fact grain, each subset of {p,s,c} a view. Keys are the subset's
+    * membership vector. */
+  private val psc = View("psc", 6000000L, Seq(1, 1, 1))
+  private val cube = Seq(
+    psc,
+    View("pc", 6000000L, Seq(1, 0, 1)),
+    View("ps", 800000L, Seq(1, 1, 0)),
+    View("sc", 6000000L, Seq(0, 1, 1)),
+    View("p", 200000L, Seq(1, 0, 0)),
+    View("s", 10000L, Seq(0, 1, 0)),
+    View("c", 100000L, Seq(0, 0, 1)),
+    View("none", 1L, Seq(0, 0, 0)))
+
+  test("every greedy pick is the step argmax under the brute-force benefit") {
+    val picks = MvAdvisor.greedy(cube, psc, 3)
+    assert(picks.size == 3)
+    var s = Seq(psc)
+    for (Pick(v, b, step) <- picks) {
+      val best = cube.filterNot(s.contains)
+        .map(c => (c, bfBenefit(c, s, cube)))
+        .maxBy { case (c, bb) => (bb, -c.rows) }
+      assert(b == bfBenefit(v, s, cube), s"step $step benefit")
+      assert(b == best._2, s"step $step picked a non-argmax view")
+      s :+= v
+    }
+  }
+
+  test("first pick on the cube is ps (the only same-coverage view cheaper than raw)") {
+    // pc and sc cost the same as psc (benefit 0); ps saves 5.2M rows on
+    // each of the 4 nodes it covers — the paper's opening observation
+    // that materializing a view as big as the raw table buys nothing.
+    val first = MvAdvisor.greedy(cube, psc, 1).head
+    assert(first.view.name == "ps")
+    assert(first.benefit == 4L * (6000000L - 800000L))
+  }
+
+  test("benefits are non-increasing across steps (diminishing returns)") {
+    val picks = MvAdvisor.greedy(cube, psc, 7)
+    val bs = picks.map(_.benefit)
+    assert(bs == bs.sorted(Ordering[Long].reverse))
+  }
+
+  test("greedy stops early when no candidate has positive benefit") {
+    // all views as large as the root -> nothing is ever worth picking
+    val flat = Seq(
+      View("root", 100L, Seq(1, 1)), View("a", 100L, Seq(1, 0)),
+      View("b", 100L, Seq(0, 1)), View("ab", 100L, Seq(0, 0)))
+    assert(MvAdvisor.greedy(flat, flat.head, 3).isEmpty)
+  }
+
+  test("random lattices: every pick is a brute-force argmax and S stays consistent") {
+    val genLattice: Gen[Seq[View]] = for {
+      dims <- Gen.choose(2, 3)
+      // key space = {0,1}^dims, full cube; random sizes, root forced max
+      sizes <- Gen.listOfN(1 << dims, Gen.choose(1L, 1000000L))
+    } yield {
+      val keys = (0 until (1 << dims)).map(m =>
+        Seq.tabulate(dims)(i => (m >> i) & 1))
+      val rootKey = Seq.fill(dims)(1)
+      val maxSz = sizes.max
+      keys.zip(sizes).map { case (k, sz) =>
+        View(k.mkString("v", "", ""), if (k == rootKey) maxSz else math.min(sz, maxSz), k)
+      }
+    }
+    check(Prop.forAll(genLattice) { views =>
+      val root = views.find(_.key.forall(_ == 1)).get
+      val picks = MvAdvisor.greedy(views, root, 4)
+      var s = Seq(root)
+      picks.forall { case Pick(v, b, _) =>
+        val bb = views.filterNot(s.contains).map(c => bfBenefit(c, s, views))
+        val ok = b == bfBenefit(v, s, views) && (bb.isEmpty || b == bb.max) && b > 0
+        s :+= v
+        ok
+      }
+    })
+  }
+}
