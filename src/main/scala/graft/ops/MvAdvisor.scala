@@ -49,12 +49,19 @@ object MvAdvisor {
 
   /** benefit(v, S) per HRU: total cost reduction over every node v
     * covers, against the current best cost under S. Includes v itself
-    * (materializing v makes v's own query cost rows(v)). */
-  def benefit(v: View, s: Seq[View], all: Seq[View]): Long = {
+    * (materializing v makes v's own query cost rows(v)). `weight` is
+    * HRU §4's workload extension — node w's term scales by how often
+    * the workload asks w's query (uniform weights = the paper's base
+    * model); a lattice node nobody queries contributes benefit only as
+    * a stepping stone through nodes below it, which is exactly 0 here
+    * because covers() is transitive (anything v answers for w's
+    * descendants it answers directly). */
+  def benefit(v: View, s: Seq[View], all: Seq[View],
+      weight: View => Long = _ => 1L): Long = {
     require(s.nonEmpty, "benefit needs a non-empty materialized set")
     all.iterator.filter(w => covers(v, w)).map { w =>
       val cost = s.iterator.filter(u => covers(u, w)).map(_.rows).min
-      math.max(0L, cost - v.rows)
+      math.max(0L, cost - v.rows) * weight(w)
     }.sum
   }
 
@@ -62,18 +69,21 @@ object MvAdvisor {
     * max benefit; stops early when no candidate improves anything
     * (benefit 0 — materializing it would be pure storage). Every node
     * must be covered by `root` (the finest view). Deterministic
-    * tiebreak: benefit desc, rows asc, name asc. */
-  def greedy(views: Seq[View], root: View, k: Int): Seq[Pick] = {
+    * tiebreak: benefit desc, rows asc, name asc. Pass `weight` to run
+    * the workload-frequency variant. */
+  def greedy(views: Seq[View], root: View, k: Int,
+      weight: View => Long = _ => 1L): Seq[Pick] = {
     require(views.contains(root), "root must be one of the views")
     views.foreach(w => require(covers(root, w),
       s"root ${root.name} does not cover ${w.name} — not a rooted lattice"))
+    views.foreach(w => require(weight(w) >= 0, s"negative weight on ${w.name}"))
     var s = Vector(root)
     val picks = Vector.newBuilder[Pick]
     var step = 1
     var done = false
     while (step <= k && !done) {
       val best = views.filterNot(s.contains)
-        .map(v => (v, benefit(v, s, views)))
+        .map(v => (v, benefit(v, s, views, weight)))
         .sortBy { case (v, b) => (-b, v.rows, v.name) }
         .headOption
       best match {

@@ -87,6 +87,18 @@ class MvAdvisorSpec extends AnyFunSuite {
     assert(MvAdvisor.greedy(flat, flat.head, 3).isEmpty)
   }
 
+  test("workload weights steer the pick (HRU §4 frequency extension)") {
+    // uniform weights pick ps (covers 4 nodes at 5.2M saved each); a
+    // workload that ONLY ever queries c makes every ps-side saving
+    // worthless and the best pick becomes c itself
+    val onlyC: View => Long = v => if (v.name == "c") 1000L else 0L
+    val picks = MvAdvisor.greedy(cube, psc, 1, onlyC)
+    assert(picks.head.view.name == "c")
+    assert(picks.head.benefit == 1000L * (6000000L - 100000L))
+    // and a zero-weight workload picks nothing at all
+    assert(MvAdvisor.greedy(cube, psc, 3, _ => 0L).isEmpty)
+  }
+
   test("random lattices: every pick is a brute-force argmax and S stays consistent") {
     val genLattice: Gen[Seq[View]] = for {
       dims <- Gen.choose(2, 3)
