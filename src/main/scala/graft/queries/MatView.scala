@@ -671,9 +671,11 @@ object MatView {
   // rows and the benefit/argmax arithmetic in SQL; MvAdvisorSpec pins
   // the full k-step greedy against an independent brute force and the
   // HRU (1−1/e) bound's monotone-benefit corollary.
-  private def mvAdvisorLattice(spark: SparkSession, dir: String): DataFrame = {
-    Ctx.prep(spark)
-    import graft.ops.MvAdvisor
+  /** Price the 8-node events lattice with ONE firehose pass (the
+    * finest node's frame; every coarser size re-aggregates it — trunc
+    * composes). Shared by the pricing gate and the e2e loop. */
+  private def eventsLattice(spark: SparkSession, dir: String)
+      : (Seq[graft.ops.MvAdvisor.View], graft.ops.MvAdvisor.View) = {
     import graft.ops.MvAdvisor.View
     val fin = T.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("h"),
@@ -693,7 +695,13 @@ object MatView {
       (d, dl) <- Seq("event_type" -> 1, "" -> 0)
     } yield View(s"$g:$d", rowsOf(g, dl == 1), Seq(tl, dl))
     fin.unpersist()
-    val root = views.find(_.key == Seq(3, 1)).get
+    (views, views.find(_.key == Seq(3, 1)).get)
+  }
+
+  private def mvAdvisorLattice(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    import graft.ops.MvAdvisor
+    val (views, root) = eventsLattice(spark, dir)
     val pick1 = MvAdvisor.greedy(views, root, 1).headOption.map(_.view.name)
     val rows = views.map { v =>
       val b = if (v eq root) 0L else MvAdvisor.benefit(v, Seq(root), views)
@@ -740,8 +748,48 @@ object MatView {
       |    AS picked1
       |FROM ben b1 ORDER BY time_grain, dim_set""".stripMargin
 
+  // mv_advisor_e2e — the loop CLOSED: advise → materialize → route.
+  // The advisor prices the lattice and picks its top view; the gate
+  // refuses to proceed unless the pick is the day×event_type node (it
+  // is, at every SF, by a wide margin — a data regen that changed the
+  // winner should fail loudly here, not silently materialize the wrong
+  // thing), materializes/registers exactly that summary through the
+  // shared enableRouting entry point, and then runs the dashboard
+  // query at the picked grain in the PORTABLE raw spelling — which
+  // SummaryRewrite routes onto the advisor-chosen summary. The oracle
+  // recomputes from raw rows, so the whole loop is hash-proven
+  // semantics-preserving; MatViewSpec pins that the routed plan scans
+  // the summary. At 100 TB this is the workflow: the advisor runs on
+  // lattice statistics (one pass, or sketches), its picks feed the
+  // same summary-build machinery ingest already maintains, and every
+  // dashboard query written naively against the firehose rides them.
+  private def mvAdvisorE2e(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val (views, root) = eventsLattice(spark, dir)
+    val pick = graft.ops.MvAdvisor.greedy(views, root, 1)
+      .headOption.map(_.view.name)
+      .getOrElse(sys.error("advisor found no positive-benefit view"))
+    require(pick == "day:event_type",
+      s"advisor picked '$pick', not day:event_type — the testdata " +
+        "changed shape; extend the pick→summary mapping before trusting " +
+        "this gate again")
+    enableRouting(spark, dir) // materializes + registers the picked view
+    T.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val mvAdvisorE2eSql =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mv_advisor_lattice", mvAdvisorLattice, Some(mvAdvisorLatticeSql)),
+    QueryDef("mv_advisor_e2e", mvAdvisorE2e, Some(mvAdvisorE2eSql)),
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
     QueryDef("mv_rewrite_joined", mvJoined, Some(mvJoinedSql)),
     QueryDef("mv_rewrite_joined_filtered", mvJoinedFiltered,

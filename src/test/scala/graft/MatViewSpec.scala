@@ -552,4 +552,14 @@ class MatViewSpec extends SparkSpec {
     }
     assert(routed.sameElements(raw), "routed avg moved an answer")
   }
+
+  test("mv_advisor_e2e: the advisor-chosen summary is what the plan scans") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("mv_advisor_e2e")(spark, sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("events_daily_")),
+      s"advisor-materialized summary not in scan set: $paths")
+    assert(!paths.exists(_.endsWith("events.parquet")),
+      s"raw events still scanned after advise->materialize->route: $paths")
+  }
 }
