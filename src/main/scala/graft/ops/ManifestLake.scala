@@ -357,6 +357,32 @@ object ManifestLake {
     if (current) all else all.filter(_.atVersion < v)
   }
 
+  /** Pure-append commit: write `delta` partitioned by `partCol` under
+    * `data/<tag>/` and commit O(delta) metadata — NOTHING existing is
+    * read, rewritten, or even listed beyond the head pointer. This is
+    * the ingest fast path a firehose needs: [[mergeCommit]] pays
+    * O(touched partitions) to replace by key; an append trusts the
+    * source to be new rows and costs exactly its own bytes. The price
+    * is file-count accretion — every append is its own file set —
+    * which [[compactSmall]] exists to repay. Tags must be unique per
+    * logical commit (a batch id): the data dir is keyed by tag alone
+    * so a pre-commit crash replay overwrites its own orphan, and the
+    * CAS retry inside [[Manifest.commitDeltaGrouped]] is safe here
+    * precisely because an append's delta is not derived from any head.
+    * Returns the committed list version. */
+  def appendCommit(spark: SparkSession, tablePath: String, partCol: String,
+      keyCol: String, delta: DataFrame, tag: String): Int = {
+    val outDir = s"$tablePath/data/$tag"
+    delta.withColumn("graft_p", col(partCol))
+      .write.partitionBy("graft_p").mode("overwrite").parquet(outDir)
+    val added = Manifest.collectStats(
+      spark, Manifest.dataFiles(spark, outDir), keyCol)
+    val groups = added.groupBy(e =>
+        e.path.replaceAll(".*/graft_p=([^/]*)/.*", "$1"))
+      .toSeq.sortBy(_._1).map(_._2)
+    Manifest.commitDeltaGrouped(spark, tablePath, groups)
+  }
+
   /** Merge `delta` (replace-by-key within touched partitions, insert
     * otherwise) into the manifest-list table at `tablePath`, writing
     * new files under `data/<tag>/` and committing O(delta) metadata.
@@ -571,6 +597,93 @@ object ManifestLake {
           added.groupBy(e => e.path.replaceAll(".*/graft_p=([^/]*)/.*", "$1"))
             .toSeq.sortBy(_._1).map(_._2)
         }
+      Manifest.commitDeltaGroupedAt(spark, tablePath, head, groups,
+        removed) match {
+        case Right(v) => return v
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"compaction '$tag' lost $maxAttempts consecutive races at $tablePath")
+  }
+
+  /** Write-optimize: bin-pack small-file compaction — the lake's
+    * OPTIMIZE (Delta `OPTIMIZE` / Iceberg `rewrite_data_files`). Every
+    * ingest commit writes its own files, so a table fed by streaming
+    * micro-batches or chunked backfills accretes files far below the
+    * scan-efficient size; at 100 TB the small-file tax is paid on EVERY
+    * read (per-file open/footer/seek, task-per-file scheduling), so
+    * compaction is the maintenance job that keeps the read path honest.
+    *
+    * Planning is metadata-only: file sizes come from the manifests
+    * (zero data IO to decide), candidates are the clean files under
+    * `targetBytes`, and each partition value's candidates are packed
+    * first-fit-decreasing into bins capped at `targetBytes`; only bins
+    * that actually merge (≥2 files) are rewritten. Files a delete
+    * vector names are EXCLUDED — vectors address rows by (path, pos),
+    * so rewriting a dirty file here would orphan its vector and
+    * resurrect deleted rows; folding vectors in is [[compactDeletes]]'
+    * job and the two compactions compose in either order. Bins never
+    * cross a partition value, so partition-aligned manifests (and the
+    * pruning they feed) survive. The rewrite reads each bin through the
+    * current schema ops (compacted files carry the latest physical
+    * spellings; older snapshots still read their own files — time
+    * travel is unaffected because the commit ADDS files to a NEW
+    * version and the old list still names the originals). Commit is
+    * the same optimistic CAS as every other writer; a lost race
+    * replans against the new head (sizes may have changed). Returns
+    * the committed version, or the unchanged head when nothing packs.
+    */
+  def compactSmall(spark: SparkSession, tablePath: String, keyCol: String,
+      targetBytes: Long, tag: String, maxAttempts: Int = 10): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = Manifest.currentListVersion(spark, tablePath)
+      require(head >= 0, s"no committed list versions at $tablePath")
+      val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, head)
+        .partition(e => isDeleteFile(e.path))
+      val dirtyKeys: Set[String] =
+        if (delEntries.isEmpty) Set.empty
+        else spark.read.parquet(delEntries.map(_.path): _*)
+          .select(col("file_path")).distinct()
+          .collect().map(r => metaKey(r.getString(0))).toSet
+      def partOf(p: String): String =
+        p.replaceAll(".*/graft_p=([^/]*)/.*", "$1")
+      val candidates = dataEntries.filter(e =>
+        e.bytes < targetBytes && !dirtyKeys.contains(entryKey(e.path)))
+      val bins: Seq[(String, Seq[Manifest.FileEntry])] =
+        candidates.groupBy(e => partOf(e.path)).toSeq.sortBy(_._1)
+          .flatMap { case (pv, files) =>
+            val open = scala.collection.mutable.ArrayBuffer
+              .empty[(scala.collection.mutable.ArrayBuffer[Manifest.FileEntry], Long)]
+            files.sortBy(-_.bytes).foreach { f =>
+              open.indexWhere(_._2 + f.bytes <= targetBytes) match {
+                case -1 => open += ((scala.collection.mutable.ArrayBuffer(f), f.bytes))
+                case i  =>
+                  val (b, s) = open(i); b += f; open(i) = (b, s + f.bytes)
+              }
+            }
+            open.collect { case (b, _) if b.size >= 2 => (pv, b.toSeq) }
+          }
+      if (bins.isEmpty) return head
+      val ops = opsFor(spark, tablePath, head, current = true)
+      val outDir = s"$tablePath/data/$tag-v${head + 1}"
+      val added: Seq[Manifest.FileEntry] = bins.zipWithIndex.flatMap {
+        case ((pv, bin), i) =>
+          // one writer task per bin (bin ≤ targetBytes by construction);
+          // loop is O(#bins) driver-side jobs — metadata scale, and the
+          // natural unit to fan out across a maintenance job's threads
+          val binDir = s"$outDir/graft_p=$pv/bin-$i"
+          morScan(spark, bin, Seq.empty, keepMeta = false, ops)
+            .coalesce(1).write.mode("overwrite").parquet(binDir)
+          Manifest.collectStats(spark, Manifest.dataFiles(spark, binDir),
+            keyCol)
+      }
+      // partition-aligned manifests, same as mergeCommit
+      val groups = added.groupBy(e => partOf(e.path)).toSeq
+        .sortBy(_._1).map(_._2)
+      val removed = bins.flatMap(_._2).map(_.path).toSet
       Manifest.commitDeltaGroupedAt(spark, tablePath, head, groups,
         removed) match {
         case Right(v) => return v

@@ -790,8 +790,64 @@ object Lake {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_compact_small — bin-pack small-file compaction (the lake's
+  // OPTIMIZE) proven semantics-preserving by the oracle. The fixture
+  // simulates the ingest reality that CREATES the small-file problem:
+  // six chunked [[ManifestLake.appendCommit]]s (each O(delta), nothing
+  // rewritten — the streaming fast path) leave every event_type
+  // partition holding six sub-target files; [[ManifestLake
+  // .compactSmall]] then plans bins from manifest metadata alone
+  // (zero data IO to decide), packs each partition's files
+  // first-fit-decreasing under the byte target, rewrites only bins
+  // that merge, and CAS-commits adds+removes in one new version. The
+  // gate reads the COMPACTED head and must hash-match the oracle on
+  // the raw rows — compaction is a pure physical rewrite, and this is
+  // the proof. CompactSmallSpec pins what the oracle can't see: file
+  // counts collapse 6→1 per partition, bins respect the cap, dirty
+  // files (delete-vector-addressed) are excluded, and time travel to
+  // the pre-compaction version still reads the original files.
+  private def compactedEventsPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
+    val tag = s"events_compact_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-compact/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_COMPACT_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val ev = T.events(spark, dir).filter(col("event_id").isNotNull)
+      (0 until 6).foreach { k =>
+        ManifestLake.appendCommit(spark, path, "event_type", "event_id",
+          ev.filter(col("event_id") % 6 === k), s"chunk-$k")
+      }
+      ManifestLake.compactSmall(spark, path, "event_id",
+        256L * 1024 * 1024, "opt")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def compactSmall(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    ManifestLake.read(spark, compactedEventsPath(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val compactSmallSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
+    QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
     QueryDef("lake_delete_vectors", deleteVectors, Some(deleteVectorsSql)),
     QueryDef("lake_mor_diff", morDiff, Some(morDiffSql)),
     QueryDef("ids_dense_assign", idsAssign, Some(idsAssignSql)),
