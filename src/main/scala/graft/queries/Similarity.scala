@@ -228,10 +228,10 @@ object Similarity {
   /** The k-means training loop unrolled to CTEs — one block per Lloyd
     * round, mirroring ops.KMeans step for step (cosine assignment with
     * lowest-cent_id ties, DECIMAL(28,12)-exact component means). */
-  private def ivfTrainingCtes(k: Int, iters: Int): String = {
+  private def ivfTrainingCtes(k: Int, iters: Int, corpus: String = "n"): String = {
     val sb = new StringBuilder
     sb.append(
-      s", cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < $k)")
+      s", cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM $corpus WHERE vec_id < $k)")
     for (t <- 1 to iters) {
       val prev = s"cent${t - 1}"
       val cur = s"cent$t"
@@ -245,7 +245,7 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
         |      list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
         |        / (nrm * cn) DESC, cent_id) AS r
-        |  FROM n, ${cur}_n),
+        |  FROM $corpus, ${cur}_n),
         |${cur}_comp AS (
         |  SELECT cent_id, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
         |  FROM ${cur}_assign WHERE r = 1),
@@ -348,6 +348,136 @@ object Similarity {
   }
 
   private val annIvfBucketedSql = ivfSearchSql("vec_id >= 10 AND vec_id < 20")
+
+  // -------------------------------------------------------------------
+  // ann_ivf_incremental — the index lifecycle UNDER INGEST: new vectors
+  // keep arriving, and retraining the quantizer + rebuilding the layout
+  // per batch is exactly what a 100 TB serving index cannot afford. The
+  // real protocol (IVF as deployed everywhere): train the coarse
+  // quantizer ONCE on the base corpus and FREEZE it; an arriving delta
+  // batch is assigned to its nearest frozen cell map-side (O(delta·C)
+  // dots against broadcast centroids — never touches the base) and lands
+  // as its own cell-partitioned segment next to the base layout; serving
+  // reads base ∪ delta, still pruned to the probes' nprobe cells on BOTH
+  // segments. The base mirror is never rewritten by an append
+  // (IvfIncrementalSpec pins its files byte-stable across the delta
+  // build) — merging delta segments into the base layout is a
+  // compaction-time job ([[graft.ops.ManifestLake.compactSmall]] is that
+  // machinery), not a query-time one. The oracle replays the base-only
+  // training (note `nb`), assigns ALL vectors to the frozen cells, and
+  // must agree exactly — proving the frozen-quantizer append changes no
+  // answer vs. an oracle that saw the whole corpus through the same
+  // frozen index.
+  private val centIncMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Quantizer trained on the BASE corpus only (vec_id % 10 != 3),
+    * frozen thereafter — same fingerprint-keyed sidecar lifecycle as
+    * [[trainedCentroids]]. */
+  private def frozenBaseCentroids(spark: SparkSession, dir: String): DataFrame =
+    centIncMemo.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.ops.IncrementalDedup
+        .sourceFingerprint(spark, s"$dir/embeddings.parquet")
+      val tag = s"ivf_cent_base_${IvfK}x${IvfIters}_${dir}_$fp"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success)) {
+        val base = vecs(spark, dir).filter(col("vec_id") % 10 =!= 3)
+        graft.ops.KMeans.train(
+          base.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path).localCheckpoint(true)
+    })
+
+  /** Cell-partitioned segment paths for the incremental index: (base,
+    * delta). Exposed to the spec so it can pin the base segment's
+    * byte-stability across the delta append. */
+  private[graft] def ivfIncrementalSegments(spark: SparkSession,
+      dir: String): (String, String) = {
+    val e = vecs(spark, dir)
+    val cent = frozenBaseCentroids(spark, dir)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    def assign(part: DataFrame): DataFrame = part
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+          .as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val src = s"$dir/embeddings.parquet"
+    val base = graft.ops.PartitionedLayout.ensureDerived(
+      spark, src, s"emb_ivfinc_base_$dir", "cell") {
+      assign(e.filter(col("vec_id") % 10 =!= 3))
+    }
+    val delta = graft.ops.PartitionedLayout.ensureDerived(
+      spark, src, s"emb_ivfinc_delta_$dir", "cell") {
+      assign(e.filter(col("vec_id") % 10 === 3))
+    }
+    (base, delta)
+  }
+
+  private def annIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = frozenBaseCentroids(spark, dir)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    val (baseMirror, deltaMirror) = ivfIncrementalSegments(spark, dir)
+    val corpus = spark.read.parquet(baseMirror)
+      .unionByName(spark.read.parquet(deltaMirror))
+    // probes ride the same frozen quantizer (nprobe=2 nearest cells)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").cast("int").as("qcell"))
+    val cand = corpus.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell").cast("long").as("cell"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annIvfIncrementalSql = normCte +
+    "\n, nb AS (SELECT * FROM n WHERE vec_id % 10 <> 3)" +
+    ivfTrainingCtes(IvfK, IvfIters, "nb") +
+    s"""
+      |, scored AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent_id,
+      |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
+      |      / (nrm * cn) AS ccos
+      |  FROM n, cent),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, cent_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+      |  FROM scored),
+      |corpus AS (SELECT vec_id, v, nrm, cell FROM assigned WHERE crank = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell AS qcell
+      |  FROM assigned WHERE crank <= 2 AND vec_id >= 20 AND vec_id < 30),
+      |cand AS (
+      |  SELECT query_id, corpus.vec_id AS neighbor_id, cell,
+      |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * qv[i]), (a, b) -> a + b)
+      |      / (nrm * qn) AS cosine
+      |  FROM corpus JOIN probes ON cell = qcell AND corpus.vec_id <> query_id)
+      |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
   // ann_pq_topk — product quantization (Jégou et al., "Product
@@ -834,6 +964,8 @@ object Similarity {
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
     QueryDef("ann_ivf_bucketed", annIvfBucketed, Some(annIvfBucketedSql)),
+    QueryDef("ann_ivf_incremental", annIvfIncremental,
+      Some(annIvfIncrementalSql)),
     QueryDef("ann_pq_topk", annPq, Some(annPqSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
     QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql)),
