@@ -99,6 +99,69 @@ class CompactSmallSpec extends SparkSpec {
     assert(after.groupBy(e => partOf(e.path)).values.forall(_.size == 3))
   }
 
+  test("compaction races a live append: CAS serializes, nothing lost") {
+    val dir = Files.createTempDirectory("graft-cmp").toString
+    val rows = chunkedLoad(dir)
+    val extra = Seq((100L, "a", 1.0), (101L, "b", 2.0))
+    // the maintenance job and the ingest path CAS against the same
+    // head: whoever loses replans/retries; both commits must land and
+    // neither may drop the other's files from the final list
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fAppend = Future(ManifestLake.appendCommit(spark, dir, "p", "k",
+      extra.toDF("k", "p", "v"), "live-append"))
+    val fCompact = Future(ManifestLake.compactSmall(spark, dir, "k",
+      64L * 1024 * 1024, "opt"))
+    val (vA, vC) = (Await.result(fAppend, 120.seconds),
+      Await.result(fCompact, 120.seconds))
+    pool.shutdown()
+    assert(Set(vA, vC) == Set(6, 7), s"expected versions {6,7}, got {$vA,$vC}")
+    assert(table(dir) == (rows ++ extra).sortBy(_._1))
+    // the head accounts for every row exactly once
+    val head = Manifest.currentListVersion(spark, dir)
+    assert(dataEntries(dir, head).map(_.rows).sum == 14)
+  }
+
+  test("streaming ingest drains into appendCommit; compaction mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-cmp").toString
+    val ckpt = Files.createTempDirectory("graft-cmp-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    // the appendCommit fast path as a streaming sink: one O(delta)
+    // commit per micro-batch, tagged by batch id — no partition rewrite
+    val q = in.toDF().toDF("k", "p", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestLake.appendCommit(batch.sparkSession, dir, "p", "k",
+          batch, s"batch-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    in.addData((0L, "a", 0.0), (1L, "b", 1.5))
+    in.addData((2L, "a", 3.0), (3L, "b", 4.5))
+    q.awaitTermination(120000)
+    val v = ManifestLake.compactSmall(spark, dir, "k",
+      64L * 1024 * 1024, "opt")
+    // a later micro-batch appends AFTER compaction — segments coexist
+    val q2 = in.toDF().toDF("k", "p", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestLake.appendCommit(batch.sparkSession, dir, "p", "k",
+          batch, s"batch-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    in.addData((4L, "a", 6.0), (5L, "b", 7.5))
+    q2.awaitTermination(120000)
+    assert(table(dir) == (0L until 6L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", i * 1.5)))
+    assert(Manifest.currentListVersion(spark, dir) > v)
+  }
+
   test("delete-vector-addressed files are excluded; compactions compose") {
     val dir = Files.createTempDirectory("graft-cmp").toString
     val rows = chunkedLoad(dir)
