@@ -673,8 +673,21 @@ object MatView {
   // HRU (1−1/e) bound's monotone-benefit corollary.
   /** Price the 8-node events lattice with ONE firehose pass (the
     * finest node's frame; every coarser size re-aggregates it — trunc
-    * composes). Shared by the pricing gate and the e2e loop. */
+    * composes). Shared by the pricing gate and the e2e loop, and
+    * MEMOIZED per (session, corpus): the advisor's lifecycle is
+    * price-once-per-corpus-build, and the priced lattice is 8 longs —
+    * repeated gates re-derive the greedy from the cached sizes, not
+    * from another firehose pass. */
+  private val latticeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Seq[graft.ops.MvAdvisor.View], graft.ops.MvAdvisor.View)]()
+
   private def eventsLattice(spark: SparkSession, dir: String)
+      : (Seq[graft.ops.MvAdvisor.View], graft.ops.MvAdvisor.View) =
+    latticeMemo.computeIfAbsent((spark, dir), _ =>
+      eventsLatticeUncached(spark, dir))
+
+  private def eventsLatticeUncached(spark: SparkSession, dir: String)
       : (Seq[graft.ops.MvAdvisor.View], graft.ops.MvAdvisor.View) = {
     import graft.ops.MvAdvisor.View
     val fin = T.events(spark, dir)
