@@ -694,6 +694,84 @@ object ManifestLake {
       s"compaction '$tag' lost $maxAttempts consecutive races at $tablePath")
   }
 
+  /** Clustered compaction — OPTIMIZE + sort order (Delta `OPTIMIZE
+    * ZORDER BY` / Iceberg sort-order rewrite). [[compactSmall]] repays
+    * the small-file TAX but keeps each output file's key span as wide
+    * as ingest left it: chunked appends give every file the FULL key
+    * range, so [[readWhere]]'s span pruning keeps everything and a
+    * key-range read still opens the whole table. This job rewrites
+    * each partition's clean files as a RANGE-CLUSTERED layout: rows
+    * are range-partitioned on `keyCol` into ceil(bytes/targetBytes)
+    * files and sorted within each, so per-file [min,max] spans become
+    * narrow and essentially disjoint and manifest pruning starts
+    * paying — the read-path dual of compactSmall (fewer files AND
+    * fewer of them relevant per query).
+    *
+    * Planning is metadata-only and IDEMPOTENT from metadata alone: a
+    * partition whose file spans are already pairwise disjoint is
+    * skipped (already clustered — re-running is a no-op that returns
+    * the unchanged head), so the maintenance loop can run on a
+    * schedule without re-paying the rewrite. Delete-vector-addressed
+    * files are excluded exactly as in [[compactSmall]] (vectors
+    * address (path, pos); fold them with [[compactDeletes]] first or
+    * after — the two compose). Null/absent key stats degrade to the
+    * conservative full span, which reads as "overlapping", so such
+    * files are re-clustered rather than wrongly skipped. Commit is
+    * the same optimistic CAS; a lost race replans against the new
+    * head. Returns the committed version, or the unchanged head when
+    * every partition is already clustered. */
+  def compactClustered(spark: SparkSession, tablePath: String,
+      keyCol: String, targetBytes: Long, tag: String,
+      maxAttempts: Int = 10): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = Manifest.currentListVersion(spark, tablePath)
+      require(head >= 0, s"no committed list versions at $tablePath")
+      val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, head)
+        .partition(e => isDeleteFile(e.path))
+      val dirtyKeys: Set[String] =
+        if (delEntries.isEmpty) Set.empty
+        else spark.read.parquet(delEntries.map(_.path): _*)
+          .select(col("file_path")).distinct()
+          .collect().map(r => metaKey(r.getString(0))).toSet
+      def partOf(p: String): String =
+        p.replaceAll(".*/graft_p=([^/]*)/.*", "$1")
+      def disjoint(fs: Seq[Manifest.FileEntry]): Boolean = {
+        val sorted = fs.sortBy(e => (e.minKey, e.maxKey))
+        sorted.zip(sorted.drop(1)).forall { case (a, b) => a.maxKey < b.minKey }
+      }
+      val groups: Seq[(String, Seq[Manifest.FileEntry])] = dataEntries
+        .filterNot(e => dirtyKeys.contains(entryKey(e.path)))
+        .groupBy(e => partOf(e.path)).toSeq.sortBy(_._1)
+        .filter { case (_, fs) => fs.size >= 2 && !disjoint(fs) }
+      if (groups.isEmpty) return head
+      val ops = opsFor(spark, tablePath, head, current = true)
+      val outDir = s"$tablePath/data/$tag-v${head + 1}"
+      val added: Seq[Manifest.FileEntry] = groups.flatMap { case (pv, fs) =>
+        val nOut = math.max(1L,
+          (fs.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
+        val partDir = s"$outDir/graft_p=$pv"
+        morScan(spark, fs, Seq.empty, keepMeta = false, ops)
+          .repartitionByRange(nOut, col(keyCol))
+          .sortWithinPartitions(col(keyCol))
+          .write.mode("overwrite").parquet(partDir)
+        Manifest.collectStats(spark, Manifest.dataFiles(spark, partDir),
+          keyCol)
+      }
+      val addedGroups = added.groupBy(e => partOf(e.path)).toSeq
+        .sortBy(_._1).map(_._2)
+      val removed = groups.flatMap(_._2).map(_.path).toSet
+      Manifest.commitDeltaGroupedAt(spark, tablePath, head, addedGroups,
+        removed) match {
+        case Right(v) => return v
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"clustered compaction '$tag' lost $maxAttempts consecutive races at $tablePath")
+  }
+
   /** Drop every list version not in `retain`: delete data files only
     * the dropped versions reference, then the dropped list files and
     * any manifests no retained list names. Returns deleted paths. */

@@ -826,6 +826,60 @@ object Lake {
     path
   }
 
+  // -------------------------------------------------------------------
+  // lake_compact_cluster — clustered compaction ([[ManifestLake
+  // .compactClustered]], the Delta OPTIMIZE ZORDER BY analogue) proven
+  // semantics-preserving AND useful: the same six chunked appends leave
+  // every file spanning the FULL event_id range (chunks are event_id %
+  // 6 — worst case for span pruning: a key-range read must open every
+  // file), the clustered rewrite range-partitions each event_type
+  // partition on event_id into capped sorted files, and the gate then
+  // does exactly the read the layout exists for — readWhere over a
+  // narrow id range — whose result must hash-match the oracle running
+  // the same predicate over raw rows. CompactClusterSpec pins what the
+  // oracle can't see: post-compaction spans are pairwise disjoint,
+  // Manifest.prune keeps a strict subset of files (pre-compaction it
+  // keeps ALL), re-running is a metadata-only no-op, and the
+  // pre-compaction version still time-travels byte-stable.
+  private def clusteredEventsPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
+    val tag = s"events_cluster_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-compact/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_CLUSTER_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val ev = T.events(spark, dir).filter(col("event_id").isNotNull)
+      (0 until 6).foreach { k =>
+        ManifestLake.appendCommit(spark, path, "event_type", "event_id",
+          ev.filter(col("event_id") % 6 === k), s"chunk-$k")
+      }
+      ManifestLake.compactClustered(spark, path, "event_id",
+        128L * 1024, "cluster")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def compactCluster(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    ManifestLake.readWhere(spark, clusteredEventsPath(spark, dir), 100L, 299L)
+      .filter(col("event_id").between(100, 299)) // residual predicate
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val compactClusterSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id BETWEEN 100 AND 299
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   private def compactSmall(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     ManifestLake.read(spark, compactedEventsPath(spark, dir))
@@ -848,6 +902,7 @@ object Lake {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
+    QueryDef("lake_compact_cluster", compactCluster, Some(compactClusterSql)),
     QueryDef("lake_delete_vectors", deleteVectors, Some(deleteVectorsSql)),
     QueryDef("lake_mor_diff", morDiff, Some(morDiffSql)),
     QueryDef("ids_dense_assign", idsAssign, Some(idsAssignSql)),

@@ -309,14 +309,15 @@ object Similarity {
   // cells touched, not corpus size (PlanSpec pins `dynamicpruning` in
   // the scan). Same answers as the in-memory plan, different probe set
   // than ann_ivf_topk so the two gates stay independent.
-  private def annIvfBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val cent = trainedCentroids(spark, dir)
-      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
-    val scored = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
-    val mirror = graft.ops.PartitionedLayout.ensureDerived(
-      spark, s"$dir/embeddings.parquet", s"emb_ivf${IvfK}x${IvfIters}_$dir", "cell") {
+  /** The cell-partitioned serving layout (one Hive partition per coarse
+    * cell), memoized on the source fingerprint — shared by the bucketed
+    * probe gate and the k-NN join. `scored` is the N×C centroid scoring
+    * frame (caller builds it once and reuses it for probes). */
+  private def ivfMirror(spark: SparkSession, dir: String,
+      scored: DataFrame): String =
+    graft.ops.PartitionedLayout.ensureDerived(
+      spark, s"$dir/embeddings.parquet", s"emb_ivf${IvfK}x${IvfIters}_$dir",
+      "cell") {
       scored.groupBy(col("vec_id"))
         .agg(
           max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
@@ -324,6 +325,14 @@ object Similarity {
           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     }
+
+  private def annIvfBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = trainedCentroids(spark, dir)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val mirror = ivfMirror(spark, dir, scored)
     // partition-column values 0..k-1 are inferred as INT on read; keep
     // the JOIN on the raw partition column (so pruning sees it) and cast
     // only in the output projection
@@ -348,6 +357,52 @@ object Similarity {
   }
 
   private val annIvfBucketedSql = ivfSearchSql("vec_id >= 10 AND vec_id < 20")
+
+  // -------------------------------------------------------------------
+  // ann_knn_join — the k-NN JOIN: top-3 neighbors for EVERY corpus
+  // vector, not a 10-probe set. This is the shape semantic dedup and
+  // clustering actually consume at 100 TB ("for each document, its
+  // nearest neighbors"), and the all-pairs spelling is Θ(N²) — the
+  // linear-regime plan is IVF-restricted: every vector searches its
+  // nprobe=2 nearest cells, so candidates are Σ|cell|·|probes in
+  // cell| ≈ N·(2N/C) instead of N². Both join sides shuffle ON THE
+  // CELL KEY (the corpus side reads the same cell-partitioned serving
+  // mirror as ann_ivf_bucketed — the stored index IS the join input),
+  // with a shuffle_hash hint so the wide vector payloads are never
+  // sort-merged (the sf10 near-dup lesson: sorting array-widened rows
+  // is the hidden quadratic of this family). Top-3 per vector goes
+  // through the row_number≤k pattern the WindowTopKRewrite turns into
+  // a bounded heap. At scale C grows ~√N, cells ≫ executors, so the
+  // cell shuffle balances; a mega-cell is the documented salting case.
+  private def annKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = trainedCentroids(spark, dir)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val corpus = spark.read.parquet(ivfMirror(spark, dir, scored))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = scored.withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").cast("int").as("qcell"))
+    val cand = corpus.hint("shuffle_hash").join(probes,
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+      .select(col("query_id"), col("vec_id"),
+        col("cell").cast("long").as("cell"), col("cosine"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // every vector is a probe: the shared search SQL with a TRUE pred
+  private val annKnnJoinSql = ivfSearchSql("TRUE")
 
   // -------------------------------------------------------------------
   // ann_ivf_incremental — the index lifecycle UNDER INGEST: new vectors
@@ -639,6 +694,236 @@ object Similarity {
       |  WHERE codes.vec_id <> query_id
       |  GROUP BY query_id, codes.vec_id)
       |SELECT query_id, neighbor_id,
+      |  CAST(u AS DOUBLE) / 1e12 AS adist, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY u, neighbor_id) AS rank
+      |  FROM adist)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin)
+    sb.toString
+  }
+
+  // -------------------------------------------------------------------
+  // ann_ivfpq_topk — IVFADC (Jégou et al., TPAMI 2011 §IV): the two
+  // index structures composed the way a production ANN index actually
+  // ships. The coarse quantizer (the SAME memoized IVF centroids as
+  // ann_ivf_topk — one training per corpus build serves every index
+  // variant) restricts the search to nprobe=2 cells; product
+  // quantization then compresses what's INSIDE each cell — but trained
+  // on RESIDUALS (v − centroid(cell)), not raw vectors, because after
+  // coarse assignment the residual energy is what's left to encode and
+  // a codebook over residuals spends its 8 codewords on a much tighter
+  // distribution (the paper's central point). Search: the probe
+  // computes its own residual PER PROBED CELL, builds the M×k ADC
+  // table from that residual, and each candidate costs M int64 table
+  // lookups. Distances ride as floor(d2·1e12) units summed exactly
+  // (the float-determinism ladder, rung 2), so the M-way fold is
+  // order-independent and the oracle can replay coarse training,
+  // residuals, codebook training, encode, and ADC bit-for-bit.
+  //
+  // 100 TB: corpus memory is N·(cell id + M codes) ≈ N·5 bytes vs
+  // N·512 raw — the difference between an index that fits executor
+  // memory and one that doesn't; scan cost is O(Q·nprobe·N/C) lookups
+  // with no vector math per candidate. Probes 10–19 (disjoint from
+  // ann_ivf_topk's 0–9) keep the two gates' answers independent.
+  private val IvfPqProbeLo = 10
+  private val IvfPqProbeHi = 20
+
+  /** Corpus coarse assignment + residuals (vec_id, cell, rv). */
+  private def ivfResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = trainedCentroids(spark, dir)
+    val scored = e.crossJoin(broadcast(
+        cent.select(col("cent_id"), col("cv").as("qv"), col("cn"))))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val corpus = scored.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+          .as("cell"),
+        first(col("v")).as("v"))
+    corpus.join(broadcast(cent.select(col("cent_id"), col("cv"))),
+        col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
+  }
+
+  /** Cut a residual frame into M subvectors, carrying `idCols`. */
+  private def residSub(r: DataFrame, idCols: String*): DataFrame = r
+    .select(idCols.map(col) :+ explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> " +
+        s"struct(m AS m, slice(rv, m * $PqSubDim + 1, $PqSubDim) AS sv))"))
+      .as("p"): _*)
+    .select(idCols.map(col) :+ col("p.m").as("m") :+ col("p.sv").as("sv"): _*)
+
+  /** Residual codebooks (m, cent_id, cv) — the PQ Lloyd loop of
+    * [[trainedCodebooks]] but over coarse-assignment residuals, as
+    * IVFADC requires. Sidecar-persisted per corpus fingerprint like
+    * every trained index component. */
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def trainedResidualCodebooks(spark: SparkSession, dir: String)
+      : DataFrame =
+    ivfPqMemo.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.ops.IncrementalDedup
+        .sourceFingerprint(spark, s"$dir/embeddings.parquet")
+      val tag = (s"ivfpq_cent_${IvfK}x${IvfIters}_" +
+        s"${PqM}x${PqK}x${PqIters}_${dir}_$fp")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success)) {
+        val sub = residSub(ivfResiduals(spark, dir), "vec_id")
+        var cent = sub.filter(col("vec_id") < PqK)
+          .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+        for (_ <- 1 to PqIters) {
+          val assigned = sub.join(broadcast(cent), "m")
+            .withColumn("d2", expr(pqD2))
+            .groupBy(col("vec_id"), col("m"))
+            .agg(
+              min_by(col("cent_id"), struct(col("d2"), col("cent_id")))
+                .as("cent_id"),
+              first(col("sv")).as("sv"))
+          val comp = assigned
+            .selectExpr("m", "cent_id", "posexplode(sv) AS (pos, x)")
+            .groupBy(col("m"), col("cent_id"), col("pos"))
+            .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1))).as("mm"))
+          cent = comp.groupBy(col("m"), col("cent_id"))
+            .agg(expr(
+              "transform(sort_array(collect_list(struct(pos, mm))), s -> s.mm)")
+              .as("cv"))
+        }
+        cent.write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path).localCheckpoint(true)
+    })
+
+  private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = trainedCentroids(spark, dir)
+    val rcent = trainedResidualCodebooks(spark, dir)
+    // encode: every corpus vector → (cell, M codes) — the stored index
+    val codes = residSub(ivfResiduals(spark, dir), "vec_id", "cell")
+      .join(broadcast(rcent), "m")
+      .withColumn("d2", expr(pqD2))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(
+        min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
+        min(col("cell")).as("cell"))
+    // probes: nprobe=2 nearest cells, then a residual PER PROBED CELL
+    val probeScored = e
+      .filter(col("vec_id") >= IvfPqProbeLo && col("vec_id") < IvfPqProbeHi)
+      .crossJoin(broadcast(
+        cent.select(col("cent_id"), col("cv").as("qv"), col("cn"))))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val qres = probeScored.withColumn("crank", row_number().over(wA))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("qcell"),
+        expr("zip_with(v, qv, (a, b) -> a - b)").as("rv"))
+    // ADC tables: Q·nprobe·M·k quantized distances, broadcast
+    val dt = residSub(qres, "query_id", "qcell")
+      .join(broadcast(rcent), "m")
+      .withColumn("d2", expr(pqD2))
+      .select(col("query_id"), col("qcell"), col("m").as("qm"),
+        col("cent_id").as("qcode"),
+        floor(col("d2") * lit(PqUnit)).cast("long").as("units"))
+    val adist = codes.join(broadcast(dt),
+        col("cell") === col("qcell") && col("m") === col("qm") &&
+          col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("cell")).as("cell"), sum(col("units")).as("u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("u"), col("vec_id"))
+    adist.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        (col("u").cast("double") / lit(PqUnit)).as("adist"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVFADC replayed end-to-end: coarse Lloyd training (shared CTEs),
+    * assignment, residuals, the residual-codebook Lloyd loop, encode,
+    * per-(probe, cell) ADC tables, exact int64 fold. */
+  private def annIvfPqSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    val d2 = s"${dot("sv", "sv")} + ${dot("cv", "cv")} - 2 * ${dot("sv", "cv")}"
+    val dotVC = dot("v", "cv")
+    val sb = new StringBuilder
+    sb.append(normCte)
+    sb.append(ivfTrainingCtes(IvfK, IvfIters))
+    sb.append(s"""
+      |, scoredc AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent_id,
+      |    $dotVC / (nrm * cn) AS ccos
+      |  FROM n, cent),
+      |assignedc AS (
+      |  SELECT vec_id, v, cent_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+      |  FROM scoredc),
+      |resid AS (
+      |  SELECT vec_id, cell,
+      |    list_transform(range(1, len(v)+1), i -> v[i] - cv[i]) AS rv
+      |  FROM assignedc JOIN cent ON cell = cent_id
+      |  WHERE crank = 1),
+      |rsub AS (
+      |  SELECT vec_id, cell, r.m AS m,
+      |    list_slice(rv, r.m * $PqSubDim + 1, r.m * $PqSubDim + $PqSubDim) AS sv
+      |  FROM resid, (SELECT unnest(range(0, $PqM)) AS m) r),
+      |rcent0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM rsub WHERE vec_id < $PqK)""".stripMargin)
+    for (t <- 1 to PqIters) {
+      val prev = s"rcent${t - 1}"
+      val cur = s"rcent$t"
+      sb.append(s"""
+        |, ${cur}_assign AS (
+        |  SELECT s.vec_id, s.m, s.sv, c.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |      $d2 ASC, c.cent_id) AS r
+        |  FROM rsub s JOIN $prev c ON s.m = c.m),
+        |${cur}_comp AS (
+        |  SELECT m, cent_id, unnest(range(1, len(sv)+1)) AS pos, unnest(sv) AS x
+        |  FROM ${cur}_assign WHERE r = 1),
+        |$cur AS (
+        |  SELECT m, cent_id, list(mm ORDER BY pos) AS cv FROM (
+        |    SELECT m, cent_id, pos,
+        |      CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mm
+        |    FROM ${cur}_comp GROUP BY m, cent_id, pos)
+        |  GROUP BY m, cent_id)""".stripMargin)
+    }
+    sb.append(s"""
+      |, rscored AS (
+      |  SELECT s.vec_id, s.cell, s.m, c.cent_id, $d2 AS d2
+      |  FROM rsub s JOIN rcent$PqIters c ON s.m = c.m),
+      |codes AS (
+      |  SELECT vec_id, cell, m, cent_id AS code FROM (
+      |    SELECT vec_id, cell, m, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cent_id) AS r
+      |    FROM rscored) WHERE r = 1),
+      |qres AS (
+      |  SELECT vec_id AS query_id, cell AS qcell,
+      |    list_transform(range(1, len(v)+1), i -> v[i] - cv[i]) AS rv
+      |  FROM assignedc JOIN cent ON cell = cent_id
+      |  WHERE crank <= 2 AND vec_id >= $IvfPqProbeLo AND vec_id < $IvfPqProbeHi),
+      |qsub AS (
+      |  SELECT query_id, qcell, r.m AS m,
+      |    list_slice(rv, r.m * $PqSubDim + 1, r.m * $PqSubDim + $PqSubDim) AS sv
+      |  FROM qres, (SELECT unnest(range(0, $PqM)) AS m) r),
+      |dt AS (
+      |  SELECT query_id, qcell, s.m AS qm, c.cent_id AS qcode,
+      |    CAST(floor(($d2) * 1e12) AS BIGINT) AS units
+      |  FROM qsub s JOIN rcent$PqIters c ON s.m = c.m),
+      |adist AS (
+      |  SELECT query_id, codes.vec_id AS neighbor_id, MIN(codes.cell) AS cell,
+      |    SUM(units) AS u
+      |  FROM codes JOIN dt ON codes.cell = dt.qcell AND codes.m = dt.qm
+      |    AND codes.code = dt.qcode
+      |  WHERE codes.vec_id <> query_id
+      |  GROUP BY query_id, codes.vec_id)
+      |SELECT query_id, neighbor_id, cell,
       |  CAST(u AS DOUBLE) / 1e12 AS adist, CAST(rank AS INT) AS rank FROM (
       |  SELECT *, ROW_NUMBER() OVER (
       |    PARTITION BY query_id ORDER BY u, neighbor_id) AS rank
@@ -967,6 +1252,8 @@ object Similarity {
     QueryDef("ann_ivf_incremental", annIvfIncremental,
       Some(annIvfIncrementalSql)),
     QueryDef("ann_pq_topk", annPq, Some(annPqSql)),
+    QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
+    QueryDef("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
     QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql)),
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
