@@ -707,11 +707,16 @@ object ManifestLake {
     * paying — the read-path dual of compactSmall (fewer files AND
     * fewer of them relevant per query).
     *
-    * Planning is metadata-only and IDEMPOTENT from metadata alone: a
-    * partition whose file spans are already pairwise disjoint is
-    * skipped (already clustered — re-running is a no-op that returns
-    * the unchanged head), so the maintenance loop can run on a
-    * schedule without re-paying the rewrite. Delete-vector-addressed
+    * A partition qualifies when its files' spans OVERLAP (ingest
+    * interleaving — the pruning-blind case) or when any file exceeds
+    * 2×`targetBytes` (a span can be "disjoint" only because one fat
+    * file owns the whole range — e.g. right after [[compactSmall]] —
+    * and range reads still pay for all of it; splitting restores the
+    * pruning grain). The 2× hysteresis makes the rule IDEMPOTENT from
+    * metadata alone: outputs aim at `targetBytes`, so a re-run sees
+    * disjoint, under-threshold files and returns the unchanged head —
+    * the maintenance loop can run on a schedule without re-paying the
+    * rewrite. Delete-vector-addressed
     * files are excluded exactly as in [[compactSmall]] (vectors
     * address (path, pos); fold them with [[compactDeletes]] first or
     * after — the two compose). Null/absent key stats degrade to the
@@ -744,7 +749,10 @@ object ManifestLake {
       val groups: Seq[(String, Seq[Manifest.FileEntry])] = dataEntries
         .filterNot(e => dirtyKeys.contains(entryKey(e.path)))
         .groupBy(e => partOf(e.path)).toSeq.sortBy(_._1)
-        .filter { case (_, fs) => fs.size >= 2 && !disjoint(fs) }
+        .filter { case (_, fs) =>
+          (fs.size >= 2 && !disjoint(fs)) ||
+            fs.exists(_.bytes > 2 * targetBytes)
+        }
       if (groups.isEmpty) return head
       val ops = opsFor(spark, tablePath, head, current = true)
       val outDir = s"$tablePath/data/$tag-v${head + 1}"

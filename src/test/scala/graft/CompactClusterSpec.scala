@@ -113,6 +113,32 @@ class CompactClusterSpec extends SparkSpec {
     assert(Manifest.currentListVersion(spark, dir) == v)
   }
 
+  test("an oversized fat file is split into range files, then the rule quiesces") {
+    val dir = Files.createTempDirectory("graft-clu").toString
+    moduloLoad(dir)
+    // first pack everything fat (compactSmall with a huge cap): one
+    // file per partition, spans trivially disjoint — but each file is
+    // the WHOLE range, so a narrow read pays for everything
+    val vFat = ManifestLake.compactSmall(spark, dir, "k",
+      64L * 1024 * 1024, "fat")
+    val fat = dataEntries(dir, vFat)
+    assert(fat.size == 2)
+    // the oversize rule fires: fat bytes > 2×target ⇒ split by range
+    val target = fat.map(_.bytes).max / 4
+    val v = ManifestLake.compactClustered(spark, dir, "k", target, "split")
+    val after = dataEntries(dir, v)
+    after.groupBy(e => partOf(e.path)).foreach { case (pv, fs0) =>
+      assert(fs0.size >= 2, s"partition $pv not split")
+      assert(disjoint(fs0), s"partition $pv overlaps after split")
+    }
+    assert(Manifest.prune(after, 100L, 199L).size < after.size)
+    // hysteresis: outputs sit under 2×target ⇒ second run is a no-op
+    assert(ManifestLake.compactClustered(spark, dir, "k", target,
+      "again") == v)
+    // rows identical through fat-pack + split
+    assert(table(dir, v) == table(dir, 3))
+  }
+
   test("delete-vector-dirty files are excluded from the rewrite") {
     val dir = Files.createTempDirectory("graft-clu").toString
     moduloLoad(dir)
