@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Ctx, QueryDef, T}
-import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, Manifest, ManifestLake, ZOrder}
+import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, Manifest, ManifestLake, NdvStats, ZOrder}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -899,7 +899,67 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_ndv_manifest — column NDV statistics AT THE MANIFEST GRAIN
+  // ([[graft.ops.NdvStats]]): every data file carries a KMV bottom-k
+  // sketch of user_id in a sidecar, and the TABLE-level estimate is a
+  // metadata-only merge of the per-file sketches — the ANALYZE that
+  // never rescans the table (Iceberg's puffin theta sketches; KMV here
+  // because bottom-k merges EXACTLY, so the sidecar-merged sketch is
+  // bit-identical to one computed over the raw rows and the oracle
+  // replays it with ROW_NUMBER OVER (ORDER BY hash)). The estimate
+  // (k−1)·16^15/kth-hash carries its within-50% contract as a checked
+  // column, same discipline as sketch_kmv_custkey. NdvStatsSpec pins
+  // what the oracle can't see: one sketch per file, O(delta) reuse
+  // across commits, and estimate-invariance under compaction.
+  private val NdvK = 64
+
+  private def ndvManifest(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = compactedEventsPath(spark, dir)
+    val est = NdvStats.mergedSketch(spark, path, "user_id", NdvK)
+      .select(
+        size(col("ks")).cast("long").as("k_held"),
+        element_at(col("ks"), size(col("ks"))).as("kth_hash"))
+      .withColumn("est",
+        when(col("k_held") < NdvK, col("k_held").cast("double"))
+          .otherwise(lit((NdvK - 1).toDouble) * lit(1152921504606846976.0) /
+            conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")))
+    val exact = T.events(spark, dir).filter(col("event_id").isNotNull)
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("est_ok",
+        abs(col("est") - col("n_exact")) / col("n_exact") <= 0.5)
+      .select(col("n_exact"), col("k_held"), col("kth_hash"), col("est"),
+        col("est_ok"))
+  }
+
+  private val ndvManifestSql =
+    s"""WITH h AS (
+       |  SELECT md5(CAST(user_id AS VARCHAR)) AS h
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |ranked AS (
+       |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+       |  FROM (SELECT DISTINCT h FROM h)),
+       |bot AS (
+       |  SELECT MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS k_held
+       |  FROM ranked WHERE r <= $NdvK),
+       |ex AS (
+       |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events WHERE event_id IS NOT NULL),
+       |j AS (
+       |  SELECT n_exact, k_held, kth_hash,
+       |    CASE WHEN k_held < $NdvK THEN CAST(k_held AS DOUBLE)
+       |         ELSE CAST(${NdvK - 1} AS DOUBLE) * 1152921504606846976.0 /
+       |              CAST('0x' || substr(kth_hash, 1, 15) AS BIGINT) END AS est
+       |  FROM bot, ex)
+       |SELECT n_exact, k_held, kth_hash, est,
+       |  abs(est - n_exact) / n_exact <= 0.5 AS est_ok
+       |FROM j""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("lake_ndv_manifest", ndvManifest, Some(ndvManifestSql)),
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
     QueryDef("lake_compact_cluster", compactCluster, Some(compactClusterSql)),
