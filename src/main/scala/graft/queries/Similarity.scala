@@ -374,6 +374,10 @@ object Similarity {
   // through the row_number≤k pattern the WindowTopKRewrite turns into
   // a bounded heap. At scale C grows ~√N, cells ≫ executors, so the
   // cell shuffle balances; a mega-cell is the documented salting case.
+  // The C ~ √N contract is MEASURED, not claimed: the gate's C=8 (the
+  // oracle must replay training) is Θ(N²/C) and times out at 200k
+  // vectors, while tools/KnnProbe running this same plan at C=√N
+  // finishes sf10 in 31.5 s — SCALE.md round-8 session-4b table.
   private def annKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val cent = trainedCentroids(spark, dir)
