@@ -914,17 +914,22 @@ object Lake {
   // across commits, and estimate-invariance under compaction.
   private val NdvK = 64
 
+  /** (k_held, kth_hash, est) from a merged bottom-k sketch frame —
+    * the KMV estimator spelling shared with sketch_kmv_custkey. */
+  private def kmvEstimate(ks: DataFrame): DataFrame = ks
+    .select(
+      size(col("ks")).cast("long").as("k_held"),
+      element_at(col("ks"), size(col("ks"))).as("kth_hash"))
+    .withColumn("est",
+      when(col("k_held") < NdvK, col("k_held").cast("double"))
+        .otherwise(lit((NdvK - 1).toDouble) * lit(1152921504606846976.0) /
+          conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")))
+
   private def ndvManifest(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val path = compactedEventsPath(spark, dir)
-    val est = NdvStats.mergedSketch(spark, path, "user_id", NdvK)
-      .select(
-        size(col("ks")).cast("long").as("k_held"),
-        element_at(col("ks"), size(col("ks"))).as("kth_hash"))
-      .withColumn("est",
-        when(col("k_held") < NdvK, col("k_held").cast("double"))
-          .otherwise(lit((NdvK - 1).toDouble) * lit(1152921504606846976.0) /
-            conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")))
+    val est = kmvEstimate(
+      NdvStats.mergedSketch(spark, path, "user_id", NdvK))
     val exact = T.events(spark, dir).filter(col("event_id").isNotNull)
       .agg(countDistinct(col("user_id")).as("n_exact"))
     est.crossJoin(broadcast(exact))
@@ -958,8 +963,61 @@ object Lake {
        |  abs(est - n_exact) / n_exact <= 0.5 AS est_ok
        |FROM j""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_stats_profile — the statistics layer CONSUMED: the planning
+  // profile a cost-based decision reads before touching any data.
+  // n_rows comes from MANIFEST row accounting (sum of per-file counts
+  // — zero scan), est_ndv from the merged KMV sidecars, and the two
+  // derived quantities are the actual CBO inputs: fanout_est =
+  // n_rows/est_ndv is the per-key multiplicity a join on user_id would
+  // fan out to, and broadcast_ok is the build-side decision at a row
+  // threshold. The oracle recomputes ALL of it from raw rows — so the
+  // gate simultaneously proves the manifest's row accounting (metadata
+  // count == true count) and the sketch estimate, the two numbers a
+  // planner would otherwise scan for. At 100 TB this row is what
+  // ANALYZE publishes and every join strategy reads.
+  private def statsProfile(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = compactedEventsPath(spark, dir)
+    val head = Manifest.currentListVersion(spark, path)
+    val nRows = Manifest.readAll(spark, path, head)
+      .filterNot(_.path.contains("/deletes/")).map(_.rows).sum
+    kmvEstimate(NdvStats.mergedSketch(spark, path, "user_id", NdvK))
+      .select(
+        lit(nRows).as("n_rows"),
+        col("est").as("est_ndv"),
+        (lit(nRows).cast("double") / col("est")).as("fanout_est"),
+        (lit(nRows) <= lit(1000000L)).as("broadcast_ok"))
+  }
+
+  private val statsProfileSql =
+    s"""WITH h AS (
+       |  SELECT md5(CAST(user_id AS VARCHAR)) AS h
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |ranked AS (
+       |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+       |  FROM (SELECT DISTINCT h FROM h)),
+       |bot AS (
+       |  SELECT MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS k_held
+       |  FROM ranked WHERE r <= $NdvK),
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM events WHERE event_id IS NOT NULL),
+       |j AS (
+       |  SELECT n_rows,
+       |    CASE WHEN k_held < $NdvK THEN CAST(k_held AS DOUBLE)
+       |         ELSE CAST(${NdvK - 1} AS DOUBLE) * 1152921504606846976.0 /
+       |              CAST('0x' || substr(kth_hash, 1, 15) AS BIGINT) END AS est
+       |  FROM bot, ex)
+       |SELECT n_rows, est AS est_ndv,
+       |  CAST(n_rows AS DOUBLE) / est AS fanout_est,
+       |  n_rows <= 1000000 AS broadcast_ok
+       |FROM j""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("lake_ndv_manifest", ndvManifest, Some(ndvManifestSql)),
+    QueryDef("lake_stats_profile", statsProfile, Some(statsProfileSql)),
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
     QueryDef("lake_compact_cluster", compactCluster, Some(compactClusterSql)),

@@ -67,6 +67,38 @@ class NdvStatsSpec extends SparkSpec {
     assert(merged == directSketch(dir))
   }
 
+  test("streaming lifecycle: per-batch ANALYZE, clustering mid-stream, stats stay bit-equal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-ndv").toString
+    val ckpt = Files.createTempDirectory("graft-ndv-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    // the maintenance loop a streaming table runs: append the batch,
+    // refresh the stats sidecar — ensure() sketches ONLY the new files
+    def sink() = in.toDF().toDF("k", "p", "u").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestLake.appendCommit(batch.sparkSession, dir, "p", "k",
+          batch, s"batch-$id")
+        NdvStats.ensure(batch.sparkSession, dir, "u", K)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    val q = sink()
+    in.addData((0L, "a", "x0"), (1L, "b", "x1"))
+    in.addData((2L, "a", "x2"), (3L, "b", "x0"))
+    q.awaitTermination(120000)
+    ManifestLake.compactClustered(spark, dir, "k", 64L * 1024 * 1024, "clu")
+    val q2 = sink()
+    in.addData((4L, "a", "x3"), (5L, "b", "x2"))
+    q2.awaitTermination(120000)
+    val merged = NdvStats.mergedSketch(spark, dir, "u", K)
+      .collect()(0).getSeq[String](0)
+    assert(merged == directSketch(dir),
+      "streamed + compacted stats diverge from the direct sketch")
+  }
+
   test("estimate invariant under compaction (new files, same value set)") {
     val dir = Files.createTempDirectory("graft-ndv").toString
     load(dir, 4)
