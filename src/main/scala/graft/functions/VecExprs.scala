@@ -315,6 +315,10 @@ object VecExprs {
       val cur3 = spark.experimental.extraOptimizations
       if (!cur3.contains(graft.plans.SummaryRewrite))
         spark.experimental.extraOptimizations = cur3 :+ graft.plans.SummaryRewrite
+      // no-op until StatsBroadcast.register names a table path
+      val cur4 = spark.experimental.extraOptimizations
+      if (!cur4.contains(graft.plans.StatsBroadcast))
+        spark.experimental.extraOptimizations = cur4 :+ graft.plans.StatsBroadcast
       // the rewrite emits the TopKPerGroup logical node — its planner
       // strategy must ride along or the swapped plan cannot be planned
       val strats = spark.experimental.extraStrategies

@@ -1015,9 +1015,73 @@ object Lake {
        |  n_rows <= 1000000 AS broadcast_ok
        |FROM j""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_cbo_broadcast — the statistics layer DRIVING the planner:
+  // [[graft.plans.StatsBroadcast]] consumes the manifest's per-file row
+  // accounting (the numbers lake_stats_profile publishes) and injects a
+  // BROADCAST hint on a join side whose manifest row bound clears the
+  // threshold — the query itself is written with NO hint, exactly as a
+  // user who doesn't know the table's live size writes it. The fixture
+  // is the case file-size estimation gets WRONG at 100 TB: a
+  // merge-on-read deleteWhere leaves every data file byte-identical on
+  // disk (bytes say "big") while the manifest knows most rows are gone
+  // — the CBO reads live truth at zero IO. The oracle recomputes the
+  // join from raw rows under the same delete predicate, so the gate
+  // proves the hinted plan is semantics-preserving; StatsBroadcastSpec
+  // pins the plan shape (BroadcastHashJoin under a -1 size threshold,
+  // SortMergeJoin with the registry empty, refusals for unregistered
+  // files / multiplying subtrees / user-hint override).
+  private def cboEventsPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
+    val tag = s"events_cbo_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-compact/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_CBO_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val ev = T.events(spark, dir).filter(col("event_id").isNotNull)
+      (0 until 2).foreach { k =>
+        ManifestLake.appendCommit(spark, path, "event_type", "event_id",
+          ev.filter(col("event_id") % 2 === k), s"chunk-$k")
+      }
+      // MOR delete: data files stay byte-identical, live rows shrink
+      ManifestLake.deleteWhere(spark, path, col("user_id") % 7 === 3, "cbo")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def cboBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark) // installs the rule
+    val path = cboEventsPath(spark, dir)
+    graft.plans.StatsBroadcast.register(spark, path)
+    val ev = ManifestLake.read(spark, path)
+      .select(col("user_id"), col("event_type"), dec(col("value")).as("v"))
+    val ord = T.orders(spark, dir)
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
+    // no hint, no broadcast() — the manifest-stats rule decides
+    ord.join(ev, col("o_custkey") === col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("v")).cast("double").as("sum_value"),
+        sum(col("p")).cast("double").as("sum_price"))
+      .orderBy(col("event_type"))
+  }
+
+  private val cboBroadcastSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN events ON o_custkey = user_id
+      |WHERE event_id IS NOT NULL AND user_id % 7 <> 3
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("lake_ndv_manifest", ndvManifest, Some(ndvManifestSql)),
     QueryDef("lake_stats_profile", statsProfile, Some(statsProfileSql)),
+    QueryDef("lake_cbo_broadcast", cboBroadcast, Some(cboBroadcastSql)),
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
     QueryDef("lake_compact_cluster", compactCluster, Some(compactClusterSql)),
