@@ -268,6 +268,18 @@ object Similarity {
     * the direct and the partition-layout-backed variants — by design the
     * layout must not change any answer). */
   private def ivfSearchSql(probePred: String): String =
+    ivfSearchCtes(probePred) +
+      """
+      |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** The search chain up to the candidate set (`cand`), so composites
+    * (the k-NN-graph dedup oracle) can keep building CTEs on top. */
+  private def ivfSearchCtes(probePred: String): String =
     normCte + ivfTrainingCtes(IvfK, IvfIters) +
       s"""
       |, scored AS (
@@ -287,13 +299,7 @@ object Similarity {
       |  SELECT query_id, corpus.vec_id AS neighbor_id, cell,
       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * qv[i]), (a, b) -> a + b)
       |      / (nrm * qn) AS cosine
-      |  FROM corpus JOIN probes ON cell = qcell AND corpus.vec_id <> query_id)
-      |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank FROM (
-      |  SELECT *, ROW_NUMBER() OVER (
-      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-      |  FROM cand)
-      |WHERE rank <= 3
-      |ORDER BY query_id, rank""".stripMargin
+      |  FROM corpus JOIN probes ON cell = qcell AND corpus.vec_id <> query_id)""".stripMargin
 
   private val annIvfSql = ivfSearchSql("vec_id < 10")
 
@@ -378,7 +384,12 @@ object Similarity {
   // oracle must replay training) is Θ(N²/C) and times out at 200k
   // vectors, while tools/KnnProbe running this same plan at C=√N
   // finishes sf10 in 31.5 s — SCALE.md round-8 session-4b table.
-  private def annKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+  private def annKnnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnFrame(spark, dir).orderBy(col("query_id"), col("rank"))
+
+  /** The k-NN join's ranked frame (shared with the k-NN-graph semantic
+    * dedup, which consumes its edges instead of its ranking). */
+  private def knnFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val cent = trainedCentroids(spark, dir)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
@@ -402,11 +413,72 @@ object Similarity {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cell"), col("cosine"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   // every vector is a probe: the shared search SQL with a TRUE pred
   private val annKnnJoinSql = ivfSearchSql("TRUE")
+
+  // -------------------------------------------------------------------
+  // dedup_semantic_knn — semantic deduplication in the LINEAR regime:
+  // the k-NN graph (every vector's IVF-restricted top-3, the exact
+  // edges ann_knn_join emits) thresholded at cosine ≥ 0.45, symmetric
+  // closure, connected components, one survivor per component (min
+  // vec_id). This is the composition a 100 TB curation run actually
+  // executes — emb_neardup_pairs' exact all-pairs spelling at the same
+  // threshold is Θ(N²) BY CONTRACT, while this plan's candidate volume
+  // is the k-NN join's Σ|cell|·|probes in cell| ≈ N·(2N/C), linear at
+  // the measured C ~ √N operating point (SCALE.md session-4b), and the
+  // component step is [[graft.ops.Graph.connectedComponents]]'s
+  // partition-local contraction + pointer-doubling propagation — the
+  // same machinery under the text near-dup family. Recall relative to
+  // all-pairs is the IVF + top-k contract (a pair in an unprobed cell
+  // or past rank 3 is not an edge) — which is precisely what the gate
+  // proves semantics of: the oracle replays the SAME graph (search
+  // CTEs + recursive reachability), so survivors match bit-for-bit.
+  // Output: every vector with its component rep and survivor flag —
+  // singletons survive trivially via the left join's coalesce.
+  private def dedupSemanticKnn(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnFrame(spark, dir)
+      .filter(col("cosine") >= 0.45)
+      .select(
+        least(col("query_id"), col("neighbor_id")).as("doc_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("doc_b"))
+      .distinct()
+    val labels = graft.ops.Graph.connectedComponents(edges)
+    val e = vecs(spark, dir).select(col("vec_id"))
+    e.join(labels, e("vec_id") === labels("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_rep"),
+        (coalesce(col("label"), col("vec_id")) === col("vec_id"))
+          .cast("int").as("is_survivor"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val dedupSemanticKnnSql =
+    ("WITH RECURSIVE" + ivfSearchCtes("TRUE").stripPrefix("WITH")) +
+      """
+      |, knn AS (
+      |  SELECT query_id, neighbor_id, cosine FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM cand)
+      |  WHERE rank <= 3),
+      |p2 AS (
+      |  SELECT DISTINCT LEAST(query_id, neighbor_id) AS doc_a,
+      |    GREATEST(query_id, neighbor_id) AS doc_b
+      |  FROM knn WHERE cosine >= 0.45),
+      |eedges AS (SELECT doc_a, doc_b FROM p2
+      |           UNION ALL SELECT doc_b, doc_a FROM p2),
+      |reach(src, dst) AS (
+      |  SELECT DISTINCT doc_a, doc_a FROM eedges
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM reach r JOIN eedges e ON r.dst = e.doc_a),
+      |labels AS (SELECT src, MIN(dst) AS lab FROM reach GROUP BY src)
+      |SELECT n.vec_id, COALESCE(lab, n.vec_id) AS cluster_rep,
+      |  CAST(CASE WHEN COALESCE(lab, n.vec_id) = n.vec_id
+      |       THEN 1 ELSE 0 END AS INT) AS is_survivor
+      |FROM n LEFT JOIN labels ON n.vec_id = labels.src
+      |ORDER BY vec_id""".stripMargin
 
   // -------------------------------------------------------------------
   // ann_ivf_incremental — the index lifecycle UNDER INGEST: new vectors
@@ -1258,6 +1330,7 @@ object Similarity {
     QueryDef("ann_pq_topk", annPq, Some(annPqSql)),
     QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     QueryDef("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
+    QueryDef("dedup_semantic_knn", dedupSemanticKnn, Some(dedupSemanticKnnSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
     QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql)),
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
