@@ -53,4 +53,28 @@ object Skew {
       explode(array((0 until buckets).map(lit): _*)))
     leftS.join(rightS, Seq(key, SaltCol), "inner").drop(SaltCol)
   }
+
+  /** Split salted equi-join driven by a HOT-KEY LIST (the production
+    * skew-join shape, fed by [[HotKeyStats.hotKeys]]'s guaranteed
+    * bounds): rows carrying a hot key take the salted path — left side
+    * row-salted, right side replicated `buckets` ways but ONLY for its
+    * hot-key rows — while everything else joins plain. Against
+    * [[saltedJoin]] this stops paying replication on the entire right
+    * side: at 100 TB the right side may be millions of rows of which a
+    * handful of keys are hot, and replicating the cold millions
+    * `buckets`× is its own regression. Inner joins only (null keys
+    * drop from both branches, matching inner-join semantics). */
+  def splitSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+      hotKeys: Seq[Any], buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    if (hotKeys.isEmpty) return left.join(right, Seq(key), "inner")
+    val isHot = col(key).isInCollection(hotKeys)
+    val hotL = left.filter(isHot).withColumn(SaltCol,
+      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+    val hotR = right.filter(isHot).withColumn(SaltCol,
+      explode(array((0 until buckets).map(lit): _*)))
+    val hot = hotL.join(hotR, Seq(key, SaltCol), "inner").drop(SaltCol)
+    val cold = left.filter(!isHot).join(right.filter(!isHot), Seq(key), "inner")
+    hot.unionByName(cold)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Ctx, QueryDef, T}
-import graft.ops.{CopyOnWrite, DenseIds, IncrementalDedup, Manifest, ManifestLake, NdvStats, ZOrder}
+import graft.ops.{CopyOnWrite, DenseIds, HotKeyStats, IncrementalDedup, Manifest, ManifestLake, NdvStats, Skew, ZOrder}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1078,7 +1078,91 @@ object Lake {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lake_hotkey_salted — the skew-mitigation primitives WIRED to a
+  // data-driven trigger: per-file SpaceSaving heavy-hitter sidecars
+  // ([[HotKeyStats]], the sibling of the NDV sketches) merge at
+  // metadata grain into a guaranteed-bound hot-key list, and
+  // [[Skew.splitSaltedJoin]] salts exactly those keys — left side
+  // row-salted, right side replicated only for its hot rows, cold keys
+  // joining plain. The fixture derives a deliberately skewed key from
+  // events (70% of rows collapse to one key — the profile AQE's
+  // byte-based splitting may miss when the hot key hides inside
+  // many-row-but-few-byte partitions), loads it as a chunked lake
+  // table, and the decision reads ONLY the sidecar + manifest row
+  // accounting — zero table scans to decide, the ANALYZE-feeds-the-
+  // planner economics at 100 TB. The key universe (≤ 51) sits under
+  // the sketch capacity (64), so the summary is EXACT (err = 0,
+  // SpaceSavingSpec's contract) and the DuckDB oracle can replay the
+  // decision itself as a plain GROUP BY share test: n_hot_rows puts
+  // the hot-key CLASSIFICATION, not just the join result, under the
+  // hash check. HotKeyStatsSpec pins what the oracle can't see:
+  // O(delta) sketch reuse across commits, the eviction-path error
+  // bounds on a high-cardinality key, the no-false-positive decision
+  // rule, and salted≡plain bit-equality with the salt visible in the
+  // hot branch's plan.
+  private def skewEventsPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
+    val tag = s"events_hotkey_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-compact/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_HOTKEY_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val ev = T.events(spark, dir)
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"),
+          when(col("user_id") % 10 < 7, lit(-1L))
+            .otherwise(col("user_id") % 50).as("skew_key"),
+          col("event_type"), col("value"))
+      (0 until 2).foreach { k =>
+        ManifestLake.appendCommit(spark, path, "event_type", "event_id",
+          ev.filter(col("event_id") % 2 === k), s"chunk-$k")
+      }
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def hotkeySalted(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val path = skewEventsPath(spark, dir)
+    // decision from metadata alone: sidecar sketches + manifest rows
+    val hot = HotKeyStats.hotKeys(spark, path, "skew_key", 64, 0.3)
+      .map(_.toLong)
+    val e = ManifestLake.read(spark, path)
+    val d = e.select(col("skew_key")).distinct()
+      .withColumn("grp", col("skew_key") % 5)
+    val isHot =
+      if (hot.isEmpty) lit(false) else col("skew_key").isInCollection(hot)
+    Skew.splitSaltedJoin(e, d, "skew_key", hot, 8)
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        sum(when(isHot, 1L).otherwise(0L)).as("n_hot_rows"))
+      .orderBy(col("grp"))
+  }
+
+  private val hotkeySaltedSql =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CASE WHEN user_id % 10 < 7 THEN -1 ELSE user_id % 50 END AS skew_key,
+      |    event_type, value
+      |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+      |hot AS (
+      |  SELECT skew_key FROM e, tot
+      |  GROUP BY skew_key, n HAVING COUNT(*) >= 0.3 * n),
+      |d AS (SELECT DISTINCT skew_key, skew_key % 5 AS grp FROM e)
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CASE WHEN e.skew_key IN (SELECT skew_key FROM hot)
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_rows
+      |FROM e JOIN d ON e.skew_key = d.skew_key
+      |GROUP BY grp ORDER BY grp""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("lake_hotkey_salted", hotkeySalted, Some(hotkeySaltedSql)),
     QueryDef("lake_ndv_manifest", ndvManifest, Some(ndvManifestSql)),
     QueryDef("lake_stats_profile", statsProfile, Some(statsProfileSql)),
     QueryDef("lake_cbo_broadcast", cboBroadcast, Some(cboBroadcastSql)),
