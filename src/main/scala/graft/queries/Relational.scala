@@ -324,6 +324,40 @@ object Relational {
       |ORDER BY o_custkey, rn""".stripMargin
 
   // -------------------------------------------------------------------
+  // window_ntile_battery — the distribution-rank window quartet (B6):
+  // ntile(4) quartile assignment, percent_rank, cume_dist, and
+  // nth_value(…, 2) per customer over a TOTAL order (price desc,
+  // orderkey — determinism discipline of the family). percent_rank =
+  // (rank−1)/(n−1) and cume_dist = peers≤current/n are integer ratios
+  // evaluated in one double division on both engines — bit-identical
+  // operands, bit-identical result. ntile's uneven-split rule (larger
+  // buckets first) is the SQL standard on both. One partitioned
+  // window, no corpus-sized single-partition shuffle.
+  private def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("quartile"), col("prank"), col("cdist"), col("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val windowNtileSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS prank,
+      |  CUME_DIST() OVER w AS cdist,
+      |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // window_lag_lead — B6 analytic functions over event-time order.
   private def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
@@ -1666,6 +1700,7 @@ object Relational {
     QueryDef("cube_orders", cubeQ, Some(cubeSql)),
     QueryDef("grouping_sets_orders", groupingSetsQ, Some(groupingSetsSql)),
     QueryDef("window_rank_orders", windowRank, Some(windowRankSql)),
+    QueryDef("window_ntile_battery", windowNtile, Some(windowNtileSql)),
     QueryDef("window_lag_lead", windowLagLead, Some(windowLagLeadSql)),
     QueryDef("window_running_sum", windowRunning, Some(windowRunningSql)),
     QueryDef("window_range_frame", windowRange, Some(windowRangeSql)),

@@ -820,7 +820,12 @@ object TextOps {
   // instead of assuming it. At 100 TB the block key bounds each join
   // cell, and a skewed block salts exactly like any hot join key. Edit
   // distances are integers ⇒ bit-exact cross-engine.
-  private def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyFrame(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The blocked fuzzy-match edge set (shared with er_golden_record,
+    * which consumes the edges instead of the listing). */
+  private def fuzzyFrame(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val d = T.documents(spark, dir).select(col("doc_id"), col("lang"),
       substring(col("text"), 1, 40).as("head"), col("n_chars"),
@@ -836,8 +841,87 @@ object TextOps {
       .withColumn("edit_dist", levenshtein(col("head_a"), col("head_b"), 12))
       .filter(col("edit_dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("edit_dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // -------------------------------------------------------------------
+  // er_golden_record — entity resolution end-to-end (the record-linkage
+  // composite downstream of text_fuzzy_pairs): blocked fuzzy-match
+  // edges → connected components → one GOLDEN RECORD per entity by
+  // deterministic survivorship rules — representative = min doc_id,
+  // golden document = the longest text (ties to lowest id), golden
+  // language = the cluster's modal lang (ties lexicographic). Every
+  // survivorship pick is a max_by/min_by over a TOTALLY ordered struct
+  // (the family's determinism discipline — bare max_by ties are
+  // "any"), so both engines agree bit-for-bit. Scale shape: the edge
+  // set is the blocked join (never all-pairs), components are the
+  // contraction+doubling machinery, and survivorship is two hash
+  // aggregates + a broadcast-sized mode join — no windows over the
+  // corpus. Singletons are entities too: the output IS the master
+  // table, one row per resolved entity.
+  private def erGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val edges = fuzzyFrame(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labels = graft.ops.Graph.connectedComponents(edges)
+    val docs = T.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val m = docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("rep"))
+    val langMode = m.groupBy(col("rep"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("rep"))
+      .agg(min_by(col("lang"),
+        struct((-col("cnt")).as("nc"), col("lang"))).as("golden_lang"))
+    m.groupBy(col("rep"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("golden_doc"),
+        max(col("n_chars")).as("golden_len"))
+      .join(langMode, "rep")
+      .select(col("rep").as("cluster_rep"), col("n_members"),
+        col("golden_doc"), col("golden_len"), col("golden_lang"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  private val erGoldenRecordSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, substr(text, 1, 40) AS head, n_chars
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |    AND abs(a.n_chars - b.n_chars) <= 12
+      |  WHERE levenshtein(a.head, b.head) <= 12),
+      |eedges AS (SELECT doc_a, doc_b FROM pairs
+      |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT DISTINCT doc_a, doc_a FROM eedges
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM reach r JOIN eedges e ON r.dst = e.doc_a),
+      |labels AS (SELECT src, MIN(dst) AS lab FROM reach GROUP BY src),
+      |m AS (
+      |  SELECT doc_id, lang, n_chars, COALESCE(lab, doc_id) AS rep
+      |  FROM documents LEFT JOIN labels ON doc_id = labels.src),
+      |lm AS (SELECT rep, lang, COUNT(*) AS cnt FROM m GROUP BY rep, lang),
+      |lmode AS (
+      |  SELECT rep, lang AS golden_lang FROM (
+      |    SELECT rep, lang,
+      |      ROW_NUMBER() OVER (PARTITION BY rep ORDER BY cnt DESC, lang) AS r
+      |    FROM lm) WHERE r = 1),
+      |gdoc AS (
+      |  SELECT rep, doc_id AS golden_doc FROM (
+      |    SELECT rep, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS r
+      |    FROM m) WHERE r = 1),
+      |agg AS (
+      |  SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    MAX(n_chars) AS golden_len
+      |  FROM m GROUP BY rep)
+      |SELECT agg.rep AS cluster_rep, n_members, golden_doc, golden_len,
+      |  golden_lang
+      |FROM agg JOIN gdoc ON agg.rep = gdoc.rep
+      |  JOIN lmode ON agg.rep = lmode.rep
+      |ORDER BY cluster_rep""".stripMargin
 
   private val fuzzyPairsSql =
     """WITH d AS (
@@ -1212,6 +1296,7 @@ object TextOps {
     QueryDef("dedup_passage_exact", passageDedup, Some(passageDedupSql)),
     QueryDef("doc_sample_hash", sampleHash, Some(sampleHashSql)),
     QueryDef("text_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
+    QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql)),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
