@@ -720,7 +720,175 @@ object Curation {
       |FROM documents
       |ORDER BY shuffle_pos""".stripMargin
 
+  // -------------------------------------------------------------------
+  // curate_token_budget — fill a global token budget (40% of the corpus)
+  // with the highest-quality documents. The naive spelling is a single
+  // global sort by quality + a corpus-wide running sum — one partition
+  // owning 100 TB. The scalable shape is threshold selection over a
+  // quality HISTOGRAM (the two-pass top-mass idiom): (1) quantize the
+  // quality score (type-token ratio) onto a fixed 1001-cell grid and
+  // aggregate token mass per cell — the histogram is bounded metadata,
+  // its cumulative sweep is a window over ≤1001 rows; (2) every bucket
+  // strictly inside the budget is kept whole with no per-doc ordering at
+  // all, and only the single BOUNDARY bucket pays a doc-level running
+  // sum — partitioned by bucket, so even that window never sees the
+  // corpus through one ordering. All selection arithmetic is int64
+  // (token counts, `div`), the only float op is the ttr division +
+  // floor-quantize both engines execute identically (determinism
+  // ladder rung 2). Greedy fill is strict: a doc is kept iff it fits
+  // entirely (run ≤ rem), so the budget is never exceeded.
+  private def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val d = T.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("qb",
+        floor(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")) * 1000).cast("int"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("qb"))
+    // Histogram sweep: ≤1001 rows, best-quality-first cumulative mass.
+    val wDesc = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val buckets = d.groupBy(col("qb")).agg(sum(col("n_tokens")).as("bmass"))
+      .withColumn("cum", sum(col("bmass")).over(wDesc))
+      .withColumn("total", sum(col("bmass")).over(wAll))
+      .withColumn("budget", expr("(total * 2) div 5"))
+      .withColumn("prev_cum", col("cum") - col("bmass"))
+      .withColumn("status",
+        when(col("cum") <= col("budget"), lit("full"))
+          .when(col("prev_cum") < col("budget"), lit("part"))
+          .otherwise(lit("drop")))
+      .withColumn("rem", col("budget") - col("prev_cum"))
+      .select(col("qb"), col("status"), col("rem"))
+    // Doc pass: full buckets keep everything (no window effect); only
+    // the boundary bucket's partition exercises the running sum.
+    val wb = Window.partitionBy(col("qb")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(buckets.filter(col("status") =!= "drop")), Seq("qb"))
+      .withColumn("run", sum(col("n_tokens")).over(wb))
+      .filter(col("status") === "full" || col("run") <= col("rem"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val tokenBudgetSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) * 1000) AS INT) AS qb
+      |  FROM documents),
+      |b AS (SELECT qb, CAST(SUM(n_tokens) AS BIGINT) AS bmass FROM d GROUP BY qb),
+      |c AS (
+      |  SELECT qb, bmass,
+      |    CAST(SUM(bmass) OVER (ORDER BY qb DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(bmass) OVER () AS BIGINT) AS total
+      |  FROM b),
+      |cls AS (
+      |  SELECT qb,
+      |    CASE WHEN cum <= (total * 2) // 5 THEN 'full'
+      |         WHEN cum - bmass < (total * 2) // 5 THEN 'part'
+      |         ELSE 'drop' END AS status,
+      |    ((total * 2) // 5) - (cum - bmass) AS rem
+      |  FROM c),
+      |k AS (
+      |  SELECT d.source, d.n_tokens, cls.status, cls.rem,
+      |    SUM(d.n_tokens) OVER (PARTITION BY d.qb ORDER BY d.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM d JOIN cls ON d.qb = cls.qb
+      |  WHERE cls.status <> 'drop')
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+      |FROM k WHERE status = 'full' OR run <= rem
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // curate_mix_temperature — temperature-scaled domain mixing (the
+  // multilingual-LLM sampling law: p_s ∝ m_s^(1/T), here T = 2 so the
+  // exponent is a SQUARE ROOT — deliberately, because IEEE-754 sqrt is
+  // correctly rounded in every conforming engine while pow() is libm-
+  // dependent; the determinism ladder picks the exponent you can prove).
+  // Per-source mass m_s aggregates once; weights are sqrt(m_s) floor-
+  // quantized to int64 micros, so shares, ppm, and per-source token
+  // targets are all integer ratios (`div`) — bit-exact cross-engine.
+  // The total budget (Σ m_s) is then REdistributed at temperature:
+  // oversampled tails get target > mass (rate > 1, kept whole),
+  // dominant sources get squeezed. Docs are drawn by the same
+  // multiplicative-hash residue as curate_domain_mix (different
+  // multiplier — the draws must be independent across operators), with
+  // the keep test cross-multiplied to stay integer: u·m_s <
+  // target·1000003. Aggregates-over-sources windows see |sources| rows.
+  // Overflow note: budget·sq < 2^63 holds through ~sf50 corpus mass
+  // (2.5e8 tokens · 1.6e10 micros ≈ 4e18); past that, divide before
+  // multiplying.
+  private def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val d = T.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val srcs = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("sq",
+        floor(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("w_total", sum(col("sq")).over(wAll))
+      .withColumn("budget", sum(col("src_tokens")).over(wAll))
+      .withColumn("target_tokens", expr("(budget * sq) div w_total"))
+      .withColumn("w_ppm", expr("(sq * 1000000) div w_total"))
+    val kept = d.join(broadcast(srcs), Seq("source"))
+      .withColumn("u",
+        ((col("doc_id") % lit(1000003L)) * lit(610639L)) % lit(1000003L))
+      .filter(col("u") * col("src_tokens")
+        < col("target_tokens") * lit(1000003L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    srcs.join(kept, Seq("source"), "left")
+      .select(col("source"), col("src_tokens"), col("w_ppm"),
+        col("target_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val mixTemperatureSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      |      FROM d GROUP BY source),
+      |w AS (
+      |  SELECT source, src_tokens,
+      |    CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq,
+      |    CAST(SUM(CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT)) OVER () AS BIGINT) AS w_total,
+      |    CAST(SUM(src_tokens) OVER () AS BIGINT) AS budget
+      |  FROM s),
+      |t AS (
+      |  SELECT source, src_tokens, sq, w_total, budget,
+      |    (budget * sq) // w_total AS target_tokens,
+      |    (sq * 1000000) // w_total AS w_ppm
+      |  FROM w),
+      |k AS (
+      |  SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tokens) AS tokens_kept
+      |  FROM d JOIN t ON d.source = t.source
+      |  WHERE (((d.doc_id % 1000003) * 610639) % 1000003) * t.src_tokens
+      |        < t.target_tokens * 1000003
+      |  GROUP BY d.source)
+      |SELECT t.source, t.src_tokens, t.w_ppm, t.target_tokens,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+      |FROM t LEFT JOIN k ON t.source = k.source
+      |ORDER BY t.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curate_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    QueryDef("curate_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("curate_shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
     QueryDef("curate_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("curate_split_hash", splitHash, Some(splitHashSql)),

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan pins for the round-8 session-6 curation additions.
+  *
+  * curate_token_budget: the histogram-threshold selection must (a) never
+  * exceed the 40% budget, (b) waste at most one boundary document of
+  * headroom (greedy strict fill), and (c) pay its doc-level window
+  * PARTITIONED BY bucket — the corpus never flows through a global
+  * ordering (the bucket sweep's unpartitioned window sees ≤1001
+  * aggregate rows by construction, which is the allowed shape).
+  *
+  * curate_mix_temperature: T=2 sampling must flatten the mix — every
+  * source's share of the temperature budget sits between its raw share
+  * and the uniform share (sqrt is order-preserving + concave), totals
+  * redistribute (Σ target ≤ budget with only integer-floor loss), and
+  * the doc draw joins via a broadcast of the |sources|-row weight table.
+  */
+class TokenBudgetSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("curate_token_budget: kept mass fits the 40% budget, boundary-tight") {
+    assume(new java.io.File(sf).isDirectory)
+    val out = SparkEntry.queries("curate_token_budget")(spark, sf)
+    val kept = out.agg(sum("tokens_kept")).head.getLong(0)
+    val total = T.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    val budget = total * 2 / 5
+    assert(kept <= budget, s"kept=$kept > budget=$budget")
+    // Greedy strict fill leaves less than one max-doc of headroom.
+    val maxDoc = T.documents(spark, sf)
+      .agg(max(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(budget - kept < maxDoc,
+      s"headroom ${budget - kept} ≥ max doc $maxDoc — fill not greedy")
+  }
+
+  test("curate_token_budget: doc-level window is bucket-partitioned; dim broadcasts") {
+    assume(new java.io.File(sf).isDirectory)
+    val p = executedPlan("curate_token_budget")
+    // the boundary-bucket running sum partitions by qb — a corpus-wide
+    // empty-partition window over doc rows would print 'windowspecdefinition(doc'
+    assert(p.contains("windowspecdefinition(qb"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("curate_mix_temperature: ratio compression + order preservation; budget conserved") {
+    assume(new java.io.File(sf).isDirectory)
+    val rows = SparkEntry.queries("curate_mix_temperature")(spark, sf).collect()
+    val budget = rows.map(_.getAs[Long]("src_tokens")).sum
+    val targets = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(targets <= budget && budget - targets < rows.length * 2L,
+      s"Σtarget=$targets vs budget=$budget — integer-floor loss only")
+    // sqrt preserves the mass ORDER but compresses the spread: the
+    // target max/min ratio must be ≈ sqrt of the raw max/min ratio
+    // (never the raw ratio itself). NOTE a middle source's normalized
+    // share CAN exceed both its raw share and uniform — the naive
+    // "between raw and uniform" bound is false; ratio compression is
+    // the property that actually holds.
+    val byMass = rows.sortBy(_.getAs[Long]("src_tokens"))
+    assert(byMass.map(_.getAs[Long]("target_tokens")).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true
+    }, "temperature sampling must preserve the mass order")
+    val rawRatio = byMass.last.getAs[Long]("src_tokens").toDouble /
+      byMass.head.getAs[Long]("src_tokens")
+    val tempRatio = byMass.last.getAs[Long]("target_tokens").toDouble /
+      byMass.head.getAs[Long]("target_tokens")
+    assert(tempRatio <= math.sqrt(rawRatio) * 1.01 && tempRatio >= 1.0,
+      s"temp ratio $tempRatio vs sqrt(raw) ${math.sqrt(rawRatio)}")
+  }
+
+  test("curate_mix_temperature: weight table broadcasts, no shuffle join") {
+    assume(new java.io.File(sf).isDirectory)
+    val p = executedPlan("curate_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("er_golden_record: blocked edges only — no cartesian, no BNLJ") {
+    assume(new java.io.File(sf).isDirectory)
+    val p = executedPlan("er_golden_record")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+}
