@@ -1287,7 +1287,83 @@ object TextOps {
       |WHERE containment >= 0.8
       |ORDER BY src_doc, within_doc""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_substring_spans — exact repeated-substring detection at the
+  // SPAN grain, the operation Lee et al. (ACL'22, "Deduplicating
+  // Training Data Makes Language Models Better") run with a suffix
+  // array: find every k-token span (k=10 here) that recurs across
+  // documents, and profile per source how much of its token stream is
+  // covered by cross-document repeats. A suffix array is a single-node
+  // data structure; the Spark-native re-expression is a SPAN-HASH
+  // AGGREGATE — every duplicated substring of length ≥ k contains a
+  // duplicated k-span, so k-span hashing finds exactly the same
+  // offending regions, as three map-side-combined hash shuffles:
+  //   (1) slide the k-window per doc (map-only, codegen'd array HOF),
+  //       hash each span to its md5 (identical hex in both engines);
+  //   (2) groupBy(h, doc) then groupBy(h) — span occurrences collapse
+  //       to distinct (span, doc) pairs BEFORE the corpus-wide count,
+  //       so the big shuffle carries one row per distinct pair, not
+  //       one per occurrence (boilerplate spans with 10^6 repeats in
+  //       one doc cost 1 shuffled row);
+  //   (3) join the n_docs count back on h — co-partitioned with (2)'s
+  //       output, Catalyst reuses the exchange — and re-aggregate up
+  //       to doc then source grain.
+  // Shuffle volume is O(distinct spans), never O(pairs): this is the
+  // same never-materialize-the-quadratic discipline as the minhash
+  // family. At 100 TB the output feeds span REMOVAL (cut the covered
+  // ranges); the profile here is the decision input (which sources
+  // carry template rot) and the gate stays deterministic: all
+  // ratios are int64 ppm via `div`.
+  private def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val d = toks(spark, dir)
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"transform(sequence(1, size(tokens) - ${k - 1}), " +
+            s"i -> md5(array_join(slice(tokens, i, $k), ' ')))")).as("h"))
+    val perDoc = d.groupBy(col("h"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val perHash = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs_h"))
+    perDoc.join(perHash, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("n_docs_h") >= 2, col("cnt")).otherwise(lit(0L)))
+          .as("n_dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("n_dup")).as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("(n_dup_spans * 1000000) div n_spans"))
+      .orderBy(col("source"))
+  }
+
+  private val substringSpansSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(toks) - 8),
+      |      i -> md5(array_to_string(toks[i:i+9], ' ')))) AS h
+      |  FROM d WHERE len(toks) >= 10),
+      |pd AS (SELECT h, doc_id, source, COUNT(*) AS cnt
+      |       FROM sp GROUP BY 1, 2, 3),
+      |ph AS (SELECT h, COUNT(*) AS n_docs_h FROM pd GROUP BY 1),
+      |dd AS (
+      |  SELECT pd.doc_id, pd.source, SUM(pd.cnt) AS n_spans,
+      |    SUM(CASE WHEN ph.n_docs_h >= 2 THEN pd.cnt ELSE 0 END) AS n_dup
+      |  FROM pd JOIN ph ON pd.h = ph.h GROUP BY 1, 2)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+      |  CAST(SUM(n_dup) AS BIGINT) AS n_dup_spans,
+      |  (CAST(SUM(n_dup) AS BIGINT) * 1000000)
+      |    // CAST(SUM(n_spans) AS BIGINT) AS dup_ppm
+      |FROM dd GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("text_containment", containmentPairs, Some(containmentPairsSql)),
     QueryDef("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),

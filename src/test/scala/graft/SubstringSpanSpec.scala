@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins for dedup_substring_spans — the span-grain exact-substring
+  * profiler (the suffix-array operation of Lee et al. ACL'22,
+  * re-expressed as a span-hash aggregate).
+  *
+  * 1. Cross-spelling equivalence: the md5 span-hash path must agree
+  *    per-source with an independent RAW-STRING spelling (group the
+  *    literal k-token span text, no hashing) — this catches both a
+  *    windowing off-by-one and any dream of hash collisions mattering.
+  * 2. Integer contract: dup_ppm is exactly n_dup_spans*1e6 div n_spans
+  *    and dup mass never exceeds span mass.
+  * 3. Plan: the corpus-wide duplicate count must collapse occurrences
+  *    to distinct (span, doc) pairs BEFORE counting (two stacked hash
+  *    aggregates), and nothing may go quadratic (no cartesian / BNLJ
+  *    over span rows).
+  */
+class SubstringSpanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private val K = 10
+
+  test("span dup counts match a raw-string (no-hash) respelling per source") {
+    assume(new java.io.File(sf).isDirectory)
+    val got = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+      .select("source", "n_dup_spans").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val spans = T.documents(spark, sf)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= K)
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"transform(sequence(1, size(tokens) - ${K - 1}), " +
+          s"i -> array_join(slice(tokens, i, $K), ' '))")).as("span"))
+    val perDoc = spans.groupBy("span", "doc_id", "source")
+      .agg(count(lit(1)).as("cnt"))
+    val nDocs = perDoc.groupBy("span").agg(count(lit(1)).as("nd"))
+    val want = perDoc.join(nDocs, "span").filter(col("nd") >= 2)
+      .groupBy("source").agg(sum("cnt").as("dup")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    got.keys.foreach { s =>
+      assert(got(s) == want.getOrElse(s, 0L),
+        s"$s: hashed=${got(s)} raw=${want.getOrElse(s, 0L)}")
+    }
+    assert(got.values.sum > 0, "generator plants near-dups; zero is a bug")
+  }
+
+  test("dup_ppm integer contract and mass bound") {
+    assume(new java.io.File(sf).isDirectory)
+    SparkEntry.queries("dedup_substring_spans")(spark, sf).collect().foreach { r =>
+      val (spansN, dup, ppm) = (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_ppm"))
+      assert(dup >= 0 && dup <= spansN, s"dup $dup outside [0, $spansN]")
+      assert(ppm == dup * 1000000L / spansN, s"ppm $ppm != ${dup * 1000000L / spansN}")
+    }
+  }
+
+  test("plan: stacked pair-collapse aggregates, nothing quadratic") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // occurrences → (h, doc) pairs → per-h doc count: the distinct-pair
+    // collapse shows as a hash aggregate keyed (h, doc_id, source)
+    assert("HashAggregate\\(keys=\\[h[#0-9]*, doc_id".r
+      .findFirstIn(p).isDefined, p.take(1500))
+  }
+}
