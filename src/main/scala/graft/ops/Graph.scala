@@ -127,4 +127,82 @@ object Graph {
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
+
+  /** Connected components by the ALTERNATING algorithm — Large-Star /
+    * Small-Star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). Same output contract as [[connectedComponents]]
+    * (label = component-min vertex id), different convergence economics:
+    * the round count is O(log² n) INDEPENDENT of component diameter,
+    * where min-label propagation pays Θ(log diameter) only after the
+    * partition-local contraction has eaten the chains. On a 100 TB
+    * near-dup graph the clusters are shallow and both are fine; on
+    * pathological chain-shaped graphs (linked time series, road-network
+    * extracts) the alternating algorithm is the one that terminates in
+    * bounded rounds — that is why it ships as a second mode rather than
+    * a replacement.
+    *
+    * Each operation is expressed as a per-key MIN aggregate + join, never
+    * a collected neighbor list (a hot vertex's adjacency stays
+    * distributed; the groupBy carries one row per edge, map-side
+    * combined):
+    *  - large-star: for every u, link each LARGER neighbor v > u to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star: orient edges large→small; link each smaller
+    *    neighbor and u itself to m = min(N(u) ∪ u).
+    * Both preserve connectivity and only ever re-point vertices at
+    * smaller ids; the fixpoint is a forest of min-rooted stars. The
+    * fixpoint test is exact (count equality + one-sided except — equal
+    * cardinality ⊇ check), not a checksum heuristic.
+    */
+  def altStarComponents(pairs: DataFrame): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.toSeq.take(2)
+    val spark = pairs.sparkSession
+    val raw = pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+      .localCheckpoint(true)
+    val verts = raw.select(col("a").as("id"))
+      .unionByName(raw.select(col("b").as("id"))).distinct()
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, raw.count() / 1000000L).toString
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+          .select(col("a"), least(col("mb"), col("a")).as("m"))
+        sym.join(mins, "a").filter(col("b") > col("a"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        val dir = e.select(greatest(col("a"), col("b")).as("a"),
+            least(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b"))
+        val mins = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+        dir.join(mins, "a").select(col("b").as("v"), col("m"))
+          .unionByName(mins.select(col("a").as("v"), col("m")))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("a"), col("m").as("b")).distinct()
+      }
+      var edges = raw.filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      var converged = edges.isEmpty
+      var rounds = 0
+      while (!converged && rounds < 30) {
+        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        converged = next.count() == edges.count() && next.except(edges).isEmpty
+        edges = next
+        rounds += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[altstar] round=$rounds edges=${edges.count()}")
+      }
+      // Star state: (child, root) with root = component min; roots carry
+      // no outgoing edge, so they self-label. Vertices that only ever
+      // appeared in self-loop pairs fall through the left join to
+      // themselves — same singleton semantics as connectedComponents.
+      val lbl = edges.select(col("a").as("id"), col("b").as("lab"))
+        .unionByName(edges.select(col("b").as("id"), col("b").as("lab")))
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+      verts.join(lbl, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lab"), col("id")).as("label"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
 }

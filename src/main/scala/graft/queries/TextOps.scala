@@ -802,6 +802,20 @@ object TextOps {
       |  CAST(CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS INT) AS is_survivor
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // dedup_clusters_star — the SAME clustering through the alternating
+  // Large-Star/Small-Star algorithm (Kiveris SoCC'14): identical edge
+  // set, identical oracle, different iteration contract — rounds are
+  // O(log² n) regardless of component diameter, where min-propagation
+  // pays the (contracted) diameter. Shipping both, oracle-gated against
+  // the same recursive-CTE reachability, is the equivalence proof.
+  private def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir)
+    graft.ops.Graph.altStarComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("is_survivor", (col("doc_id") === col("cluster_rep")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------
   // text_fuzzy_pairs — edit-distance fuzzy matching (record-linkage
   // blocking): same-language docs within 12 chars of each other's
@@ -1389,6 +1403,7 @@ object TextOps {
     QueryDef("dedup_near_minhash", nearMinhash, Some(nearMinhashSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("dedup_near_simhash", nearSimhash, Some(nearSimhashSql)),
-    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql))
+    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("dedup_clusters_star", dedupClustersStar, Some(dedupClustersSql))
   )
 }

@@ -42,6 +42,50 @@ class GraphSpec extends SparkSpec {
     assert(Seq(1L, 3L, 5L).forall(labels(_) == 1L))
   }
 
+  private def star(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.altStarComponents(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("altstar: chain, triangle, pair — labels identical to min-propagation") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L))
+    assert(star(edges) == cc(edges))
+  }
+
+  test("altstar: 120-vertex chain collapses in ≤ 30 alternating rounds") {
+    // diameter 119 — the case the alternating algorithm exists for:
+    // rounds scale with log², not diameter, so the 30-round cap holds
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    val labels = star(chain)
+    assert(labels.values.toSet == Set(0L))
+    assert(labels.size == 120)
+  }
+
+  test("altstar: empty set, self-loops, duplicate/reversed edges") {
+    assert(star(Seq.empty).isEmpty)
+    // a self-loop vertex is its own singleton component, not dropped
+    assert(star(Seq((7L, 7L))) == Map(7L -> 7L))
+    assert(star(Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 1L)))
+      == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("property: altstar ≡ min-propagation on random skewed graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(4, 30)
+      m <- Gen.choose(3, 50)
+      edges <- Gen.listOfN(m, for {
+        u <- Gen.choose(0.0, 1.0)
+        v <- Gen.choose(0.0, 1.0)
+      } yield ((u * u * n).toLong.min(n - 1L), (v * v * n).toLong.min(n - 1L)))
+    } yield edges
+    val prop = Prop.forAll(genGraph) { es => star(es) == cc(es) }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: degree-ordered triangle counts ≡ id-ordered on power-law graphs") {
     // graph_triangles orients edges by (degree, id) — the
     // Chiba–Nishizeki ordering that bounds wedge fan-out on power-law
