@@ -886,7 +886,123 @@ object Curation {
       |FROM t LEFT JOIN k ON t.source = k.source
       |ORDER BY t.source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // curate_dsir_resample — Data Selection via Importance Resampling
+  // (Xie et al., NeurIPS'23) over hashed-bigram bag-of-ngrams models:
+  // score every doc by how much more likely its bigrams are under a
+  // TARGET distribution (here the lang='en' slice stands in for the
+  // curated target) than under the raw corpus, then resample toward the
+  // target with Gumbel-perturbed top-k. The whole feature space is
+  // hashed into 1024 buckets, so both "models" are 1024-row aggregates:
+  //   - bucket log-ratio weights lw[b] = ln p_t(b) − ln p_r(b) with
+  //     add-one smoothing, floor-quantized to int64 millionths (the
+  //     lm_score float discipline: ln's ULP wobble sits ~1e-10 from a
+  //     quantization edge; everything downstream is exact int64 sums,
+  //     partition-order independent);
+  //   - per-doc score = Σ lw[bucket(bigram)] over bigram OCCURRENCES —
+  //     one broadcast join of the 1024-row weight table onto the
+  //     exploded bigram stream, one hash re-aggregate to doc grain. The
+  //     corpus never shuffles by anything but doc_id;
+  //   - selection: Gumbel-top-25% per source — gumbel_mu derives from
+  //     the doc_id multiplicative-hash residue (deterministic, retry-
+  //     safe, independent of the other curation draws by multiplier
+  //     choice), and the rank window partitions by source so no global
+  //     ordering ever sees the corpus.
+  // Output is the per-source resampling ledger (docs, kept, Σ kept
+  // score) — integer-only, no cross-engine division semantics in play.
+  private def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val d = T.documents(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), col("lang"), col("tokens"))
+    val bi = d.filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(tokens) - 1), " +
+          "i -> array_join(slice(tokens, i, 2), ' '))")).as("g"))
+      .withColumn("b",
+        expr("cast(conv(substring(md5(g), 1, 4), 16, 10) as bigint) % 1024"))
+    val rawCnt = bi.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val tgtCnt = bi.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val nr = bi.agg(count(lit(1)).as("n_r"))
+    val nt = bi.filter(col("lang") === "en").agg(count(lit(1)).as("n_t"))
+    val lw = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b"),
+        (floor(log((coalesce(col("c_t"), lit(0L)).cast("double") + lit(1.0))
+            / (col("n_t").cast("double") + lit(1024.0))) * lit(1e6))
+          - floor(log((col("c_r").cast("double") + lit(1.0))
+            / (col("n_r").cast("double") + lit(1024.0))) * lit(1e6)))
+          .cast("long").as("lw_mu"))
+    val score = bi.join(broadcast(lw), "b")
+      .groupBy(col("doc_id")).agg(sum(col("lw_mu")).as("score_mu"))
+    val scored = d.select(col("doc_id"), col("source"))
+      .join(score, Seq("doc_id"), "left")
+      .withColumn("score_mu", coalesce(col("score_mu"), lit(0L)))
+      .withColumn("u", ((col("doc_id") % lit(1000003L)) * lit(999983L)) % lit(1000003L))
+      .withColumn("gumbel_mu",
+        floor(-log(-log((col("u").cast("double") + lit(0.5)) / lit(1000003.0)))
+          * lit(1e6)).cast("long"))
+      .withColumn("key", col("score_mu") + col("gumbel_mu"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key").desc, col("doc_id"))
+    val cw = Window.partitionBy(col("source"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("keep", (col("rn") <= expr("cnt div 4")).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep") === 1, col("score_mu")).otherwise(lit(0L)))
+          .as("kept_score_mu"))
+      .orderBy(col("source"))
+  }
+
+  private val dsirResampleSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(g), 1, 4) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(list_transform(range(1, len(toks)),
+      |            i -> array_to_string(toks[i:i+1], ' '))) AS g
+      |        FROM d WHERE len(toks) >= 2)),
+      |rc AS (SELECT b, COUNT(*) AS c_r FROM bi GROUP BY b),
+      |tc AS (SELECT b, COUNT(*) AS c_t FROM bi WHERE lang = 'en' GROUP BY b),
+      |nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_r FROM bi),
+      |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_t FROM bi WHERE lang = 'en'),
+      |lw AS (
+      |  SELECT rc.b,
+      |    CAST(FLOOR(LN((COALESCE(tc.c_t, 0) + 1.0) / (nt.n_t + 1024.0)) * 1e6)
+      |      - FLOOR(LN((rc.c_r + 1.0) / (nr.n_r + 1024.0)) * 1e6) AS BIGINT)
+      |      AS lw_mu
+      |  FROM rc LEFT JOIN tc ON rc.b = tc.b, nr, nt),
+      |sc AS (
+      |  SELECT bi.doc_id, SUM(lw.lw_mu) AS score_mu
+      |  FROM bi JOIN lw ON bi.b = lw.b GROUP BY bi.doc_id),
+      |kd AS (
+      |  SELECT d.doc_id, d.source,
+      |    COALESCE(sc.score_mu, 0) AS score_mu,
+      |    COALESCE(sc.score_mu, 0)
+      |      + CAST(FLOOR(-LN(-LN((((d.doc_id % 1000003) * 999983) % 1000003
+      |          + 0.5) / 1000003.0)) * 1e6) AS BIGINT) AS key
+      |  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+      |rk AS (
+      |  SELECT source, score_mu,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM kd)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn <= cnt // 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn <= cnt // 4 THEN score_mu ELSE 0 END) AS BIGINT)
+      |    AS kept_score_mu
+      |FROM rk GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curate_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("curate_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("curate_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("curate_shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),

@@ -83,6 +83,22 @@ class TokenBudgetSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("curate_dsir_resample: exact 25% selection; broadcast weights; source-partitioned rank") {
+    assume(new java.io.File(sf).isDirectory)
+    val rows = SparkEntry.queries("curate_dsir_resample")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs") / 4,
+        s"${r.getAs[String]("source")}: Gumbel-top-k must keep exactly " +
+          s"cnt div 4 docs, got ${r.getAs[Long]("n_kept")}")
+    }
+    val p = executedPlan("curate_dsir_resample")
+    // the 1024-bucket weight table rides a broadcast onto the bigram
+    // stream; the rank window partitions by source (no global ordering)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("windowspecdefinition(source"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("er_golden_record: blocked edges only — no cartesian, no BNLJ") {
     assume(new java.io.File(sf).isDirectory)
     val p = executedPlan("er_golden_record")
