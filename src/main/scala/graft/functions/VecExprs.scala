@@ -191,6 +191,83 @@ case class ArrayMd5Sorted(child: Expression)
   override def prettyName: String = "array_md5_sorted"
 }
 
+/** Shared kernel for [[WordSpanMd5]] — a top-level object so generated
+  * Java can call it through the static forwarder (the loop body is too
+  * stateful to inline legibly into codegen text: per-row token-byte
+  * cache + a sized join buffer per window). */
+object SpanMd5 {
+  def compute(a: ArrayData, k: Int): ArrayData = {
+    val total = a.numElements()
+    val n = total - (k - 1)
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // decode each token's UTF-8 bytes ONCE per row, not once per window
+    val toks = new Array[Array[Byte]](total)
+    var i = 0
+    while (i < total) { toks(i) = a.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Any](n)
+    var w = 0
+    while (w < n) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += toks(w + j).length; j += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { buf(p) = ' '; p += 1 }
+        val t = toks(w + j)
+        System.arraycopy(t, 0, buf, p, t.length)
+        p += t.length
+        j += 1
+      }
+      out(w) = UTF8String.fromString(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(buf))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** md5-hex of every k-token sliding window joined by single spaces — the
+  * span fingerprint under dedup_substring_spans. The portable spelling,
+  *
+  *   transform(sequence(1, size(tokens)-k+1),
+  *     i -> md5(array_join(slice(tokens, i, k), ' ')))
+  *
+  * pays an interpreted closure + a slice allocation + an array_join
+  * allocation PER WINDOW (≈ one per corpus token — this is an
+  * every-byte-of-100-TB operator, the same class as rabin_karp). This
+  * expression byte-joins each window once into a sized buffer from a
+  * per-row token-byte cache and digests in place, inside whole-stage
+  * codegen. Result strings are bit-identical to the HOF spelling and to
+  * DuckDB's md5(array_to_string(...)): identical UTF-8 byte stream into
+  * the same digest. Fewer than k tokens → empty array.
+  */
+case class WordSpanMd5(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"word_span_md5 window must be ≥ 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_span_md5 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SpanMd5.compute(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SpanMd5.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_span_md5"
+}
+
 /** Rabin–Karp polynomial rolling hash over a string's code points:
   * h = fold(h·31 + cp mod 1e9+7), h₀ = 0 — the primitive under
   * content-defined chunking, which at corpus scale runs over every byte
@@ -287,6 +364,9 @@ object VecExprs {
       "array_md5_sorted", exprs => ArrayMd5Sorted(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "rabin_karp", exprs => RabinKarpHash(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "word_span_md5", exprs => WordSpanMd5(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
     registry.createOrReplaceTempFunction(
       "kmv_bottomk", exprs => KmvBottomK(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue), "built-in")

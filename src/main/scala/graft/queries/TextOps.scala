@@ -1330,12 +1330,14 @@ object TextOps {
   // ratios are int64 ppm via `div`.
   private def substringSpans(spark: SparkSession, dir: String): DataFrame = {
     val k = 10
+    // word_span_md5 = the codegen'd spelling of
+    //   transform(sequence(1, size-k+1), i -> md5(array_join(slice(tokens,i,k),' ')))
+    // — one interpreted closure per window is this operator's rabin_karp
+    // trap; SubstringSpanSpec pins expression ≡ HOF bit-equality.
     val d = toks(spark, dir)
       .filter(size(col("tokens")) >= k)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          s"transform(sequence(1, size(tokens) - ${k - 1}), " +
-            s"i -> md5(array_join(slice(tokens, i, $k), ' ')))")).as("h"))
+        explode(expr(s"word_span_md5(tokens, $k)")).as("h"))
     val perDoc = d.groupBy(col("h"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("cnt"))
     val perHash = perDoc.groupBy(col("h"))

@@ -57,6 +57,19 @@ class SubstringSpanSpec extends SparkSpec {
     }
   }
 
+  test("word_span_md5 expression ≡ the portable HOF spelling, bit-exact") {
+    assume(new java.io.File(sf).isDirectory)
+    graft.functions.VecExprs.register(spark)
+    val t = T.documents(spark, sf)
+      .withColumn("tokens", split(col("text"), " "))
+    // include short docs: < k tokens must yield an EMPTY array both ways
+    val both = t.select(
+      expr(s"word_span_md5(tokens, $K)").as("fast"),
+      expr(s"transform(sequence(1, greatest(size(tokens) - ${K - 1}, 0)), " +
+        s"i -> md5(array_join(slice(tokens, i, $K), ' ')))").as("hof"))
+    assert(both.filter(col("fast") =!= col("hof")).isEmpty)
+  }
+
   test("plan: stacked pair-collapse aggregates, nothing quadratic") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("dedup_substring_spans")(spark, sf)
