@@ -1001,7 +1001,63 @@ object Curation {
       |    AS kept_score_mu
       |FROM rk GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // curate_pack_sizeclass — HARMONIC-k bin packing of documents into
+  // B=2048-token training windows (Lee & Lee JACM'85). curate_shard_pack
+  // packs greedily with a per-source RUNNING SUM — correct, but every
+  // source serializes through one window ordering. Harmonic packing is
+  // the zero-coordination alternative: docs are classed by
+  // c = B div len (class c ⟺ len ∈ (B/(c+1), B/c], so c docs of class c
+  // provably fit a bin: c·(B div c) ≤ B), and bins per class are pure
+  // arithmetic — ceil(n_c / c). NO window, NO running state, ONE
+  // hash aggregate at (source, class) grain: at 100 TB every partition
+  // packs independently and the plan is a scan + aggregate, with the
+  // classic 1.691-competitive waste bound as the price of parallelism.
+  // Docs longer than B get class 0 — each stands alone and reports its
+  // OVERFLOW as negative waste (the truncation queue, not a packing
+  // failure). All arithmetic int64 (`div`), bit-exact cross-engine.
+  private def packSizeclass(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val B = 2048L
+    val K = 8L
+    T.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("size_class",
+        when(col("n_tokens") > B, lit(0L))
+          .otherwise(least(lit(K), expr(s"$B div n_tokens"))))
+      .groupBy(col("source"), col("size_class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("n_bins",
+        when(col("size_class") === 0L, col("n_docs"))
+          .otherwise(expr("(n_docs + size_class - 1) div size_class")))
+      .withColumn("waste_tokens", col("n_bins") * lit(B) - col("tokens"))
+      .orderBy(col("source"), col("size_class"))
+  }
+
+  private val packSizeclassSql =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN n_tokens > 2048 THEN 0
+      |         ELSE LEAST(8, 2048 // n_tokens) END AS size_class
+      |  FROM d),
+      |g AS (
+      |  SELECT source, size_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |  FROM c GROUP BY source, size_class)
+      |SELECT source, size_class, n_docs, tokens,
+      |  CASE WHEN size_class = 0 THEN n_docs
+      |       ELSE (n_docs + size_class - 1) // size_class END AS n_bins,
+      |  (CASE WHEN size_class = 0 THEN n_docs
+      |        ELSE (n_docs + size_class - 1) // size_class END) * 2048 - tokens
+      |    AS waste_tokens
+      |FROM g ORDER BY source, size_class""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curate_pack_sizeclass", packSizeclass, Some(packSizeclassSql)),
     QueryDef("curate_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("curate_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("curate_mix_temperature", mixTemperature, Some(mixTemperatureSql)),

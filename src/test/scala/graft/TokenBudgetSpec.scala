@@ -99,6 +99,32 @@ class TokenBudgetSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("curate_pack_sizeclass: bins provably fit, ceil arithmetic, no window/shuffle-heavy plan") {
+    assume(new java.io.File(sf).isDirectory)
+    val rows = SparkEntry.queries("curate_pack_sizeclass")(spark, sf).collect()
+    val B = 2048L
+    rows.foreach { r =>
+      val (c, n, bins, toks) = (r.getAs[Long]("size_class"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_bins"), r.getAs[Long]("tokens"))
+      if (c == 0) {
+        assert(bins == n, "oversize docs stand alone")
+        assert(r.getAs[Long]("waste_tokens") < 0, "class 0 reports overflow")
+      } else {
+        assert(bins == (n + c - 1) / c, s"class $c: ceil bins")
+        // harmonic guarantee: c docs of class c fit — so waste per bin
+        // is bounded by B (strictly: B − c·(B div (c+1)) headroom)
+        assert(r.getAs[Long]("waste_tokens") >= 0 &&
+          r.getAs[Long]("waste_tokens") <= bins * B - toks + 1)
+        // class members all have len ≤ B div c by definition ⇒ fit
+        assert(toks <= bins * B, "packed mass cannot exceed capacity")
+      }
+    }
+    // the zero-coordination claim: a scan + ONE hash aggregate, no window
+    val p = executedPlan("curate_pack_sizeclass")
+    assert(!p.contains("Window"), p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
   test("er_golden_record: blocked edges only — no cartesian, no BNLJ") {
     assume(new java.io.File(sf).isDirectory)
     val p = executedPlan("er_golden_record")
