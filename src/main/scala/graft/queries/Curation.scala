@@ -1056,7 +1056,62 @@ object Curation {
       |    AS waste_tokens
       |FROM g ORDER BY source, size_class""".stripMargin
 
+  // -------------------------------------------------------------------
+  // curate_ccnet_buckets — CCNet's head/middle/tail quality terciles,
+  // computed PER LANGUAGE (Wenzek et al., LREC'20): a quality score is
+  // only comparable within its language, so each language ranks its own
+  // docs and splits into thirds — the head bucket feeds training, the
+  // tail is dropped, the middle is the retrain pool. Quality proxy =
+  // the same floor-quantized type-token ratio the token-budget gate
+  // uses. Tercile boundaries are INTEGER arithmetic on the rank —
+  // bucket = ((rn−1)·3) div n with a doc_id tiebreak — so there is no
+  // float threshold to disagree at and re-runs are bit-stable. The
+  // window partitions by lang: each language ranks independently, no
+  // global ordering; at 100 TB the per-language sort is the honest cost
+  // of exact terciles (the approximate alternative is a per-language
+  // quality histogram + threshold, the curate_token_budget idiom).
+  private def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val d = T.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("qb",
+        floor(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")) * 1000).cast("int"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("qb"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("qb").desc, col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("bucket", expr("((rn - 1) * 3) div n"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col("qb")).as("qb_min"), max(col("qb")).as("qb_max"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val ccnetBucketsSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) * 1000) AS INT) AS qb
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, n_tokens, qb,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qb DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM d)
+      |SELECT lang, ((rn - 1) * 3) // n AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  MIN(qb) AS qb_min, MAX(qb) AS qb_max
+      |FROM r GROUP BY lang, ((rn - 1) * 3) // n
+      |ORDER BY lang, bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curate_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     QueryDef("curate_pack_sizeclass", packSizeclass, Some(packSizeclassSql)),
     QueryDef("curate_dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("curate_token_budget", tokenBudget, Some(tokenBudgetSql)),

@@ -1378,7 +1378,55 @@ object TextOps {
       |    // CAST(SUM(n_spans) AS BIGINT) AS dup_ppm
       |FROM dd GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_novelty_ref — n-gram NOVELTY against a reference snapshot: when
+  // a corpus refresh lands, the question is how much genuinely new text
+  // each source contributed vs re-crawls of what the last snapshot
+  // already had. Reference = the even-doc_id half (standing in for the
+  // prior snapshot), probe = the odd half; a probe shingle OCCURRENCE is
+  // novel iff its 3-gram never appears in the reference. Exact path
+  // (this gate): probe occurrences ⋈ distinct reference shingles — a
+  // hash join keyed on the shingle, both sides shuffle-partitioned by
+  // the same key; at 100 TB the reference set does NOT broadcast, and
+  // the approximate map-side alternative is the bloom sidecar pattern
+  // (functions/BloomAgg — one filter per reference partition, probe
+  // tests locally, ~0 false-negative rate): same decision structure as
+  // scan_bloom_prune, documented here rather than duplicated. Novelty
+  // is reported per source in integer ppm.
+  private def noveltyRef(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(toks(spark, dir))
+      .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
+    val ref = sh.filter(col("doc_id") % 2 === 0).select(col("s")).distinct()
+      .withColumn("seen", lit(1))
+    sh.filter(col("doc_id") % 2 === 1)
+      .join(ref, Seq("s"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_shingles"))
+      .orderBy(col("source"))
+  }
+
+  private val noveltyRefSql =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tokens
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(tokens)-1),
+      |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s
+      |  FROM t),
+      |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0)
+      |SELECT sh.source, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  (CAST(SUM(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM sh LEFT JOIN ref ON sh.s = ref.s
+      |WHERE sh.doc_id % 2 = 1
+      |GROUP BY sh.source ORDER BY sh.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_novelty_ref", noveltyRef, Some(noveltyRefSql)),
     QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("text_containment", containmentPairs, Some(containmentPairsSql)),
     QueryDef("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),

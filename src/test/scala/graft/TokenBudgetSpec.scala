@@ -125,6 +125,38 @@ class TokenBudgetSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
   }
 
+  test("curate_ccnet_buckets: balanced terciles, quality-monotone boundaries") {
+    assume(new java.io.File(sf).isDirectory)
+    val rows = SparkEntry.queries("curate_ccnet_buckets")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, bs) =>
+      val sizes = bs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang: integer terciles must balance within 1 doc, got ${sizes.toSeq}")
+      // ranked qb-desc: head's worst doc is never worse than middle's best
+      val byB = bs.sortBy(_.getAs[Long]("bucket"))
+      byB.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Int]("qb_min") >= lo.getAs[Int]("qb_max"),
+            s"$lang: bucket boundary not quality-monotone")
+        case _ =>
+      }
+    }
+  }
+
+  test("text_novelty_ref: ppm bounds and ref-join plan sanity") {
+    assume(new java.io.File(sf).isDirectory)
+    val rows = SparkEntry.queries("text_novelty_ref")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, novel, ppm) = (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Long]("novelty_ppm"))
+      assert(novel >= 0 && novel <= n)
+      assert(ppm == novel * 1000000L / n)
+    }
+    val p = executedPlan("text_novelty_ref")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("er_golden_record: blocked edges only — no cartesian, no BNLJ") {
     assume(new java.io.File(sf).isDirectory)
     val p = executedPlan("er_golden_record")
