@@ -1425,8 +1425,80 @@ object TextOps {
       |WHERE sh.doc_id % 2 = 1
       |GROUP BY sh.source ORDER BY sh.source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_span_removal — the REMOVAL arithmetic on top of
+  // dedup_substring_spans: Lee et al. cut every token range covered by a
+  // cross-document duplicated span; this computes exactly how many
+  // tokens that cut removes per source (the byte-savings number that
+  // justifies running the dedup at all). Overlapping spans must not
+  // double-count, so coverage is the UNION of intervals — computed
+  // distributively: dup span occurrences (≈9% of spans here) fan out to
+  // their k token positions, and a distinct over (doc, position)
+  // collapses the overlaps before counting. The fan-out multiplies only
+  // the DUP fraction by k, so the extra volume is ~k·dup_ratio ≈ 1× the
+  // span stream, and the distinct is the standard two-phase aggregate —
+  // no per-doc interval sort, no sequential merge. Positions ride
+  // posexplode off the same codegen'd word_span_md5 array.
+  private def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val d = toks(spark, dir)
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), col("source"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        posexplode(expr(s"word_span_md5(tokens, $k)")).as(Seq("pos", "h")))
+    val perDoc = d.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val dupHash = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs_h")).filter(col("n_docs_h") >= 2)
+      .select(col("h"))
+    val covered = d.join(dupHash, "h")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tp"))
+      .groupBy(col("doc_id"), col("source"), col("n_tokens"))
+      .agg(count_distinct(col("tp")).as("covered"))
+    val docs = toks(spark, dir).filter(size(col("tokens")) >= k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tokens")).cast("long")).as("tokens_total"))
+    val cut = covered.groupBy(col("source"))
+      .agg(sum(col("covered")).as("tokens_removed"))
+    docs.join(cut, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+      .withColumn("removed_ppm",
+        expr("(tokens_removed * 1000000) div tokens_total"))
+      .orderBy(col("source"))
+  }
+
+  private val spanRemovalSql =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 10),
+      |sp AS (
+      |  SELECT doc_id, source, i - 1 AS pos,
+      |    md5(array_to_string(toks[i:i+9], ' ')) AS h
+      |  FROM t, unnest(range(1, len(toks) - 8)) AS u(i)),
+      |pd AS (SELECT h, doc_id FROM sp GROUP BY h, doc_id),
+      |dh AS (SELECT h FROM pd GROUP BY h HAVING COUNT(*) >= 2),
+      |cov AS (
+      |  SELECT sp.doc_id, sp.source, COUNT(DISTINCT sp.pos + o.o) AS covered
+      |  FROM sp JOIN dh ON sp.h = dh.h, unnest(range(0, 10)) AS o(o)
+      |  GROUP BY sp.doc_id, sp.source),
+      |docs AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(toks)) AS BIGINT) AS tokens_total
+      |  FROM t GROUP BY source),
+      |cut AS (SELECT source, CAST(SUM(covered) AS BIGINT) AS tokens_removed
+      |        FROM cov GROUP BY source)
+      |SELECT docs.source, docs.n_docs, docs.tokens_total,
+      |  CAST(COALESCE(cut.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+      |  (CAST(COALESCE(cut.tokens_removed, 0) AS BIGINT) * 1000000)
+      |    // docs.tokens_total AS removed_ppm
+      |FROM docs LEFT JOIN cut ON docs.source = cut.source
+      |ORDER BY docs.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_novelty_ref", noveltyRef, Some(noveltyRefSql)),
+    QueryDef("dedup_span_removal", spanRemoval, Some(spanRemovalSql)),
     QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("text_containment", containmentPairs, Some(containmentPairsSql)),
     QueryDef("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),

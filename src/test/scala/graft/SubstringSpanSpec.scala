@@ -70,6 +70,25 @@ class SubstringSpanSpec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("hof")).isEmpty)
   }
 
+  test("dedup_span_removal: coverage consistent with the span profile") {
+    assume(new java.io.File(sf).isDirectory)
+    val prof = SparkEntry.queries("dedup_substring_spans")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_dup_spans")).toMap
+    val rem = SparkEntry.queries("dedup_span_removal")(spark, sf).collect()
+    assert(rem.map(_.getAs[Long]("tokens_removed")).sum > 0)
+    rem.foreach { r =>
+      val s = r.getAs[String]("source")
+      val (tot, cut) = (r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_removed"))
+      val dups = prof.getOrElse(s, 0L)
+      assert(cut >= 0 && cut <= tot, s"$s: removal outside [0, total]")
+      // zero dup spans ⟺ zero coverage; each occurrence covers ≤ K and
+      // any dup at all covers ≥ K positions (one full span minimum)
+      assert((dups == 0) == (cut == 0), s"$s: dup/coverage zero-ness diverges")
+      assert(cut <= dups * K, s"$s: coverage $cut exceeds $dups×$K")
+      if (dups > 0) assert(cut >= K, s"$s: a dup span covers at least $K")
+    }
+  }
+
   test("plan: stacked pair-collapse aggregates, nothing quadratic") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("dedup_substring_spans")(spark, sf)
