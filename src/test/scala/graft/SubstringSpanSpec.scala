@@ -89,16 +89,23 @@ class SubstringSpanSpec extends SparkSpec {
     }
   }
 
-  test("plan: stacked pair-collapse aggregates, nothing quadratic") {
+  test("plan: one scan, pair-collapse aggregate + h-window, NO join") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("dedup_substring_spans")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!p.contains("CartesianProduct"), p.take(1200))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the per-h doc count must be a window over the distinct-pair frame,
+    // not a perDoc⋈perHash self-join: Generate keeps the scan's
+    // sizeInBytes, so the join spelling tricks the static planner into
+    // broadcasting the multi-million-row span aggregate (53 s at sf1)
+    assert(p.contains("windowspecdefinition(h"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("BroadcastExchange"), p.take(1500))
     // occurrences → (h, doc) pairs → per-h doc count: the distinct-pair
     // collapse shows as a hash aggregate keyed (h, doc_id, source)
     assert("HashAggregate\\(keys=\\[h[#0-9]*, doc_id".r
       .findFirstIn(p).isDefined, p.take(1500))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "the profile must read the corpus exactly once")
   }
 }
