@@ -200,24 +200,40 @@ object SpanMd5 {
     val total = a.numElements()
     val n = total - (k - 1)
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    // decode each token's UTF-8 bytes ONCE per row, not once per window
+    // decode each token's UTF-8 bytes ONCE per row, not once per window;
+    // a null element decodes to null and is SKIPPED (no token, no
+    // separator) — exactly array_join's null semantics, preserving the
+    // documented bit-equivalence with the HOF spelling on arrays the
+    // registry accepts (containsNull=true), instead of NPE-ing (ADVICE r8)
     val toks = new Array[Array[Byte]](total)
     var i = 0
-    while (i < total) { toks(i) = a.getUTF8String(i).getBytes; i += 1 }
+    while (i < total) {
+      toks(i) = if (a.isNullAt(i)) null else a.getUTF8String(i).getBytes
+      i += 1
+    }
     val out = new Array[Any](n)
     var w = 0
     while (w < n) {
-      var len = k - 1
+      var len = 0
+      var cnt = 0
       var j = 0
-      while (j < k) { len += toks(w + j).length; j += 1 }
-      val buf = new Array[Byte](len)
+      while (j < k) {
+        val t = toks(w + j)
+        if (t != null) { len += t.length; cnt += 1 }
+        j += 1
+      }
+      val buf = new Array[Byte](len + math.max(0, cnt - 1))
       var p = 0
+      var emitted = 0
       j = 0
       while (j < k) {
-        if (j > 0) { buf(p) = ' '; p += 1 }
         val t = toks(w + j)
-        System.arraycopy(t, 0, buf, p, t.length)
-        p += t.length
+        if (t != null) {
+          if (emitted > 0) { buf(p) = ' '; p += 1 }
+          System.arraycopy(t, 0, buf, p, t.length)
+          p += t.length
+          emitted += 1
+        }
         j += 1
       }
       out(w) = UTF8String.fromString(

@@ -186,7 +186,13 @@ object Graph {
       var edges = raw.filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
       var converged = edges.isEmpty
       var rounds = 0
-      while (!converged && rounds < 30) {
+      // O(log² n) bound ⇒ 64 rounds covers any graph that fits in a
+      // long-keyed edge list; the cap exists only to bound a bug, so
+      // exceeding it must FAIL, not silently label an unconverged edge
+      // set (the labeling step below assumes a min-rooted star forest —
+      // on a non-fixpoint it would emit wrong components with no error).
+      val maxRounds = 64
+      while (!converged && rounds < maxRounds) {
         val next = smallStar(largeStar(edges)).localCheckpoint(true)
         converged = next.count() == edges.count() && next.except(edges).isEmpty
         edges = next
@@ -194,6 +200,10 @@ object Graph {
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[altstar] round=$rounds edges=${edges.count()}")
       }
+      require(converged,
+        s"altStarComponents did not reach its star-forest fixpoint in " +
+          s"$maxRounds alternating rounds — refusing to label an " +
+          s"unconverged edge set (labels would be silently wrong)")
       // Star state: (child, root) with root = component min; roots carry
       // no outgoing edge, so they self-label. Vertices that only ever
       // appeared in self-loop pairs fall through the left join to

@@ -822,9 +822,13 @@ object Curation {
   // multiplier — the draws must be independent across operators), with
   // the keep test cross-multiplied to stay integer: u·m_s <
   // target·1000003. Aggregates-over-sources windows see |sources| rows.
-  // Overflow note: budget·sq < 2^63 holds through ~sf50 corpus mass
-  // (2.5e8 tokens · 1.6e10 micros ≈ 4e18); past that, divide before
-  // multiplying.
+  // Overflow GUARD (ADVICE r8): budget·sq < 2^63 holds through ~sf50
+  // corpus mass (2.5e8 tokens · 1.6e10 micros ≈ 4e18) and u·m_s /
+  // target·1000003 through ~9e12 tokens — past either bound non-ANSI
+  // Spark would wrap silently while DuckDB raises. The per-source
+  // assert_true below turns that divergence into a clean failure at
+  // |sources| cost (the divide-before-multiply rewrite is the fix if a
+  // real corpus ever trips it).
   private def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val d = T.documents(spark, dir)
@@ -832,12 +836,20 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"))
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
+    val lmax = lit(Long.MaxValue)
     val srcs = d.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("sq",
         floor(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
       .withColumn("w_total", sum(col("sq")).over(wAll))
       .withColumn("budget", sum(col("src_tokens")).over(wAll))
+      // fail loudly (not wrap) if any int64 cross-product would overflow
+      .filter(assert_true(
+        col("budget") <= lmax / greatest(col("sq"), lit(1L)) &&
+          col("budget") <= lmax / lit(1000003L),
+        lit("curate_mix_temperature: token mass exceeds the int64 " +
+          "cross-multiplication bound (~sf50) — apply the " +
+          "divide-before-multiply rewrite")).isNull)
       .withColumn("target_tokens", expr("(budget * sq) div w_total"))
       .withColumn("w_ppm", expr("(sq * 1000000) div w_total"))
     val kept = d.join(broadcast(srcs), Seq("source"))
@@ -908,6 +920,17 @@ object Curation {
   //     safe, independent of the other curation draws by multiplier
   //     choice), and the rank window partitions by source so no global
   //     ordering ever sees the corpus.
+  // Float-boundary robustness (ADVICE r8): gumbel_mu feeds a hard rank
+  // cut, so a cross-engine libm wobble that flips its floor() would
+  // flake the oracle. It provably cannot: u has only 1000003 possible
+  // residues, and over ALL of them the scaled value −ln(−ln((u+.5)/M))·1e6
+  // sits ≥ 5.7e-7 away from every integer (GumbelBoundarySpec scans the
+  // full domain and pins margin > 1e-7), while the engine-to-engine
+  // wobble is a few ULPs of the ~O(10) result ≈ 1e-8 after scaling —
+  // p = (u+.5)/M is one correctly-rounded IEEE division, bit-identical
+  // in both engines, so no cancellation amplifies it. Margin ≥ 50×
+  // wobble for every representable input ⇒ the floor, hence the rank
+  // cut, is engine-independent.
   // Output is the per-source resampling ledger (docs, kept, Σ kept
   // score) — integer-only, no cross-engine division semantics in play.
   private def dsirResample(spark: SparkSession, dir: String): DataFrame = {

@@ -227,8 +227,11 @@ object Similarity {
 
   /** The k-means training loop unrolled to CTEs — one block per Lloyd
     * round, mirroring ops.KMeans step for step (cosine assignment with
-    * lowest-cent_id ties, DECIMAL(28,12)-exact component means). */
-  private def ivfTrainingCtes(k: Int, iters: Int, corpus: String = "n"): String = {
+    * lowest-cent_id ties, DECIMAL(28,12)-exact component means). `k` is
+    * a SQL expression so the cell count can be data-derived (the scaled
+    * k-NN join trains at C = ⌈√N⌉ via a scalar subquery) as well as a
+    * pinned literal. */
+  private def ivfTrainingCtes(k: String, iters: Int, corpus: String = "n"): String = {
     val sb = new StringBuilder
     sb.append(
       s", cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM $corpus WHERE vec_id < $k)")
@@ -264,11 +267,19 @@ object Similarity {
     sb.toString
   }
 
+  /** C = ⌈√N⌉ as a SQL scalar subquery — the oracle-side twin of
+    * [[scaledCellCount]]. `sqrt` is correctly rounded IEEE in both
+    * engines, so the two ceils agree for every N. */
+  private val SqrtKExpr =
+    "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM n)"
+
   /** IVF search SQL, parameterized on the probe-id predicate (shared by
     * the direct and the partition-layout-backed variants — by design the
-    * layout must not change any answer). */
-  private def ivfSearchSql(probePred: String): String =
-    ivfSearchCtes(probePred) +
+    * layout must not change any answer) and on the cell-count expression
+    * (pinned IvfK for the probe gates, ⌈√N⌉ for the k-NN join). */
+  private def ivfSearchSql(probePred: String,
+      kExpr: String = IvfK.toString): String =
+    ivfSearchCtes(probePred, kExpr) +
       """
       |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank FROM (
       |  SELECT *, ROW_NUMBER() OVER (
@@ -279,8 +290,9 @@ object Similarity {
 
   /** The search chain up to the candidate set (`cand`), so composites
     * (the k-NN-graph dedup oracle) can keep building CTEs on top. */
-  private def ivfSearchCtes(probePred: String): String =
-    normCte + ivfTrainingCtes(IvfK, IvfIters) +
+  private def ivfSearchCtes(probePred: String,
+      kExpr: String = IvfK.toString): String =
+    normCte + ivfTrainingCtes(kExpr, IvfIters) +
       s"""
       |, scored AS (
       |  SELECT n.vec_id, n.v, n.nrm, cent_id,
@@ -316,9 +328,10 @@ object Similarity {
   // the scan). Same answers as the in-memory plan, different probe set
   // than ann_ivf_topk so the two gates stay independent.
   /** The cell-partitioned serving layout (one Hive partition per coarse
-    * cell), memoized on the source fingerprint — shared by the bucketed
-    * probe gate and the k-NN join. `scored` is the N×C centroid scoring
-    * frame (caller builds it once and reuses it for probes). */
+    * cell) at the pinned IvfK, memoized on the source fingerprint — the
+    * bucketed probe gate's index (the k-NN join builds its own at
+    * C = ⌈√N⌉). `scored` is the N×C centroid scoring frame (caller
+    * builds it once and reuses it for probes). */
   private def ivfMirror(spark: SparkSession, dir: String,
       scored: DataFrame): String =
     graft.ops.PartitionedLayout.ensureDerived(
@@ -371,31 +384,81 @@ object Similarity {
   // nearest neighbors"), and the all-pairs spelling is Θ(N²) — the
   // linear-regime plan is IVF-restricted: every vector searches its
   // nprobe=2 nearest cells, so candidates are Σ|cell|·|probes in
-  // cell| ≈ N·(2N/C) instead of N². Both join sides shuffle ON THE
-  // CELL KEY (the corpus side reads the same cell-partitioned serving
-  // mirror as ann_ivf_bucketed — the stored index IS the join input),
-  // with a shuffle_hash hint so the wide vector payloads are never
-  // sort-merged (the sf10 near-dup lesson: sorting array-widened rows
-  // is the hidden quadratic of this family). Top-3 per vector goes
+  // cell| ≈ N·(2N/C) instead of N². THE CELL COUNT SCALES: C = ⌈√N⌉
+  // (derived from the corpus count, not pinned), which puts the join
+  // in its linear regime O(N^1.5)·(1/√N cell-mates each) — the round-8
+  // lesson was that the pinned C=8 gate was Θ(N²/C) and timed out at
+  // 200k vectors while the identical plan at C=√N finished sf10 in
+  // 31.5 s. The oracle replays the SAME training at the SAME derived C
+  // (a scalar subquery ⌈√COUNT(*)⌉ in the cent0 CTE), so the scale-
+  // correct parameterization is now the oracle-checked one. Both join
+  // sides shuffle ON THE CELL KEY (the corpus side reads a
+  // cell-partitioned serving mirror — the stored index IS the join
+  // input), with a shuffle_hash hint so the wide vector payloads are
+  // never sort-merged (the sf10 near-dup lesson: sorting array-widened
+  // rows is the hidden quadratic of this family). Top-3 per vector goes
   // through the row_number≤k pattern the WindowTopKRewrite turns into
-  // a bounded heap. At scale C grows ~√N, cells ≫ executors, so the
-  // cell shuffle balances; a mega-cell is the documented salting case.
-  // The C ~ √N contract is MEASURED, not claimed: the gate's C=8 (the
-  // oracle must replay training) is Θ(N²/C) and times out at 200k
-  // vectors, while tools/KnnProbe running this same plan at C=√N
-  // finishes sf10 in 31.5 s — SCALE.md round-8 session-4b table.
+  // a bounded heap. At C=√N cells ≫ executors, so the cell shuffle
+  // balances; a mega-cell is the documented salting case.
   private def annKnnJoin(spark: SparkSession, dir: String): DataFrame =
     knnFrame(spark, dir).orderBy(col("query_id"), col("rank"))
 
+  /** C = ⌈√N⌉ for the k-NN join's coarse quantizer — one count per
+    * (session, corpus), memoized. The Spark-side twin of [[SqrtKExpr]]. */
+  private val scaledCMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Integer]()
+
+  private def scaledCellCount(spark: SparkSession, dir: String): Int =
+    scaledCMemo.computeIfAbsent((spark, dir), _ =>
+      math.ceil(math.sqrt(vecs(spark, dir).count().toDouble)).toInt)
+
+  /** Quantizer trained at C = ⌈√N⌉ — same deterministic Lloyd loop and
+    * fingerprint-keyed sidecar lifecycle as [[trainedCentroids]], keyed
+    * separately so the pinned-C probe gates and the scaled k-NN join
+    * never share an index. */
+  private val centScaledMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def trainedCentroidsScaled(spark: SparkSession, dir: String): DataFrame =
+    centScaledMemo.computeIfAbsent((spark, dir), _ => {
+      val c = scaledCellCount(spark, dir)
+      val fp = graft.ops.IncrementalDedup
+        .sourceFingerprint(spark, s"$dir/embeddings.parquet")
+      val tag = s"ivf_cent_${c}x${IvfIters}_${dir}_$fp"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success)) {
+        val e = vecs(spark, dir)
+        graft.ops.KMeans.train(
+          e.select(col("vec_id"), col("v"), col("nrm")), c, IvfIters)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path).localCheckpoint(true)
+    })
+
   /** The k-NN join's ranked frame (shared with the k-NN-graph semantic
-    * dedup, which consumes its edges instead of its ranking). */
+    * dedup, which consumes its edges instead of its ranking). Cell
+    * count C = ⌈√N⌉ — the linear-regime operating point. */
   private def knnFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = trainedCentroids(spark, dir)
+    val c = scaledCellCount(spark, dir)
+    val cent = trainedCentroidsScaled(spark, dir)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
-    val corpus = spark.read.parquet(ivfMirror(spark, dir, scored))
+    val mirror = graft.ops.PartitionedLayout.ensureDerived(
+      spark, s"$dir/embeddings.parquet", s"emb_ivf${c}x${IvfIters}_$dir",
+      "cell") {
+      scored.groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+            .as("cell"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    }
+    val corpus = spark.read.parquet(mirror)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
     val probes = scored.withColumn("crank", row_number().over(wAssign))
@@ -415,8 +478,9 @@ object Similarity {
         col("cell"), col("cosine"), col("rank"))
   }
 
-  // every vector is a probe: the shared search SQL with a TRUE pred
-  private val annKnnJoinSql = ivfSearchSql("TRUE")
+  // every vector is a probe: the shared search SQL with a TRUE pred,
+  // trained at the same derived C = ⌈√N⌉ the Spark plan uses
+  private val annKnnJoinSql = ivfSearchSql("TRUE", SqrtKExpr)
 
   // -------------------------------------------------------------------
   // dedup_semantic_knn — semantic deduplication in the LINEAR regime:
@@ -426,8 +490,8 @@ object Similarity {
   // vec_id). This is the composition a 100 TB curation run actually
   // executes — emb_neardup_pairs' exact all-pairs spelling at the same
   // threshold is Θ(N²) BY CONTRACT, while this plan's candidate volume
-  // is the k-NN join's Σ|cell|·|probes in cell| ≈ N·(2N/C), linear at
-  // the measured C ~ √N operating point (SCALE.md session-4b), and the
+  // is the k-NN join's Σ|cell|·|probes in cell| ≈ N·(2N/C) at the
+  // C = ⌈√N⌉ operating point the frame now trains at, and the
   // component step is [[graft.ops.Graph.connectedComponents]]'s
   // partition-local contraction + pointer-doubling propagation — the
   // same machinery under the text near-dup family. Recall relative to
@@ -455,7 +519,7 @@ object Similarity {
   }
 
   private val dedupSemanticKnnSql =
-    ("WITH RECURSIVE" + ivfSearchCtes("TRUE").stripPrefix("WITH")) +
+    ("WITH RECURSIVE" + ivfSearchCtes("TRUE", SqrtKExpr).stripPrefix("WITH")) +
       """
       |, knn AS (
       |  SELECT query_id, neighbor_id, cosine FROM (
@@ -583,7 +647,7 @@ object Similarity {
 
   private val annIvfIncrementalSql = normCte +
     "\n, nb AS (SELECT * FROM n WHERE vec_id % 10 <> 3)" +
-    ivfTrainingCtes(IvfK, IvfIters, "nb") +
+    ivfTrainingCtes(IvfK.toString, IvfIters, "nb") +
     s"""
       |, scored AS (
       |  SELECT n.vec_id, n.v, n.nrm, cent_id,
@@ -931,7 +995,7 @@ object Similarity {
     val dotVC = dot("v", "cv")
     val sb = new StringBuilder
     sb.append(normCte)
-    sb.append(ivfTrainingCtes(IvfK, IvfIters))
+    sb.append(ivfTrainingCtes(IvfK.toString, IvfIters))
     sb.append(s"""
       |, scoredc AS (
       |  SELECT n.vec_id, n.v, n.nrm, cent_id,
@@ -1127,7 +1191,7 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
-  private val dedupSemanticSql = normCte + ivfTrainingCtes(IvfK, IvfIters) +
+  private val dedupSemanticSql = normCte + ivfTrainingCtes(IvfK.toString, IvfIters) +
     """
       |, scored AS (
       |  SELECT n.vec_id, cent_id,
@@ -1299,7 +1363,7 @@ object Similarity {
   // max(ccos) is the best cell's cosine (ties share the value), so the
   // profile is well-defined under the same tie-break as the assignment
   private val embClusterProfileSql =
-    normCte + ivfTrainingCtes(IvfK, IvfIters) +
+    normCte + ivfTrainingCtes(IvfK.toString, IvfIters) +
       s"""
       |, scored AS (
       |  SELECT n.vec_id, cent_id,

@@ -70,6 +70,23 @@ class SubstringSpanSpec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("hof")).isEmpty)
   }
 
+  test("word_span_md5 handles null elements like array_join (skip, no NPE)") {
+    graft.functions.VecExprs.register(spark)
+    import spark.implicits._
+    // null tokens are legal input (containsNull=true arrays pass the type
+    // check) — array_join drops them WITH their separator, and the
+    // expression must match bit-for-bit rather than NPE (ADVICE r8)
+    val t = Seq(
+      Seq("a", null, "c", "d"),
+      Seq[String](null, null, "x"),
+      Seq[String](null, null)).toDF("tokens")
+    val both = t.select(
+      expr("word_span_md5(tokens, 2)").as("fast"),
+      expr("transform(sequence(1, greatest(size(tokens) - 1, 0)), " +
+        "i -> md5(array_join(slice(tokens, i, 2), ' ')))").as("hof"))
+    assert(both.filter(col("fast") =!= col("hof")).isEmpty)
+  }
+
   test("dedup_span_removal: coverage consistent with the span profile") {
     assume(new java.io.File(sf).isDirectory)
     val prof = SparkEntry.queries("dedup_substring_spans")(spark, sf).collect()

@@ -111,11 +111,22 @@ class TokenBudgetSpec extends SparkSpec {
         assert(r.getAs[Long]("waste_tokens") < 0, "class 0 reports overflow")
       } else {
         assert(bins == (n + c - 1) / c, s"class $c: ceil bins")
-        // harmonic guarantee: c docs of class c fit — so waste per bin
-        // is bounded by B (strictly: B − c·(B div (c+1)) headroom)
-        assert(r.getAs[Long]("waste_tokens") >= 0 &&
-          r.getAs[Long]("waste_tokens") <= bins * B - toks + 1)
-        // class members all have len ≤ B div c by definition ⇒ fit
+        // the REAL harmonic-fit invariant (ADVICE r8 — the old
+        // `waste ≤ bins·B − toks + 1` was waste's own definition):
+        // class-c membership means len ∈ (B div (c+1), B div c]
+        // (lower bound only for c < K=8, where the class is uncapped),
+        // so the class token mass is bracketed by n·those bounds —
+        // a misclassified doc on either side fails this.
+        assert(toks <= n * (B / c),
+          s"class $c: mass $toks exceeds n·(B div c) = ${n * (B / c)} — " +
+            "some doc is longer than its class bound")
+        if (c < 8)
+          assert(toks > n * (B / (c + 1)),
+            s"class $c: mass $toks under n·(B div (c+1)) — some doc " +
+              "belongs to a denser class")
+        // fit follows: n ≤ bins·c and len ≤ B div c ⇒ toks ≤ bins·B,
+        // i.e. waste (= bins·B − toks) is provably non-negative
+        assert(r.getAs[Long]("waste_tokens") >= 0, s"class $c: negative waste")
         assert(toks <= bins * B, "packed mass cannot exceed capacity")
       }
     }

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Launch a graft main class directly against the compiled classes +
+# Spark's unmanaged jars, bypassing the sbt project lock so long-running
+# probes can share the machine with foreground sbt work.
+# Usage: tools/run.sh <mainClass> [args...]   (run `sbt compile` first)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS="--add-modules=jdk.incubator.vector"
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
+done
+OPENS="$OPENS --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+exec java $OPENS -Xmx100g \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
