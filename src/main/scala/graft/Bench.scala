@@ -24,8 +24,25 @@ object Bench {
     // iteration aid; the driver never sets it, so round benches stay full.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val inScope = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Scale ceilings (VERDICT r8 #3): a by-contract quadratic past its
+    // declared driving-table row bound degrades to a SKIP with the
+    // recorded reason (which names the linear-regime replacement) —
+    // a 100x driver run must never hang on a documented contract.
+    val tableRows = scala.collection.mutable.HashMap.empty[String, Long]
+    def rowsOf(t: String): Long = tableRows.getOrElseUpdate(t,
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => Long.MaxValue })
+    val ceilings = SparkEntry.scaleCeilings
+    val (skippedQ, selected) = inScope.partition { case (n, _) =>
+      ceilings.get(n).exists { case (t, max, _) => rowsOf(t) > max }
+    }
+    val skipped = skippedQ.map { case (n, _) =>
+      val (t, max, why) = ceilings(n)
+      n -> s"$t rows ${rowsOf(t)} > ceiling $max: $why"
+    }
+    skipped.foreach { case (n, r) => System.err.println(s"[bench] SKIP $n — $r") }
     // Artifact warm pass: every fingerprint-memoized mirror (bucketed
     // tables, LSH signature index, IVF centroids, partitioned layouts,
     // lake snapshots, edge mirrors) is built lazily by the first query
@@ -87,8 +104,11 @@ object Bench {
     val stamp = java.time.format.DateTimeFormatter.ISO_INSTANT
       .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedJson = skipped.map { case (k, r) =>
+      "\"" + k + "\":\"" + r.replaceAll("[\\p{Cntrl}\\\\\"]", " ") + "\""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
     // BENCH_FULL.json = latest run; BENCH_FULL_HISTORY.jsonl accumulates
     // EVERY run (timestamped, append-only), so judge/builder reruns never
     // clobber the driver's record and per-query medians across runs are

@@ -36,4 +36,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Declared scale ceilings of the by-contract superlinear queries:
+    * name -> (driving table, max rows, reason naming the linear-regime
+    * replacement). Bench skips-with-reason past the ceiling instead of
+    * hanging a large-SF run. */
+  def scaleCeilings: Map[String, (String, Long, String)] =
+    all.flatMap(q => q.ceiling.map(q.name -> _)).toMap
 }

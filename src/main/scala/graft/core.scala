@@ -9,7 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** Scale ceiling for BY-CONTRACT superlinear queries (VERDICT r8
+      * #3): (driving table, max rows, why). A bench run on data past
+      * the ceiling SKIPS the query with the recorded reason instead of
+      * hanging the suite — the documented linear-regime replacement is
+      * named in the reason. None = the query is expected to survive any
+      * SF its plan was audited at. */
+    ceiling: Option[(String, Long, String)] = None)
 
 /** Session prep shared by every query builder.
   *

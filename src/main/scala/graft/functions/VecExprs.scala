@@ -411,10 +411,15 @@ object VecExprs {
       val cur3 = spark.experimental.extraOptimizations
       if (!cur3.contains(graft.plans.SummaryRewrite))
         spark.experimental.extraOptimizations = cur3 :+ graft.plans.SummaryRewrite
-      // no-op until StatsBroadcast.register names a table path
+      // no-op until StatsBroadcast.register names a table path; the
+      // ordering rule runs FIRST so broadcast hints land on the
+      // re-ordered tree (a hint would stop the flatten)
       val cur4 = spark.experimental.extraOptimizations
-      if (!cur4.contains(graft.plans.StatsBroadcast))
-        spark.experimental.extraOptimizations = cur4 :+ graft.plans.StatsBroadcast
+      if (!cur4.contains(graft.plans.StatsJoinReorder))
+        spark.experimental.extraOptimizations = cur4 :+ graft.plans.StatsJoinReorder
+      val cur5 = spark.experimental.extraOptimizations
+      if (!cur5.contains(graft.plans.StatsBroadcast))
+        spark.experimental.extraOptimizations = cur5 :+ graft.plans.StatsBroadcast
       // the rewrite emits the TopKPerGroup logical node — its planner
       // strategy must ride along or the swapped plan cannot be planned
       val strats = spark.experimental.extraStrategies

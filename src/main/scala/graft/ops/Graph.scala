@@ -30,6 +30,29 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Eager localCheckpoint with its carried statistics capped —
+    * checkpointing preserves the child plan's computed sizeInBytes, and
+    * an iterative self-join SQUARES it per round into a BigInt whose
+    * mere multiplication stalls the driver (the sf10 semantic-dedup
+    * lesson: 11+ minutes inside BigInteger.multiply during AQE stats
+    * visits). Every in-loop checkpoint in this file must go through
+    * here. */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftSqlShim.capCheckpointStats(
+      df.sparkSession, df.localCheckpoint(true))
+
+  /** Shuffle width for the iteration loops: ~250k edges per partition,
+    * floored at the lesser of 8 and the cluster's parallelism — the old
+    * `edges/1e6` put a 1.2M-edge graph on ONE partition and serialized
+    * every round onto a single core (measured: most of the sf10
+    * semantic-dedup wall time), while tiny graphs keep tiny widths so
+    * per-task overhead doesn't dominate gate-scale runs. */
+  private def loopWidth(
+      spark: org.apache.spark.sql.SparkSession, edges: Long): String =
+    math.max(
+      math.min(8, spark.sparkContext.defaultParallelism).toLong,
+      edges / 250000L).toString
+
   /** Partition-local union–find with path compression + union-by-min:
     * contracts every co-located chain to its partition-local min root.
     * Pure per-partition imperative logic — the one place mapPartitions
@@ -68,20 +91,18 @@ object Graph {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
     val fwd = pairs.select(col(ca).as("doc_a"), col(cb).as("doc_b"))
-    val edges = fwd
-      .unionByName(fwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
+    val edges = ckpt(fwd
+      .unionByName(fwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     val spark = edges.sparkSession
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, edges.count() / 1000000L).toString
+    val loopParts = loopWidth(spark, edges.count())
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
       // Seed from the partition-local contraction: an id split across
       // partitions gets multiple local roots — min merges them, and the
       // global loop below resolves whatever crosses partitions.
-      var labels = localContract(edges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      var labels = ckpt(localContract(edges)
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
       // Convergence witness: labels only ever DECREASE (every update is a
       // least(...) over candidates that include the current label), so the
       // exact-decimal Σlabel is strictly decreasing until fixpoint and a
@@ -106,12 +127,11 @@ object Graph {
         val step1 = selfCand.unionByName(nbrCand).unionByName(ptrCand)
           .groupBy(col("cid")).agg(min(col("label")).as("label"))
           .select(col("cid").as("id"), col("label"))
-        val step2 = step1.as("a")
+        val step2 = ckpt(step1.as("a")
           .join(step1.select(col("id").as("jid"), col("label").as("jlabel")).as("b"),
             col("a.label") === col("b.jid"), "left")
           .select(col("a.id").as("id"),
-            least(col("a.label"), coalesce(col("b.jlabel"), col("a.label"))).as("label"))
-          .localCheckpoint(true)
+            least(col("a.label"), coalesce(col("b.jlabel"), col("a.label"))).as("label")))
         val s = step2
           .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
           .head.getDecimal(0)
@@ -124,6 +144,18 @@ object Graph {
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[cc] round=$rounds sum=$s")
       }
+      // Min-label propagation is Θ(log diameter) only after the local
+      // contraction has eaten the chains; on a high-diameter graph whose
+      // chains CROSS partitions it degrades toward Θ(diameter) and can
+      // exhaust the cap — in which case the labels are NOT components
+      // and returning them would be silently wrong (the sf10 semantic
+      // k-NN graph did exactly this: 40 rounds, Σlabel still falling).
+      // Fail loudly and point at the diameter-independent algorithm.
+      require(converged,
+        "connectedComponents did not converge within its round cap — " +
+          "the graph's cross-partition diameter defeats min-label " +
+          "propagation; use altStarComponents (O(log² n) rounds " +
+          "independent of diameter) for this graph shape")
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
@@ -157,12 +189,12 @@ object Graph {
   def altStarComponents(pairs: DataFrame): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
     val spark = pairs.sparkSession
-    val raw = pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
-      .localCheckpoint(true)
+    val raw = ckpt(
+      pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b")))
     val verts = raw.select(col("a").as("id"))
       .unionByName(raw.select(col("b").as("id"))).distinct()
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, raw.count() / 1000000L).toString
+    val loopParts = loopWidth(spark, raw.count())
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
       def largeStar(e: DataFrame): DataFrame = {
@@ -183,7 +215,7 @@ object Graph {
           .filter(col("v") =!= col("m"))
           .select(col("v").as("a"), col("m").as("b")).distinct()
       }
-      var edges = raw.filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      var edges = ckpt(raw.filter(col("a") =!= col("b")).distinct())
       var converged = edges.isEmpty
       var rounds = 0
       // O(log² n) bound ⇒ 64 rounds covers any graph that fits in a
@@ -193,7 +225,7 @@ object Graph {
       // on a non-fixpoint it would emit wrong components with no error).
       val maxRounds = 64
       while (!converged && rounds < maxRounds) {
-        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        val next = ckpt(smallStar(largeStar(edges)))
         converged = next.count() == edges.count() && next.except(edges).isEmpty
         edges = next
         rounds += 1

@@ -83,6 +83,20 @@ object StatsBroadcast extends Rule[LogicalPlan] {
   private def maxRows: Long =
     conf.getConfString("graft.statsbroadcast.maxRows", "1000000").toLong
 
+  /** The registered table (registry key = raw table path) whose file
+    * set covers every root path of `h`, if any — how a scan is traced
+    * back to the lake table it reads ([[StatsJoinReorder]] uses this to
+    * key NDV lookups). */
+  private[plans] def leafTable(h: HadoopFsRelation): Option[String] = {
+    val roots = h.location.rootPaths
+    if (roots.isEmpty) return None
+    val keys = roots.map(p => p.toUri.getPath)
+    import scala.jdk.CollectionConverters._
+    registry.asScala.collectFirst {
+      case (tp, files) if keys.forall(files.contains) => tp
+    }
+  }
+
   /** Manifest row bound of a leaf: every root path must be an exact
     * registered file of ONE table (a directory scan or an unknown file
     * refuses — see the scaladoc). */
@@ -97,9 +111,13 @@ object StatsBroadcast extends Rule[LogicalPlan] {
     }
   }
 
+  private[plans] def registryEmpty: Boolean = registry.isEmpty
+
   /** Row upper bound of a join side from manifest accounting, None when
-    * any node could grow the row count past its leaves' total. */
-  private def bound(p: LogicalPlan): Option[Long] = p match {
+    * any node could grow the row count past its leaves' total. Shared
+    * with [[StatsJoinReorder]] — the same refusal discipline governs
+    * both the broadcast and the ordering decision. */
+  private[plans] def bound(p: LogicalPlan): Option[Long] = p match {
     case lr: LogicalRelation => lr.relation match {
       case h: HadoopFsRelation => leafBound(h)
       case _ => None

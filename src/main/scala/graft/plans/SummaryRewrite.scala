@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -188,23 +188,29 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     // ---- peel alias-only Projects and Filters, collecting both -------
-    // STAR-SCHEMA path: ONE Inner Join to a dimension subtree may sit
-    // between the Aggregate and the fact scan. The rollup commutes with
-    // such a join exactly when every fact-side reference in the join
-    // condition is BUCKET-CONSTANT (a summary-carried dim, or time at a
-    // grain the summary answers): all raw rows of a summary bucket then
-    // match the SAME dim rows, so join-then-aggregate ≡
-    // aggregate-then-join — Gray's lattice over a star. The dim subtree
-    // is kept verbatim (its exprIds survive), the fact side swaps for
-    // the summary, and the join condition re-anchors onto the summary's
-    // columns. Joins on a non-carried fact column (user_id), non-Inner
-    // joins, fact-fact self-joins, and join-under-Expand all refuse.
+    // STAR/SNOWFLAKE path: a CHAIN of joins to dimension subtrees may
+    // sit between the Aggregate and the fact scan (a left-deep
+    // customer→nation→region snowflake peels one dim per step). The
+    // rollup commutes with each join exactly when every fact-side
+    // reference in its condition is BUCKET-CONSTANT (a summary-carried
+    // dim, or time at a grain the summary answers): all raw rows of a
+    // summary bucket then match the SAME dim rows, so
+    // join-then-aggregate ≡ aggregate-then-join — Gray's lattice over
+    // a star. Dim subtrees are kept verbatim (their exprIds survive),
+    // the fact side swaps for the summary, and each join condition
+    // re-anchors onto the summary's columns. LEFT joins route when the
+    // FACT side is preserved (NULL-extension is bucket-uniform under a
+    // bucket-constant key). Joins on a non-carried fact column
+    // (user_id), dim-LEFT-JOIN-fact, full/right/semi/anti joins,
+    // fact-fact self-joins, and join-under-Expand all refuse.
     var child = expandOpt.map(_.child: LogicalPlan).getOrElse(agg.child)
     var subst = Map.empty[ExprId, Expression]
     var rawPreds = Seq.empty[Expression] // conjuncts, resolved after peel
-    var joinNode: Option[Join] = None
-    var dimPlan: LogicalPlan = null
-    var factOnLeft = true
+    // the peeled join chain, OUTERMOST first: a left-deep snowflake
+    // ((fact ⋈ dim1) ⋈ dim2) peels dim2 then dim1 before reaching the
+    // fact scan, and the rebuild re-stacks them innermost-first
+    case class JoinStep(join: Join, dim: LogicalPlan, factOnLeft: Boolean)
+    var joinChain = List.empty[JoinStep]
     def leafMatchesRegistry(p: LogicalPlan): Boolean = {
       import scala.jdk.CollectionConverters._
       val suffixes = registry.keySet.asScala.map(_._1).toSet
@@ -233,16 +239,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case Filter(cond, c) =>
         rawPreds = rawPreds ++ splitConj(cond)
         child = c
-      case j @ Join(l, r, Inner, _, _)
-          if joinNode.isEmpty && expandOpt.isEmpty &&
-            (leafMatchesRegistry(l) != leafMatchesRegistry(r)) =>
-        joinNode = Some(j)
-        if (leafMatchesRegistry(l)) { dimPlan = r; factOnLeft = true; child = l }
-        else { dimPlan = l; factOnLeft = false; child = r }
+      // Inner joins stack (a left-deep snowflake peels one dim per
+      // step); LEFT joins route only with the FACT preserved (fact
+      // LEFT JOIN dim): bucket-constant keys make NULL-extension
+      // bucket-uniform, so aggregate-then-left-join ≡
+      // left-join-then-aggregate — whereas dim LEFT JOIN fact would
+      // manufacture dim-only rows no summary bucket accounts for, and
+      // it refuses below (the fact side must end at the scan).
+      case j @ Join(l, r, jt, _, _)
+          if expandOpt.isEmpty && (jt == Inner || jt == LeftOuter) &&
+            (leafMatchesRegistry(l) != leafMatchesRegistry(r)) &&
+            (jt == Inner || leafMatchesRegistry(l)) =>
+        val fl = leafMatchesRegistry(l)
+        joinChain = joinChain :+ JoinStep(j, if (fl) r else l, fl)
+        child = if (fl) l else r
       case _ => peeling = false
     }
     val dimOut: AttributeSet =
-      if (joinNode.isDefined) dimPlan.outputSet else AttributeSet.empty
+      AttributeSet(joinChain.flatMap(_.dim.output))
     val rel = child match {
       case lr: LogicalRelation => lr
       case _ => return None
@@ -457,7 +471,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         timeA: Attribute, dimAs: Seq[Attribute], nA: Attribute,
         sumDecA: Attribute, minA: Attribute, maxA: Attribute,
         preds: Seq[Expression], aggFilt: Map[Expression, Expression],
-        joinCond: Option[Expression])
+        joinConds: Seq[Expression])
 
     def tryCandidate(sumGrain: String): Option[Picked] = {
       val (summaryPath, _) = routes.getOrElse(sumGrain, return None)
@@ -561,23 +575,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           f -> parts.map(_.get).reduce(And)
         }.toMap
       }
-      // join condition re-anchors under the SAME grammar: fact-side
-      // references must be bucket-constant (rewritePred maps dims/time
-      // and poisons anything else — value, user_id); dim-side
-      // references pass through untouched. A fact-side cross join
-      // (no condition) never routes.
-      val joinCondRw: Option[Expression] = joinNode match {
-        case None => None
-        case Some(j) => j.condition match {
+      // every chained join condition re-anchors under the SAME
+      // grammar: fact-side references must be bucket-constant
+      // (rewritePred maps dims/time and poisons anything else —
+      // value, user_id); dim-side references (including dim→dim
+      // snowflake keys) pass through untouched. A fact-side cross
+      // join (no condition) never routes.
+      val joinCondsRw: Seq[Expression] = joinChain.map { st =>
+        st.join.condition match {
           case None => return None
           case Some(c) =>
             val parts = splitConj(c).map(rewritePred)
             if (parts.exists(_.isEmpty)) return None
-            Some(parts.map(_.get).reduce(And))
+            parts.map(_.get).reduce(And)
         }
       }
       Some(Picked(sumGrain, sumRel, timeA, dimAs, nA, sumDecA, minA,
-        maxA, newPreds.map(_.get), aggFilt, joinCondRw))
+        maxA, newPreds.map(_.get), aggFilt, joinCondsRw))
     }
 
     val picked = candidates.view.flatMap(tryCandidate)
@@ -723,18 +737,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val newFact: LogicalPlan =
       if (predsBelow.isEmpty) sumRel
       else Filter(predsBelow.reduce(And), sumRel)
-    val newChild: LogicalPlan = joinNode match {
-      case None =>
-        if (predsAbove.isEmpty) newFact
-        else Filter(predsAbove.reduce(And), newFact) // defensive: no-join preds are all summary-side
-      case Some(j) =>
-        val joined =
-          if (factOnLeft) j.copy(left = newFact, right = dimPlan,
-            condition = picked.joinCond)
-          else j.copy(left = dimPlan, right = newFact,
-            condition = picked.joinCond)
-        if (predsAbove.isEmpty) joined
-        else Filter(predsAbove.reduce(And), joined)
+    val newChild: LogicalPlan = {
+      // re-stack the peeled joins innermost-first around the summary
+      // (joinChain is outermost-first, so foldRight applies the
+      // innermost dim join to the summary scan first)
+      val joined = joinChain.zip(picked.joinConds)
+        .foldRight(newFact) { case ((st, cond), acc) =>
+          if (st.factOnLeft) st.join.copy(left = acc, right = st.dim,
+            condition = Some(cond))
+          else st.join.copy(left = st.dim, right = acc,
+            condition = Some(cond))
+        }
+      if (predsAbove.isEmpty) joined
+      else Filter(predsAbove.reduce(And), joined)
     }
 
     expandOpt match {

@@ -1079,6 +1079,108 @@ object Lake {
       |ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // lake_cbo_reorder — statistics drive JOIN ORDER, the CBO step past
+  // the broadcast decision: [[graft.plans.StatsJoinReorder]] flattens a
+  // no-hint inner-join tree and rebuilds it smallest-estimated-
+  // intermediate first from manifest row bounds + the NDV sidecars
+  // ([[NdvStats]] KMV sketches — registered at metadata grain, zero
+  // table scans to decide). The fixture is the star query every
+  // warehouse hits written in DELIBERATELY bad order: fact ⋈ fact
+  // first ((orders ⋈ events) ⋈ type_dim), where the dim join would
+  // have cut the intermediate ~30× — at 100 TB that ordering mistake
+  // is a spilled shuffle, and file sizes can't make the call (MOR
+  // deletes and compression skew lie; the manifest knows). Estimator:
+  // |A⋈B| = |A|·|B| / max(ndv(a.k), ndv(b.k)) per conjunct, greedy
+  // left-deep. The oracle replays the SAME query from raw rows, so the
+  // gate proves the re-ordered plan is bit-parity with the written
+  // one; StatsJoinReorderSpec pins that the order actually CHANGED
+  // (deepest join = events⋈dim, orders joins last) and the refusal
+  // matrix (disabled flag / unregistered side / user hint / outer
+  // join ⇒ untouched).
+  private def cboReorderPaths(spark: SparkSession, dir: String):
+      (String, String, String) = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/events.parquet")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-compact/" +
+      s"reorder_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val (po, pe, pd) = (s"$base/orders", s"$base/events", s"$base/dim")
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_REORDER_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val ev = T.events(spark, dir).filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      (0 until 2).foreach { k =>
+        ManifestLake.appendCommit(spark, pe, "event_type", "event_id",
+          ev.filter(col("event_id") % 2 === k), s"chunk-$k")
+      }
+      val ord = T.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      (0 until 2).foreach { k =>
+        ManifestLake.appendCommit(spark, po, "o_orderpriority", "o_orderkey",
+          ord.filter(col("o_orderkey") % 2 === k), s"chunk-$k")
+      }
+      // the type dim: one row per event_type with a deterministic rank
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_rank", row_number().over(w).cast("long"))
+      ManifestLake.appendCommit(spark, pd, "event_type", "type_rank",
+        dim, "chunk-0")
+      fs.create(marker, true).close()
+    }
+    (po, pe, pd)
+  }
+
+  private def cboReorder(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark) // installs both CBO rules
+    val (po, pe, pd) = cboReorderPaths(spark, dir)
+    graft.plans.StatsBroadcast.register(spark, po)
+    graft.plans.StatsBroadcast.register(spark, pe)
+    graft.plans.StatsBroadcast.register(spark, pd)
+    // key NDVs from the manifest-riding sketches — O(delta) to maintain
+    graft.plans.StatsJoinReorder.registerNdv(spark, po, "o_custkey")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pe, "user_id")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pe, "event_type")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pd, "event_type")
+    val o = ManifestLake.read(spark, po)
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
+    val e = ManifestLake.read(spark, pe)
+      .select(col("user_id"), col("event_type"), dec(col("value")).as("v"))
+    val d = ManifestLake.read(spark, pd)
+      .select(col("event_type").as("d_event_type"), col("type_rank"))
+    // written worst-first: fact ⋈ fact, dim last — no hints, the
+    // statistics rule re-orders (explicit conditions keep a pure join
+    // tree; a USING join would interpose a coalescing Project)
+    o.join(e, col("o_custkey") === col("user_id"))
+      .join(d, col("event_type") === col("d_event_type"))
+      .groupBy(col("type_rank"), col("d_event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("v")).cast("double").as("sum_value"),
+        sum(col("p")).cast("double").as("sum_price"))
+      .orderBy(col("type_rank"))
+  }
+
+  private val cboReorderSql =
+    """WITH dim AS (
+      |  SELECT event_type AS d_event_type,
+      |    ROW_NUMBER() OVER (ORDER BY event_type) AS type_rank
+      |  FROM (SELECT DISTINCT event_type FROM events WHERE event_id IS NOT NULL)),
+      |j AS (
+      |  SELECT type_rank, d_event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS v,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders
+      |  JOIN (SELECT user_id, event_type, value FROM events
+      |        WHERE event_id IS NOT NULL) e ON o_custkey = user_id
+      |  JOIN dim ON event_type = d_event_type)
+      |SELECT type_rank, d_event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM j GROUP BY type_rank, d_event_type
+      |ORDER BY type_rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // lake_hotkey_salted — the skew-mitigation primitives WIRED to a
   // data-driven trigger: per-file SpaceSaving heavy-hitter sidecars
   // ([[HotKeyStats]], the sibling of the NDV sketches) merge at
@@ -1166,6 +1268,7 @@ object Lake {
     QueryDef("lake_ndv_manifest", ndvManifest, Some(ndvManifestSql)),
     QueryDef("lake_stats_profile", statsProfile, Some(statsProfileSql)),
     QueryDef("lake_cbo_broadcast", cboBroadcast, Some(cboBroadcastSql)),
+    QueryDef("lake_cbo_reorder", cboReorder, Some(cboReorderSql)),
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
     QueryDef("lake_compact_cluster", compactCluster, Some(compactClusterSql)),

@@ -652,6 +652,84 @@ object MatView {
        |WHERE d.category <> 'ops' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
        |GROUP BY 1, 2 ORDER BY day, category""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mv_rewrite_snowflake — the dim→dim CHAIN (VERDICT r8 #4): events ⋈
+  // type_dim ⋈ category_dim, aggregated at (day, org). The navigator
+  // peels BOTH joins (left-deep, one dim per step), swaps the fact scan
+  // for the day summary, and re-stacks the joins over |days|×|types|
+  // rows — the second join's key (category) is itself a dim-side
+  // column, so it rides through the condition re-anchor untouched.
+  // Without chain support the firehose pays both joins row-wise.
+  private[graft] def categoryDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("engagement", "growth"), ("conversion", "revenue"),
+      ("ops", "platform")).toDF("category", "org")
+  }
+
+  private val categoryDimSqlValues =
+    """(VALUES ('engagement','growth'), ('conversion','revenue'),
+      |  ('ops','platform')) AS c(category, org)""".stripMargin
+
+  private def mvSnowflake(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .join(typeDim(spark), "event_type")
+      .join(categoryDim(spark), "category")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("org"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("org"))
+  }
+
+  private val mvSnowflakeSql =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, c.org,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events e JOIN $typeDimSqlValues USING (event_type)
+       |JOIN $categoryDimSqlValues USING (category)
+       |GROUP BY 1, 2 ORDER BY day, org""".stripMargin
+
+  // -------------------------------------------------------------------
+  // mv_rewrite_left — LEFT join to an INCOMPLETE dim (VERDICT r8 #4):
+  // the lookup has no 'error' row, so those buckets NULL-extend. The
+  // rollup still commutes: the join key is bucket-constant, so
+  // NULL-extension is bucket-UNIFORM — every raw row of an unmatched
+  // bucket lands in the NULL-category group exactly as the unmatched
+  // summary bucket does. The category grouping keeps the NULL group
+  // (both engines), and the oracle orders NULLS FIRST to match Spark.
+  // MatViewSpec pins the refusals: a LEFT join whose condition also
+  // references the fact's value column (not bucket-constant) and
+  // dim-LEFT-JOIN-fact (dim-only rows no bucket accounts for) both
+  // stay on the firehose.
+  private[graft] def partialTypeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "conversion"), ("signup", "conversion"))
+      .toDF("event_type", "category")
+  }
+
+  private val partialTypeDimSqlValues =
+    """(VALUES ('click','engagement'), ('view','engagement'),
+      |  ('purchase','conversion'), ('signup','conversion'))
+      |  AS d(event_type, category)""".stripMargin
+
+  private def mvLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    enableRouting(spark, dir)
+    T.events(spark, dir)
+      .join(partialTypeDim(spark), Seq("event_type"), "left")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("category"))
+  }
+
+  private val mvLeftJoinSql =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, d.category,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events e LEFT JOIN $partialTypeDimSqlValues USING (event_type)
+       |GROUP BY 1, 2 ORDER BY day, category NULLS FIRST""".stripMargin
+
   // mv_advisor_lattice — HRU'96 greedy view selection (Harinarayan/
   // Rajaraman/Ullman, "Implementing Data Cubes Efficiently", SIGMOD'96)
   // over the events lattice: time grains hour→day→month→total crossed
@@ -805,6 +883,8 @@ object MatView {
     QueryDef("mv_advisor_e2e", mvAdvisorE2e, Some(mvAdvisorE2eSql)),
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
     QueryDef("mv_rewrite_joined", mvJoined, Some(mvJoinedSql)),
+    QueryDef("mv_rewrite_snowflake", mvSnowflake, Some(mvSnowflakeSql)),
+    QueryDef("mv_rewrite_left", mvLeftJoin, Some(mvLeftJoinSql)),
     QueryDef("mv_rewrite_joined_filtered", mvJoinedFiltered,
       Some(mvJoinedFilteredSql)),
     QueryDef("mv_rewrite_daily_filtered", mvDailyFiltered,

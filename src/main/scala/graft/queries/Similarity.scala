@@ -440,31 +440,46 @@ object Similarity {
 
   /** The k-NN join's ranked frame (shared with the k-NN-graph semantic
     * dedup, which consumes its edges instead of its ranking). Cell
-    * count C = ⌈√N⌉ — the linear-regime operating point. */
+    * count C = ⌈√N⌉ — the linear-regime operating point.
+    *
+    * The serving mirror STORES each vector's top-2 probe cells next to
+    * its own cell: assignment is computed once at index-build time as a
+    * slim aggregate (collect the ≤C (ccos, cent_id) pairs per vector
+    * map-side — the broadcast cross join keeps each vector's C rows in
+    * one partition — sort in-row, keep 2; a row_number window here
+    * would shuffle+sort all N·√N scored rows WITH the 0.5 KB vector
+    * payload, the measured sf10 killer), and a warm query then touches
+    * ONLY the mirror: no re-scoring pass, which is how a deployed IVF
+    * index works — the stored index carries its assignments. Ordering
+    * key struct(ccos, -cent_id) desc ≡ (ccos desc, cent_id asc). */
+  /** tools.CcProbe's stage-timing handle — not query surface. */
+  private[graft] def knnFrameForProbe(spark: SparkSession, dir: String): DataFrame =
+    knnFrame(spark, dir)
+
   private def knnFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val c = scaledCellCount(spark, dir)
     val cent = trainedCentroidsScaled(spark, dir)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
-    val scored = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
     val mirror = graft.ops.PartitionedLayout.ensureDerived(
-      spark, s"$dir/embeddings.parquet", s"emb_ivf${c}x${IvfIters}_$dir",
+      spark, s"$dir/embeddings.parquet", s"emb_ivf${c}x${IvfIters}p2_$dir",
       "cell") {
+      val scored = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
       scored.groupBy(col("vec_id"))
-        .agg(
-          max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
-            .as("cell"),
+        .agg(slice(sort_array(collect_list(
+          struct(col("ccos"), (-col("cent_id")).as("nc"))), asc = false),
+          1, 2).as("cs"),
           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          (-col("cs")(0)("nc")).cast("int").as("cell"),
+          (-element_at(col("cs"), 2)("nc")).cast("int").as("cell2"))
     }
     val corpus = spark.read.parquet(mirror)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val probes = scored.withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= 2)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cent_id").cast("int").as("qcell"))
+    val probes = corpus.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("cell").cast("int"), col("cell2"))).as("qcell"))
+      .filter(col("qcell").isNotNull) // C=1 corpus: no second probe cell
     val cand = corpus.hint("shuffle_hash").join(probes,
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
@@ -508,7 +523,13 @@ object Similarity {
         least(col("query_id"), col("neighbor_id")).as("doc_a"),
         greatest(col("query_id"), col("neighbor_id")).as("doc_b"))
       .distinct()
-    val labels = graft.ops.Graph.connectedComponents(edges)
+    // alternating-star, NOT min-label propagation: the k-NN graph's
+    // components can be chain-shaped with ids in adversarial order
+    // (measured at sf10: the propagation loop exhausted its 40-round
+    // cap with Σlabel still falling), and large-star/small-star is the
+    // O(log² n)-rounds-regardless-of-diameter algorithm for exactly
+    // that shape
+    val labels = graft.ops.Graph.altStarComponents(edges)
     val e = vecs(spark, dir).select(col("vec_id"))
     e.join(labels, e("vec_id") === labels("id"), "left")
       .select(col("vec_id"),
@@ -1396,7 +1417,10 @@ object Similarity {
     QueryDef("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
     QueryDef("dedup_semantic_knn", dedupSemanticKnn, Some(dedupSemanticKnnSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
-    QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql)),
+    QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql),
+      ceiling = Some(("embeddings", 20000L,
+        "exact all-pairs cosine is Theta(N^2) BY CONTRACT (measured " +
+          "9-15x/decade); linear-regime replacement: dedup_semantic_knn"))),
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("emb_quantize_int8", quantizeInt8, Some(quantizeInt8Sql))
   )

@@ -1515,7 +1515,11 @@ object TextOps {
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("dedup_passage_exact", passageDedup, Some(passageDedupSql)),
     QueryDef("doc_sample_hash", sampleHash, Some(sampleHashSql)),
-    QueryDef("text_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
+    QueryDef("text_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql),
+      ceiling = Some(("documents", 150000L,
+        "blocked edit-distance verify is Theta(N^2) within length bands " +
+          "BY CONTRACT (sf3 measured 9.03x ~ 3^2); banded candidates + " +
+          "dedup_near_minhash are the linear-regime path"))),
     QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql)),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),

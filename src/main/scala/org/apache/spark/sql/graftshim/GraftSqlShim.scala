@@ -24,4 +24,37 @@ object GraftSqlShim {
     * ColumnNodeExpression whose captured ColumnNode is not serializable,
     * which blows up the first task that ships a plan holding it. */
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Re-wrap a just-localCheckpointed DataFrame with its carried
+    * statistics CAPPED at Long.MaxValue.
+    *
+    * Why this must exist: `localCheckpoint` preserves the child plan's
+    * computed `Statistics` on the resulting LogicalRDD. In an ITERATIVE
+    * operator whose round joins a checkpointed frame with itself (the
+    * connected-components pointer jump), sizeInBytes therefore SQUARES
+    * per round — after ~15 rounds the BigInt has millions of digits and
+    * every planner stats visit (AQE re-optimization calls one per
+    * stage) grinds in Karatsuba/Toom-Cook multiplication: the sf10
+    * semantic-dedup run burned 11+ driver-minutes in
+    * `BigInteger.multiply` before it was killed. Capping at each
+    * checkpoint bounds the digit count at 19 forever while keeping
+    * small frames' real sizes (so in-loop broadcast decisions still
+    * see truth). Row counts are capped the same way. */
+  def capCheckpointStats(spark: SparkSession, df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val s = l.stats
+        val lmax = BigInt(Long.MaxValue)
+        if (s.sizeInBytes <= lmax && s.rowCount.forall(_ <= lmax)) df
+        else {
+          val capped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = s.sizeInBytes.min(lmax),
+            rowCount = s.rowCount.map(_.min(lmax)))
+          ofRows(spark, new org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(
+            spark.asInstanceOf[CSparkSession], Some(capped), None))
+        }
+      case _ => df
+    }
 }

@@ -418,13 +418,56 @@ class MatViewSpec extends SparkSpec {
     assert(scanPaths(dimAgg).exists(_.endsWith("events.parquet")),
       "dim-measure aggregate must stay on the raw scan")
 
-    // outer join — NULL-extended fact rows break re-aggregation: refuse
-    val outerJ = T.events(spark, sf)
-      .join(graft.queries.MatView.typeDim(spark), Seq("event_type"), "left")
+    // fact LEFT JOIN dim ROUTES (r9): NULL-extension is bucket-uniform
+    // under a bucket-constant key, so aggregate-then-left-join commutes
+    // — and the answers must match the raw plan bit-for-bit
+    def leftJ() = T.events(spark, sf)
+      .join(graft.queries.MatView.partialTypeDim(spark),
+        Seq("event_type"), "left")
       .groupBy(date_trunc("day", col("ts")).as("day"), col("category"))
       .agg(count(lit(1)).as("n"))
-    assert(scanPaths(outerJ).exists(_.endsWith("events.parquet")),
-      "outer join must stay on the raw scan")
+    val lp = scanPaths(leftJ())
+    assert(lp.exists(_.contains("events_daily_")), s"left join not routed: $lp")
+    val lRouted = leftJ().collect().map(_.toString).sorted
+    val lRaw = graft.plans.SummaryRewrite.withBypass {
+      leftJ().collect().map(_.toString).sorted
+    }
+    assert(lRouted.sameElements(lRaw), "left-join route changed answers")
+
+    // dim LEFT JOIN fact — preserves dim-only rows no summary bucket
+    // accounts for: refuse
+    val dimLeft = graft.queries.MatView.typeDim(spark)
+      .join(T.events(spark, sf), Seq("event_type"), "left")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("category"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(dimLeft).exists(_.endsWith("events.parquet")),
+      "dim-left-join-fact must stay on the raw scan")
+
+    // a LEFT join whose condition also references the fact's VALUE
+    // column is not bucket-constant: refuse (the "filtering" left join)
+    val ev = T.events(spark, sf)
+    val dimT = graft.queries.MatView.typeDim(spark)
+      .select(col("event_type").as("det"), col("category"))
+    val leftValJ = ev.join(dimT,
+        ev("event_type") === col("det") && ev("value") > lit(10.0), "left")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("category"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(leftValJ).exists(_.endsWith("events.parquet")),
+      "value-conditioned left join must stay on the raw scan")
+
+    // snowflake chain (fact ⋈ dim ⋈ dim) routes and matches raw
+    def snow() = T.events(spark, sf)
+      .join(graft.queries.MatView.typeDim(spark), "event_type")
+      .join(graft.queries.MatView.categoryDim(spark), "category")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("org"))
+      .agg(count(lit(1)).as("n"))
+    val sp = scanPaths(snow())
+    assert(sp.exists(_.contains("events_daily_")), s"snowflake not routed: $sp")
+    val sRouted = snow().collect().map(_.toString).sorted
+    val sRaw = graft.plans.SummaryRewrite.withBypass {
+      snow().collect().map(_.toString).sorted
+    }
+    assert(sRouted.sameElements(sRaw), "snowflake route changed answers")
 
     // dim-side measure present but UNUSED + dim grouping: still routes
     // (the grammar only inspects referenced expressions)

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.ManifestLake
+import graft.plans.{StatsBroadcast, StatsJoinReorder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.StatsJoinReorder]] — manifest rows + NDV sketches
+  * deciding JOIN ORDER. The gate (`lake_cbo_reorder`) proves bit-parity
+  * with the oracle; this spec pins the decision itself: on a
+  * deliberately worst-first (fact ⋈ fact) ⋈ dim input the innermost
+  * join after optimization is fact⋈DIM (the order CHANGED), results are
+  * bit-equal either way, and every refusal path refuses (disabled flag,
+  * unregistered side, explicit user hint, outer join). */
+class StatsJoinReorderSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  graft.functions.VecExprs.register(spark)
+
+  private def mkLake(df: DataFrame, part: String, key: String): String = {
+    val dir = Files.createTempDirectory("graft-reorder").toString
+    ManifestLake.appendCommit(spark, dir, part, key, df, "load")
+    dir
+  }
+
+  // fact A: 1000 rows, join key j (ndv 100), dim key t (ndv 5)
+  private lazy val aDir = mkLake(
+    spark.range(1000).select(col("id").as("ka"), (col("id") % 100).as("j"),
+      (col("id") % 5).as("t"), (col("id") * 3).as("va"),
+      lit("x").as("pa")), "pa", "ka")
+  // fact B: 800 rows, join key j
+  private lazy val bDir = mkLake(
+    spark.range(800).select(col("id").as("kb"), (col("id") % 100).as("jb"),
+      (col("id") * 7).as("vb"), lit("y").as("pb")), "pb", "kb")
+  // dim D: 5 rows on t
+  private lazy val dDir = mkLake(
+    spark.range(5).select(col("id").as("td"), concat(lit("type_"),
+      col("id")).as("tname"), lit("z").as("pd")), "pd", "td")
+
+  private def registerAll(): Unit = {
+    StatsBroadcast.register(spark, aDir)
+    StatsBroadcast.register(spark, bDir)
+    StatsBroadcast.register(spark, dDir)
+    StatsJoinReorder.registerNdv(spark, aDir, "j")
+    StatsJoinReorder.registerNdv(spark, aDir, "t")
+    StatsJoinReorder.registerNdv(spark, bDir, "jb")
+    StatsJoinReorder.registerNdv(spark, dDir, "td")
+  }
+
+  private def cleanup(): Unit = { StatsBroadcast.clear(); StatsJoinReorder.clear() }
+
+  /** worst-first: (A ⋈ B on j) ⋈ D on t — the dim join should move first */
+  private def badOrdered(joinType: String = "inner",
+      hintDim: Boolean = false): DataFrame = {
+    val a = ManifestLake.read(spark, aDir)
+    val b = ManifestLake.read(spark, bDir)
+    val d0 = ManifestLake.read(spark, dDir)
+    val d = if (hintDim) d0.hint("merge") else d0
+    a.join(b, col("j") === col("jb"), joinType)
+      .join(d, col("t") === col("td"))
+      .groupBy(col("tname"))
+      .agg(count(lit(1)).as("n"), sum(col("va") + col("vb")).as("s"))
+      .orderBy(col("tname"))
+  }
+
+  /** Root dirs scanned under the INNERMOST join of the optimized plan. */
+  private def innermostJoinDirs(df: DataFrame): Set[String] = {
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val innermost = joins.filter(j => j.children.forall(c =>
+      c.collect { case x: Join => x }.isEmpty))
+    innermost.flatMap(_.collectLeaves()).collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.map(_.toUri.getPath).toSeq
+        case _ => Seq.empty
+      }
+    }.flatten.flatMap(p => Seq(aDir, bDir, dDir).filter(d =>
+      p.startsWith(new org.apache.hadoop.fs.Path(d).toUri.getPath))).toSet
+  }
+
+  test("stats re-order a worst-first star: dim join moves innermost; bit-parity") {
+    cleanup()
+    val before = badOrdered()
+    val beforeDirs = innermostJoinDirs(before)
+    assert(beforeDirs == Set(aDir, bDir),
+      s"unregistered: written order must survive, got $beforeDirs")
+    val rows = before.collect().toSeq
+    registerAll()
+    try {
+      val after = badOrdered()
+      val afterDirs = innermostJoinDirs(after)
+      assert(afterDirs == Set(aDir, dDir),
+        s"expected the dim join innermost after reorder, got $afterDirs")
+      assert(after.collect().toSeq == rows, "reorder changed the answer")
+    } finally cleanup()
+  }
+
+  test("refusals: disabled flag, unregistered side, user hint, outer join") {
+    cleanup()
+    registerAll()
+    try {
+      // disabled flag
+      spark.conf.set("graft.statsjoinreorder.enabled", "false")
+      try assert(innermostJoinDirs(badOrdered()) == Set(aDir, bDir))
+      finally spark.conf.unset("graft.statsjoinreorder.enabled")
+      // user hint on the dim side: explicit strategy is never moved
+      assert(innermostJoinDirs(badOrdered(hintDim = true)) == Set(aDir, bDir))
+      // outer join in the chain: not freely reorderable, flatten stops
+      assert(innermostJoinDirs(badOrdered(joinType = "left")) == Set(aDir, bDir))
+      // a side the stats can't see refuses the whole chain
+      StatsBroadcast.unregister(bDir)
+      assert(innermostJoinDirs(badOrdered()) == Set(aDir, bDir))
+    } finally cleanup()
+  }
+}
