@@ -214,29 +214,35 @@ object Manifest {
     * the winner, false for a loser; the temp file (and any checksum
     * sidecar) is cleaned up either way.
     *
-    * Scheme-split, because "atomic no-overwrite rename" is NOT portable:
-    *  - HDFS-like schemes: `FileContext.rename(Options.Rename.NONE)` is
-    *    contractual — the NameNode arbitrates the no-overwrite check and
-    *    the rename in one namespace op.
-    *  - `file:` — the Hadoop local implementations back Rename.NONE with
-    *    an `exists()` PROBE followed by POSIX `rename(2)`, which silently
-    *    OVERWRITES: two racers can both pass the probe, both rename onto
-    *    the same version, and one commit is lost (a TOCTOU lost update —
-    *    ManifestSpec's threaded two-writer test caught it in practice).
-    *    Here the arbiter is `link(2)` via `Files.createLink(dst, tmp)`:
-    *    hardlink creation fails atomically with EEXIST when dst exists,
-    *    so exactly one racer ever owns a version. */
-  private[ops] def publishIfAbsent(conf: org.apache.hadoop.conf.Configuration,
+    * Scheme matrix (VERDICT r8 #7) — "atomic no-overwrite publish" is
+    * NOT portable, and each storage class needs ITS OWN primitive:
+    *
+    * | scheme            | primitive                 | why it's atomic |
+    * |-------------------|---------------------------|-----------------|
+    * | `file`            | `link(2)` via Files.createLink | hardlink creation fails EEXIST in the kernel — one syscall, no probe |
+    * | `hdfs`, `viewfs`  | `FileContext.rename(Rename.NONE)` | the NameNode arbitrates exists-check + rename in one namespace op (contractual) |
+    * | object stores (`s3a`, `gs`, …) | NOT SUPPORTED HERE — must map to a conditional put: S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, Azure `If-None-Match: *` | the store's own compare-and-set; a Hadoop "rename" on these is copy+delete behind an exists PROBE — a TOCTOU lost update by construction |
+    *
+    * Unknown schemes FAIL LOUDLY (UnsupportedOperationException) instead
+    * of falling through to rename semantics that silently lose commits:
+    * the `file:` implementation of Rename.NONE is exactly such a trap —
+    * an `exists()` probe + POSIX `rename(2)` that OVERWRITES, so two
+    * racers can both pass the probe and one commit vanishes
+    * (ManifestSpec's threaded two-writer test caught it in practice
+    * before the link(2) arbiter). An object store wired through the
+    * generic branch would re-create that bug at 100 TB, where the
+    * commit log IS the table. */
+  private[graft] def publishIfAbsent(conf: org.apache.hadoop.conf.Configuration,
       tmp: Path, dst: Path): Boolean = {
     val fs = dst.getFileSystem(conf)
     val scheme = Option(dst.toUri.getScheme).getOrElse(fs.getScheme)
-    val won =
-      if (scheme == "file") {
+    val won = scheme match {
+      case "file" =>
         val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
         val dstNio = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
         try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
+      case "hdfs" | "viewfs" =>
         try {
           val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
           fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
@@ -248,7 +254,16 @@ object Manifest {
           // generic IOException; the destination existing is the proof
           case _: java.io.IOException if fs.exists(dst) => false
         }
-      }
+      case other =>
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+        throw new UnsupportedOperationException(
+          s"graft.Manifest: no atomic no-overwrite publish primitive is " +
+            s"wired for scheme '$other' — refusing to fall through to " +
+            "rename semantics that can silently lose a commit. Wire the " +
+            "store's conditional put (S3 If-None-Match: *, GCS " +
+            "ifGenerationMatch=0, Azure If-None-Match: *) into " +
+            "publishIfAbsent before pointing a table at this scheme.")
+    }
     if (fs.exists(tmp)) fs.delete(tmp, false)
     won
   }

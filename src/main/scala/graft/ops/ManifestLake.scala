@@ -110,17 +110,16 @@ object ManifestLake {
     * (`atVersion < v`), so time travel sees each snapshot under the
     * schema it was created with — Iceberg's per-snapshot schema.
     *
-    * The Iceberg idea with a lighter arbiter than field ids: data files
-    * are NEVER rewritten — files written before a rename keep the old
-    * physical column, and the read path maps every logical column over
-    * its name history (coalesce across the physical spellings; each
-    * row's file wrote exactly one of them). `add` needs no per-file
-    * work at all (absent column reads NULL via schema merge) and `drop`
-    * hides the column and its whole history. The one contract, same
-    * class as partition evolution's value-space rule: NAMES ARE NEVER
-    * RECYCLED — a name renamed away or dropped must not be
-    * reintroduced, which is exactly the ambiguity Iceberg's numeric
-    * field ids exist to resolve. */
+    * Full FIELD-ID semantics (r9): data files are NEVER rewritten —
+    * files written before a rename keep the old physical column, and
+    * the read path resolves every physical column to a field id
+    * through the epoch the file was written under (see the field-id
+    * block below). Names are therefore RECYCLABLE: "drop `amount`,
+    * later add a new `amount`" is legal — the new column is a new id,
+    * old files' physical `amount` belongs to the retired id and reads
+    * as NULL under the new column. The only rejected introduction is a
+    * name that is currently LIVE (that would be two ids under one
+    * name — ambiguous for writers). */
   final case class SchemaOp(op: String, colName: String, to: String,
       atVersion: Int)
 
@@ -172,11 +171,12 @@ object ManifestLake {
     * FS, no-overwrite rename on HDFS), so concurrent schema changes
     * serialize and none is lost.
     *
-    * Enforces the NAMES-ARE-NEVER-RECYCLED contract at commit time: a
-    * name that was ever renamed away or dropped is dead — re-adding it
-    * (or renaming onto it) would silently alias old physical data into
-    * the wrong logical column, which is the ambiguity Iceberg's field
-    * ids exist to resolve. Rejecting the commit is the lighter fix. */
+    * Recycling dead names is LEGAL under field-id resolution (r9): a
+    * re-added name is a new field id, and per-file epochs keep old
+    * physical data with the retired id. The rejected introduction is a
+    * name currently LIVE — in the op log, or as a physical column of
+    * the newest data file that no op has renamed away or dropped —
+    * since two ids under one name would be ambiguous for writers. */
   private def commitSchemaOp(spark: SparkSession, tablePath: String,
       op: String, colName: String, to: String = ""): Int = {
     requireColName("column name", colName)
@@ -188,22 +188,29 @@ object ManifestLake {
     while (attempt < 10) {
       val at = Manifest.currentListVersion(spark, tablePath)
       val prior = schemaOps(spark, tablePath)
-      val dead: Set[String] = prior.flatMap {
-        case SchemaOp("rename", from, _, _) => Seq(from)
-        case SchemaOp("drop", name, _, _)   => Seq(name)
-        case _                              => Seq.empty
-      }.toSet
       val introduced = op match {
         case "add"    => Some(colName)
         case "rename" => Some(to)
         case _        => None
       }
-      introduced.filter(dead).foreach { n =>
-        throw new IllegalArgumentException(
-          s"schema-op $op reintroduces dead name '$n' at $tablePath: " +
-            "names renamed away or dropped are never recycled (old data " +
-            "files still carry the physical column; reusing the name " +
-            "would alias their values into the new logical column)")
+      introduced.foreach { n =>
+        val (epochs, _) = schemaEpochs(prior)
+        val cur = epochs.last
+        val liveInLog = cur.get(n).exists(_.isDefined)
+        // a base column untouched by any op is live under its own name:
+        // check the newest data file's physical schema (one footer)
+        val liveAsBase = !cur.contains(n) && {
+          if (at < 0) false
+          else Manifest.readAll(spark, tablePath, at)
+            .filterNot(e => isDeleteFile(e.path)).lastOption.exists { e =>
+              spark.read.parquet(e.path).columns.contains(n)
+            }
+        }
+        if (liveInLog || liveAsBase) throw new IllegalArgumentException(
+          s"schema-op $op introduces name '$n' at $tablePath but that " +
+            "name is currently live — two field ids under one name " +
+            "would be ambiguous for writers; rename or drop the " +
+            "existing column first")
       }
       val ops = prior :+ SchemaOp(op, colName, to, at)
       val next = schemaVersions(spark, tablePath).lastOption.getOrElse(-1) + 1
@@ -242,106 +249,198 @@ object ManifestLake {
   def dropColumn(spark: SparkSession, tablePath: String, name: String): Int =
     commitSchemaOp(spark, tablePath, "drop", name)
 
-  /** Apply the op log to a physical frame: every logical column reads
-    * as coalesce over its name history (each row's file wrote exactly
-    * one spelling — the others are absent, i.e. NULL, for that row);
-    * dropped names and names renamed away leave the output. Column
-    * order: first physical appearance of each logical group. The
-    * `_graft_*` address columns ride through untouched. */
-  private def applySchemaOps(df: DataFrame, ops: Seq[SchemaOp]): DataFrame = {
-    if (ops.isEmpty) return df
-    var formers = Map.empty[String, List[String]] // logical -> former names
-    var hidden = Set.empty[String]                // physical names dropped
-    var added = Map.empty[String, String]         // declared adds -> type
-    ops.foreach {
-      case SchemaOp("rename", from, to, _) =>
-        formers = (formers - from) + (to -> (from :: formers.getOrElse(from, Nil)))
-        if (added.contains(from)) added = (added - from) + (to -> added(from))
-      case SchemaOp("drop", name, _, _) =>
-        hidden ++= (name :: formers.getOrElse(name, Nil)).toSet
-        formers -= name
-        added -= name
-      case SchemaOp("add", name, tpe, _) =>
-        // once any file carries the column, schema merge surfaces it;
-        // until then we synthesize a typed NULL below so the declared
-        // schema is visible immediately after addColumn commits
-        added += (name -> (if (tpe.nonEmpty) tpe else "string"))
-    }
-    val phys = df.columns.toSeq
-    val physSet = phys.toSet
-    val metaCols = Set("_graft_file", "_graft_pos")
-    val logicalOf: Map[String, String] =
-      formers.flatMap { case (to, hist) => hist.map(_ -> to) }
-    var seen = Set.empty[String]
-    val outCols = Seq.newBuilder[Column]
-    phys.foreach { p =>
-      if (!hidden.contains(p) && !metaCols.contains(p)) {
-        val logical = logicalOf.getOrElse(p, p)
-        if (!seen(logical)) {
-          seen += logical
-          val names = (logical :: formers.getOrElse(logical, Nil))
-            .filter(physSet)
-          outCols += (if (names.size <= 1) col(names.headOption.getOrElse(p)).as(logical)
-          else coalesce(names.map(col): _*).as(logical))
-        }
+  // ---- FIELD-ID schema resolution (VERDICT r8 #5) --------------------
+  // Every logical column is a numeric-identity FIELD, not a name:
+  // base columns carry the implicit id `b:<name>`, each `add` op i
+  // mints `a<i>:<name>`, a rename moves the NAME between epochs while
+  // the id stays put, a drop retires the id. Ids are DERIVED by
+  // replaying the op log (nothing new is stored), and a physical
+  // column in a data file resolves through the epoch the FILE was
+  // written under — its manifest birth version — so "drop `amount`,
+  // later add a new `amount`" is legal: old files' physical `amount`
+  // belongs to the retired id (reads as NULL under the new column),
+  // new files' belongs to the new id. This is Iceberg's field-id
+  // semantics re-derived from an append-only op log + the version
+  // chain, with zero changes to the stored format.
+
+  /** phys name -> field id at one epoch; None = the name is dead
+    * there. Names never touched by any op fall back to `b:<name>`. */
+  private type EpochMap = Map[String, Option[String]]
+
+  /** Replay the op log: mapping per epoch (epoch e = state before op
+    * e; epoch ops.size = current), plus declared types by add-id. */
+  private def schemaEpochs(ops: Seq[SchemaOp])
+      : (Vector[EpochMap], Map[String, String]) = {
+    var cur: EpochMap = Map.empty
+    var addedType = Map.empty[String, String]
+    val epochs = Vector.newBuilder[EpochMap]
+    def idOf(name: String): Option[String] =
+      cur.getOrElse(name, Some(s"b:$name"))
+    ops.zipWithIndex.foreach { case (op, i) =>
+      epochs += cur
+      op match {
+        case SchemaOp("rename", from, to, _) =>
+          val id = idOf(from)
+          cur = cur + (from -> None) + (to -> id)
+        case SchemaOp("drop", name, _, _) =>
+          cur = cur + (name -> None)
+        case SchemaOp("add", name, tpe, _) =>
+          val id = s"a$i:$name"
+          cur = cur + (name -> Some(id))
+          addedType += id -> (if (tpe.nonEmpty) tpe else "string")
+        case SchemaOp(other, _, _, _) =>
+          throw new IllegalStateException(s"unknown schema op '$other'")
       }
     }
-    // declared-but-unwritten adds: no file carries the column yet, so
-    // schema merge can't surface it — append a typed NULL in its place
-    added.foreach { case (name, tpe) =>
-      if (!seen(name) && !physSet.contains(name) && !hidden.contains(name)) {
-        seen += name
-        outCols += lit(null).cast(tpe).as(name)
-      }
+    epochs += cur
+    (epochs.result(), addedType)
+  }
+
+  /** First list version naming each of `paths` — the epoch anchor for
+    * field-id resolution. O(#versions) manifest reads, metadata-only,
+    * computed only for schema-evolved tables. */
+  private def birthVersions(spark: SparkSession, tablePath: String,
+      v: Int, paths: Set[String]): Map[String, Int] = {
+    val births = scala.collection.mutable.HashMap.empty[String, Int]
+    var k = 0
+    while (k <= v && births.size < paths.size) {
+      try Manifest.readAll(spark, tablePath, k).foreach { e =>
+        if (paths.contains(e.path) && !births.contains(e.path))
+          births(e.path) = k
+      } catch { case _: java.io.FileNotFoundException => () }
+      k += 1
     }
-    df.select(outCols.result() ++ phys.filter(metaCols).map(col): _*)
+    births.toMap
+  }
+
+  /** The resolved field-id view of one read: file→epoch assignment,
+    * per-epoch physical-name normalization to the read's schema, and
+    * the declared-add synthesis — shared by [[morScan]] and the CDC
+    * diff path. */
+  private final class FieldResolution(ops: Seq[SchemaOp],
+      epochs: Vector[EpochMap], addedType: Map[String, String],
+      births: Map[String, Int]) {
+    private val last = epochs.last
+    private val idToFinal: Map[String, String] =
+      last.collect { case (n, Some(i)) => (i, n) }
+    private def finalNameOf(id: String): Option[String] =
+      idToFinal.get(id).orElse {
+        if (id.startsWith("b:")) {
+          val n = id.stripPrefix("b:")
+          // untouched base name: live under itself; touched: either
+          // renamed-to (caught above) or dead
+          if (!last.contains(n)) Some(n) else None
+        } else None
+      }
+    /** a file not found in any manifest ≤ version (defensive) reads
+      * under the current epoch */
+    def epochOf(path: String): Int = {
+      val b = births.getOrElse(path, Int.MaxValue)
+      math.min(ops.count(_.atVersion < b), ops.size)
+    }
+    def normalize(df: DataFrame, e: Int): DataFrame = {
+      val m = epochs(e)
+      val cols = df.columns.toSeq.flatMap { p =>
+        if (p == "_graft_file" || p == "_graft_pos") Some(col(p))
+        else m.getOrElse(p, Some(s"b:$p"))
+          .flatMap(finalNameOf).map(fn => col(p).as(fn))
+      }
+      df.select(cols: _*)
+    }
+    /** declared-but-unwritten adds: no surviving file carries the
+      * column, so no group surfaced it — synthesize a typed NULL */
+    def withDeclaredAdds(unioned: DataFrame): DataFrame = {
+      val metaCols = Seq("_graft_file", "_graft_pos")
+      val have = unioned.columns.toSet
+      val synth = addedType.toSeq.sortBy(_._1).flatMap { case (id, tpe) =>
+        idToFinal.get(id).filterNot(have)
+          .map(name => lit(null).cast(tpe).as(name))
+      }
+      if (synth.isEmpty) unioned
+      else unioned.select(
+        unioned.columns.filterNot(metaCols.contains).map(col).toSeq ++
+          synth ++ metaCols.filter(have).map(col): _*)
+    }
+  }
+
+  private def fieldResolution(spark: SparkSession, tablePath: String,
+      version: Int, ops: Seq[SchemaOp],
+      paths: Seq[String]): FieldResolution = {
+    val (epochs, addedType) = schemaEpochs(ops)
+    new FieldResolution(ops, epochs, addedType,
+      birthVersions(spark, tablePath, version, paths.toSet))
   }
 
   /** Scan of a version's data files with its delete vectors applied.
     * Clean files (no vector names them) are scanned directly; dirty
     * files anti-join their positions. `keepMeta` retains the
     * `_graft_file`/`_graft_pos` address columns for callers that need
-    * row positions (the delete writer itself). */
-  private def morScan(spark: SparkSession, dataEntries: Seq[Manifest.FileEntry],
+    * row positions (the delete writer itself).
+    *
+    * Schema-evolved tables resolve columns by FIELD ID per file epoch
+    * (see the field-id block above): files are grouped by the number
+    * of ops committed before their manifest birth version, each
+    * group's physical names resolve through that epoch's name→id map,
+    * ids surviving to the read's schema keep their data under the
+    * current name, retired ids' columns drop out, and groups union
+    * with missing columns as NULL — so a re-added name reads NULL for
+    * old epochs and real values for new ones. */
+  private def morScan(spark: SparkSession, tablePath: String, version: Int,
+      dataEntries: Seq[Manifest.FileEntry],
       delEntries: Seq[Manifest.FileEntry], keepMeta: Boolean,
       ops: Seq[SchemaOp] = Seq.empty): DataFrame = {
     require(dataEntries.nonEmpty, "version has no data files")
     val dataPaths = dataEntries.map(_.path)
-    // schema-evolved tables read with footer merge (files written under
-    // different epochs carry different physical columns) and tolerant
-    // unions; unchanged tables keep the strict single-schema path
     val evolved = ops.nonEmpty
     def rd(paths: Seq[String]): DataFrame = {
       val r = spark.read
+      // within an epoch group files can still differ physically (an
+      // `add` lands file-by-file) — footer merge unions them
       (if (evolved) r.option("mergeSchema", "true") else r).parquet(paths: _*)
     }
-    val full = if (delEntries.isEmpty) {
-      withPos(rd(dataPaths))
-    } else {
-      val dels = spark.read.parquet(delEntries.map(_.path): _*)
-        .select(col("file_path"), col("row_index"))
-      val dirtyKeys = dels.select(col("file_path")).distinct()
-        .collect().map(r => metaKey(r.getString(0))).toSet
-      val (dirty, clean) = dataPaths.partition(p => dirtyKeys.contains(entryKey(p)))
-      val maxBroadcast = spark.conf.getOption("graft.lake.deleteBroadcastMaxRows")
-        .map(_.toLong).getOrElse(4000000L)
-      val delSide =
-        if (delEntries.map(_.rows).sum <= maxBroadcast) broadcast(dels) else dels
-      val dirtyDf =
-        if (dirty.isEmpty) None
-        else Some(withPos(rd(dirty))
-          .join(delSide,
-            col("_graft_file") === col("file_path") &&
-              col("_graft_pos") === col("row_index"),
-            "left_anti"))
-      val cleanDf =
-        if (clean.isEmpty) None
-        else Some(withPos(rd(clean)))
-      (cleanDf ++ dirtyDf).reduce(
-        _.unionByName(_, allowMissingColumns = evolved))
+    // delete-vector subtraction, applied per path group so clean files
+    // never pay the anti-join
+    val delSideOpt: Option[(DataFrame, Set[String])] =
+      if (delEntries.isEmpty) None
+      else {
+        val dels = spark.read.parquet(delEntries.map(_.path): _*)
+          .select(col("file_path"), col("row_index"))
+        val dirtyKeys = dels.select(col("file_path")).distinct()
+          .collect().map(r => metaKey(r.getString(0))).toSet
+        val maxBroadcast = spark.conf.getOption("graft.lake.deleteBroadcastMaxRows")
+          .map(_.toLong).getOrElse(4000000L)
+        val delSide =
+          if (delEntries.map(_.rows).sum <= maxBroadcast) broadcast(dels)
+          else dels
+        Some((delSide, dirtyKeys))
+      }
+    def readGroup(paths: Seq[String]): Seq[DataFrame] = delSideOpt match {
+      case None => Seq(withPos(rd(paths)))
+      case Some((delSide, dirtyKeys)) =>
+        val (dirty, clean) = paths.partition(p => dirtyKeys.contains(entryKey(p)))
+        val dirtyDf =
+          if (dirty.isEmpty) None
+          else Some(withPos(rd(dirty))
+            .join(delSide,
+              col("_graft_file") === col("file_path") &&
+                col("_graft_pos") === col("row_index"),
+              "left_anti"))
+        val cleanDf = if (clean.isEmpty) None else Some(withPos(rd(clean)))
+        (cleanDf ++ dirtyDf).toSeq
     }
-    val mapped = applySchemaOps(full, ops)
-    if (keepMeta) mapped else mapped.drop("_graft_file", "_graft_pos")
+    val full: DataFrame =
+      if (!evolved) readGroup(dataPaths)
+        .reduce(_.unionByName(_, allowMissingColumns = false))
+      else {
+        val fr = fieldResolution(spark, tablePath, version, ops, dataPaths)
+        val groups = dataPaths.groupBy(fr.epochOf).toSeq.sortBy(_._1)
+        val frames = groups.flatMap { case (e, paths) =>
+          readGroup(paths).map(fr.normalize(_, e))
+        }
+        fr.withDeclaredAdds(
+          frames.reduce(_.unionByName(_, allowMissingColumns = true)))
+      }
+    if (keepMeta) full else full.drop("_graft_file", "_graft_pos")
   }
 
   /** Ops in effect for a read: CURRENT reads (no explicit version)
@@ -424,7 +523,8 @@ object ManifestLake {
       // files carry the subtraction materialized)
       val survivors =
         if (removed.isEmpty) None
-        else Some(morScan(spark, dataEntries.filter(e => removed(e.path)),
+        else Some(morScan(spark, tablePath, head,
+            dataEntries.filter(e => removed(e.path)),
             delEntries, keepMeta = false, opsFor(spark, tablePath, head, current = true))
           .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti"))
       val newData = survivors.fold(delta)(s =>
@@ -458,7 +558,7 @@ object ManifestLake {
     require(v >= 0, s"no committed list versions at $tablePath")
     val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, v)
       .partition(e => isDeleteFile(e.path))
-    morScan(spark, dataEntries, delEntries, keepMeta = false,
+    morScan(spark, tablePath, v, dataEntries, delEntries, keepMeta = false,
       opsFor(spark, tablePath, v, current = version < 0))
   }
 
@@ -476,8 +576,9 @@ object ManifestLake {
     require(v >= 0, s"no committed list versions at $tablePath")
     val (delEntries, dataEntries) = Manifest.readAll(spark, tablePath, v)
       .partition(e => isDeleteFile(e.path))
-    morScan(spark, Manifest.prune(dataEntries, lo, hi), delEntries,
-      keepMeta = false, opsFor(spark, tablePath, v, current = version < 0))
+    morScan(spark, tablePath, v, Manifest.prune(dataEntries, lo, hi),
+      delEntries, keepMeta = false,
+      opsFor(spark, tablePath, v, current = version < 0))
   }
 
   /** Merge-on-read DELETE: write the positions of rows matching
@@ -501,7 +602,7 @@ object ManifestLake {
       // vector already names is subtracted before the filter, so it
       // never recurs — the delete set is O(total deleted), not
       // O(commits × matches)
-      morScan(spark, dataEntries, delEntries, keepMeta = true,
+      morScan(spark, tablePath, head, dataEntries, delEntries, keepMeta = true,
           opsFor(spark, tablePath, head, current = true))
         .filter(predicate)
         .select(col("_graft_file").as("file_path"),
@@ -552,17 +653,28 @@ object ManifestLake {
     val delSide =
       if (fresh.map(_.rows).sum <= maxBroadcast) broadcast(dels) else dels
     val opsNew = opsFor(spark, tablePath, vNew, current = false)
-    val dirtyRd = {
+    def rd(paths: Seq[String]): DataFrame = {
       val r = spark.read
       (if (opsNew.nonEmpty) r.option("mergeSchema", "true") else r)
-        .parquet(dirty.map(_.path): _*)
+        .parquet(paths: _*)
     }
-    applySchemaOps(withPos(dirtyRd)
-      .join(delSide,
-        col("_graft_file") === col("file_path") &&
-          col("_graft_pos") === col("row_index"),
-        "left_semi"), opsNew)
-      .drop("_graft_file", "_graft_pos")
+    def subtract(df: DataFrame): DataFrame = df.join(delSide,
+      col("_graft_file") === col("file_path") &&
+        col("_graft_pos") === col("row_index"),
+      "left_semi")
+    val dirtyPaths = dirty.map(_.path)
+    val resolved =
+      if (opsNew.isEmpty) subtract(withPos(rd(dirtyPaths)))
+      else {
+        val fr = fieldResolution(spark, tablePath, vNew, opsNew, dirtyPaths)
+        val frames = dirtyPaths.groupBy(fr.epochOf).toSeq.sortBy(_._1)
+          .map { case (e, paths) =>
+            fr.normalize(subtract(withPos(rd(paths))), e)
+          }
+        fr.withDeclaredAdds(
+          frames.reduce(_.unionByName(_, allowMissingColumns = true)))
+      }
+    resolved.drop("_graft_file", "_graft_pos")
   }
 
   /** Read-optimize: rewrite exactly the data files some delete vector
@@ -587,7 +699,7 @@ object ManifestLake {
         if (dirty.isEmpty) Seq.empty // only dead vectors — drop, no rewrite
         else {
           val outDir = s"$tablePath/data/$tag-v${head + 1}"
-          morScan(spark, dirty, delEntries, keepMeta = false,
+          morScan(spark, tablePath, head, dirty, delEntries, keepMeta = false,
               opsFor(spark, tablePath, head, current = true))
             .withColumn("graft_p", col(partCol))
             .write.partitionBy("graft_p").mode("overwrite").parquet(outDir)
@@ -675,7 +787,7 @@ object ManifestLake {
           // loop is O(#bins) driver-side jobs — metadata scale, and the
           // natural unit to fan out across a maintenance job's threads
           val binDir = s"$outDir/graft_p=$pv/bin-$i"
-          morScan(spark, bin, Seq.empty, keepMeta = false, ops)
+          morScan(spark, tablePath, head, bin, Seq.empty, keepMeta = false, ops)
             .coalesce(1).write.mode("overwrite").parquet(binDir)
           Manifest.collectStats(spark, Manifest.dataFiles(spark, binDir),
             keyCol)
@@ -760,7 +872,7 @@ object ManifestLake {
         val nOut = math.max(1L,
           (fs.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
         val partDir = s"$outDir/graft_p=$pv"
-        morScan(spark, fs, Seq.empty, keepMeta = false, ops)
+        morScan(spark, tablePath, head, fs, Seq.empty, keepMeta = false, ops)
           .repartitionByRange(nOut, col(keyCol))
           .sortWithinPartitions(col(keyCol))
           .write.mode("overwrite").parquet(partDir)

@@ -237,4 +237,35 @@ class ManifestSpec extends SparkSpec {
     val rows = diff.as[(String, Long)].collect().toMap
     assert(rows == Map("insert" -> 1L, "update" -> 1L, "unchanged" -> 2L))
   }
+
+  test("unknown storage scheme refuses the CAS publish loudly (scheme matrix)") {
+    // an object store routed through the generic rename branch would
+    // re-create the probe-then-rename lost-update this suite caught on
+    // file: — the arbiter must REFUSE schemes it has no atomic
+    // primitive for, and still clean up its temp file
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.mockfs.impl", classOf[MockSchemeFs].getName)
+    conf.set("fs.mockfs.impl.disable.cache", "true")
+    val dir = Files.createTempDirectory("graft-scheme").toString
+    val tmp = new org.apache.hadoop.fs.Path(s"mockfs://host$dir/v1.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"mockfs://host$dir/v1.json")
+    val fs = tmp.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    out.write("x".getBytes("UTF-8")); out.close()
+    val ex = intercept[UnsupportedOperationException] {
+      Manifest.publishIfAbsent(conf, tmp, dst)
+    }
+    assert(ex.getMessage.contains("mockfs"), ex.getMessage)
+    assert(ex.getMessage.contains("If-None-Match"), ex.getMessage)
+    assert(!fs.exists(tmp), "loser temp file must be cleaned up")
+    assert(!fs.exists(dst), "nothing may be published")
+  }
+}
+
+/** A local filesystem masquerading under an unknown scheme — how the
+  * scheme gate is tested without a real object store. */
+class MockSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs://host/")
 }

@@ -80,23 +80,50 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(v1.columns.contains("v"))
   }
 
-  test("dead names are never recycled; hostile names rejected at commit") {
+  test("field ids make dead names recyclable; live collisions and hostile names reject") {
     val dir = Files.createTempDirectory("graft-sev4").toString
     ManifestLake.mergeCommit(spark, dir, "p", "k",
       Seq((1L, "a", 10.0)).toDF("k", "p", "amount"), "load")
     ManifestLake.renameColumn(spark, dir, "amount", "total")
-    // re-adding the renamed-away name would alias every old file's
-    // physical 'amount' into 'total' and vanish the new column —
-    // the commit must refuse (the documented contract, now enforced)
+
+    // r9 INVERSION (VERDICT r8 #5): re-using the renamed-away name is
+    // now LEGAL — it creates a NEW field id, and per-file epochs keep
+    // the old physical 'amount' bound to the old id (now named
+    // 'total'), never aliased into the new column
+    ManifestLake.addColumn(spark, dir, "amount", "double")
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((2L, "b", 20.0, 99.0)).toDF("k", "p", "total", "amount"), "u1")
+    val cur = ManifestLake.read(spark, dir)
+      .select(col("k"), col("total"), col("amount"))
+      .as[(Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    // old epoch: total = its physical 'amount' (the old id), new
+    // 'amount' reads NULL; new epoch: both columns real
+    assert(cur == Seq((1L, Some(10.0), None), (2L, Some(20.0), Some(99.0))),
+      s"field-id resolution broke: $cur")
+
+    // drop-then-re-add: the canonical recycled-name workflow
+    ManifestLake.dropColumn(spark, dir, "total")
+    ManifestLake.addColumn(spark, dir, "total", "string")
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((3L, "b", 1.0, "fresh")).toDF("k", "p", "amount", "total"), "u2")
+    val rows = ManifestLake.read(spark, dir)
+      .select(col("k"), col("total")).as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    // re-added name reads NULL for old epochs, new values after —
+    // the old doubles never alias into the new string column
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some("fresh"))),
+      s"recycled name aliased old data: $rows")
+
+    // introducing a LIVE name still refuses (two ids, one name)
     intercept[IllegalArgumentException] {
       ManifestLake.addColumn(spark, dir, "amount")
     }
     intercept[IllegalArgumentException] {
       ManifestLake.renameColumn(spark, dir, "total", "amount")
     }
-    ManifestLake.dropColumn(spark, dir, "total")
-    intercept[IllegalArgumentException] {
-      ManifestLake.addColumn(spark, dir, "total")
+    intercept[IllegalArgumentException] { // 'k' is a live base column
+      ManifestLake.addColumn(spark, dir, "k")
     }
     // names that would corrupt the line-oriented op log never commit
     intercept[IllegalArgumentException] {
@@ -105,9 +132,9 @@ class SchemaEvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestLake.renameColumn(spark, dir, "k", "x\ny")
     }
-    // the log is still healthy after all the rejections
+    // the log holds exactly the committed ops after all the rejections
     assert(ManifestLake.schemaOps(spark, dir).map(_.op) ==
-      Seq("rename", "drop"))
+      Seq("rename", "add", "drop", "add"))
   }
 
   test("declared add is visible as typed NULL before any file writes it") {
