@@ -96,4 +96,44 @@ object MvAdvisor {
     }
     picks.result()
   }
+
+  /** Workload weights from the repo's own measured query history
+    * (`BENCH_FULL_HISTORY.jsonl`, one run per line) — VERDICT r8 #6:
+    * the advisor's weights should come from what the workload actually
+    * runs, not supplied constants. Each line's `"queries":{...}` map
+    * is parsed, the per-query MEDIAN seconds across runs is the
+    * query's cost, `nodeOf` maps query names onto lattice nodes (None
+    * = the query doesn't aggregate this lattice), and a node's weight
+    * is the summed medians in integer milliseconds — HRU frequencies
+    * generalized to observed cost mass. Pure line parsing, no JSON
+    * library: the writer is [[graft.Bench]] whose format is pinned. */
+  def workloadFromHistory(lines: Seq[String],
+      nodeOf: String => Option[String]): Map[String, Long] = {
+    val entry = """"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
+    val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    lines.foreach { ln =>
+      val i = ln.indexOf("\"queries\":{")
+      val j = if (i >= 0) ln.indexOf('}', i) else -1
+      if (i >= 0 && j > i) {
+        entry.findAllMatchIn(ln.substring(i + 11, j)).foreach { m =>
+          perQuery(m.group(1)) =
+            m.group(2).toDouble :: perQuery.getOrElse(m.group(1), Nil)
+        }
+      }
+    }
+    perQuery.toSeq.flatMap { case (name, ts) =>
+      nodeOf(name).map { node =>
+        val sorted = ts.sorted
+        node -> math.round(sorted(sorted.size / 2) * 1000.0)
+      }
+    }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+  }
+
+  /** Drop recommendations: views whose COVERED workload weight is zero
+    * — no query the workload ever runs can route to them, so an
+    * existing materialization is pure storage (and a candidate one is
+    * pure cost). covers() is transitive, so zero covered weight is
+    * exactly "nothing would ever touch it". */
+  def dropHints(views: Seq[View], weight: View => Long): Seq[View] =
+    views.filter(v => views.filter(covers(v, _)).map(weight).sum == 0L)
 }

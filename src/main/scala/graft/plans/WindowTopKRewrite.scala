@@ -42,9 +42,27 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Mirrors [[ShingleRewrite]]'s two injection paths: session-build via
   * GraftExtensions, post-hoc via VecExprs.register.
   */
-object WindowTopKRewrite extends Rule[LogicalPlan] {
+object WindowTopKRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private val MaxK = 10000
+
+  /** Split a possibly-conjunctive filter into (the rank bound k, the
+    * residual conjuncts that don't touch the rank). A downstream
+    * predicate pushed into the same Filter (the optimizer merges
+    * `cosine >= t` with `rank <= k` into one And — the sf10
+    * semantic-dedup edge build hit exactly this) must not defeat the
+    * heap: the k governs the heap, the residual re-applies above it. */
+  private def limitAndResidual(cond: Expression, rank: ExprId)
+      : Option[(Int, Seq[Expression])] = {
+    val conjs = splitConjunctivePredicates(cond)
+    val (rankCs, rest) = conjs.partition(_.exists {
+      case a: Attribute => a.exprId == rank
+      case _ => false
+    })
+    if (rankCs.size != 1) return None
+    limitOf(rankCs.head, rank).map(k => (k, rest))
+  }
 
   private def limitOf(cond: Expression, rank: ExprId): Option[Int] = {
     def isRank(e: Expression) = e match {
@@ -75,12 +93,14 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
           Window(Seq(al @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _)))
           if part.nonEmpty && order.nonEmpty &&
-            limitOf(cond, al.exprId).exists(k => k > 0 && k <= MaxK) &&
+            limitAndResidual(cond, al.exprId)
+              .exists { case (k, rest) => k > 0 && k <= MaxK &&
+                rest.forall(_.deterministic) } &&
             projectList.forall(!_.exists {
               case a: Attribute => a.exprId == al.exprId
               case _ => false
             }) =>
-        val k = limitOf(cond, al.exprId).get
+        val (k, residual) = limitAndResidual(cond, al.exprId).get
         // Spark's InferWindowGroupLimit may already have slipped its
         // pre-filter under the Window; the heap subsumes it — and a
         // heap this rule planted on an earlier fixed-point iteration
@@ -90,7 +110,13 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
               if p2 == part && o2 == order && k2 == k => t
           case c => TopKPerGroup(part, order, k, c)
         }
-        Project(projectList, child)
+        // residual conjuncts (non-rank predicates the optimizer merged
+        // into the same Filter) re-apply over the heap survivors —
+        // conjunction order commutes
+        val filtered: LogicalPlan =
+          if (residual.isEmpty) child
+          else Filter(residual.reduce(And), child)
+        Project(projectList, filtered)
     }
     // Pass 2 — the consumer KEEPS the rank column (ann_knn_join emits
     // it): TopKPerGroup can't replace the Window outright (it emits
@@ -110,9 +136,12 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
           w @ Window(Seq(al @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _))
           if part.nonEmpty && order.nonEmpty &&
-            limitOf(cond, al.exprId).exists(k => k > 0 && k <= MaxK) &&
+            limitAndResidual(cond, al.exprId)
+              .exists { case (k, _) => k > 0 && k <= MaxK } &&
             !stripLimit(wchild).isInstanceOf[TopKPerGroup] =>
-        val k = limitOf(cond, al.exprId).get
+        val (k, _) = limitAndResidual(cond, al.exprId).get
+        // the FULL filter (rank bound + any merged residual) stays in
+        // place; only the window's input is heap-limited
         Filter(cond,
           w.withNewChildren(Seq(TopKPerGroup(part, order, k, stripLimit(wchild)))))
     }

@@ -839,6 +839,105 @@ object MatView {
       |    AS picked1
       |FROM ben b1 ORDER BY time_grain, dim_set""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mv_advisor_workload — the advisor under a MEASURED workload
+  // (VERDICT r8 #6): weights come from a query log, not supplied
+  // constants. The oracle must replay the weighting, so this gate's
+  // log is a data-derived proxy it can see — every event row is "one
+  // dashboard query" at a lattice node chosen by its event_type (the
+  // ops types hit hourly dashboards, conversions hit daily/total
+  // rollups) — while the production entry point for the REAL log is
+  // [[graft.ops.MvAdvisor.workloadFromHistory]], which feeds per-query
+  // medians from BENCH_FULL_HISTORY.jsonl through the same weight
+  // parameter (MvAdvisorSpec covers it: a skewed history flips the
+  // greedy pick). Output per node: its own workload mass, the mass it
+  // COVERS, the workload-weighted HRU benefit, the weighted greedy's
+  // first pick, and the DROP hint — covered mass 0 means no query the
+  // workload ever runs could route there, so materializing (or
+  // keeping) it is pure storage.
+  private def mvAdvisorWorkload(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    import graft.ops.MvAdvisor
+    val (views, root) = eventsLattice(spark, dir)
+    val nodeOf = Map(
+      "click" -> "hour:event_type", "view" -> "hour:",
+      "purchase" -> "day:event_type", "signup" -> "total:",
+      "error" -> "month:event_type")
+    val w: Map[String, Long] = T.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("c")).collect()
+      .toSeq.map(r => (nodeOf.getOrElse(r.getString(0), "month:"), r.getLong(1)))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    val weight: MvAdvisor.View => Long = v => w.getOrElse(v.name, 0L)
+    val pick1 = MvAdvisor.greedy(views, root, 1, weight)
+      .headOption.map(_.view.name)
+    val drops = MvAdvisor.dropHints(views, weight).map(_.name).toSet
+    val rows = views.map { v =>
+      val covered = views.filter(MvAdvisor.covers(v, _)).map(weight).sum
+      val b = if (v eq root) 0L
+        else MvAdvisor.benefit(v, Seq(root), views, weight)
+      val Array(g, d) = v.name.split(":", -1)
+      (g, d, v.rows, weight(v), covered, b, pick1.contains(v.name),
+        drops.contains(v.name))
+    }
+    import spark.implicits._
+    rows.toDF("time_grain", "dim_set", "view_rows", "node_weight",
+        "covered_weight", "benefit1", "picked1", "drop_hint")
+      .orderBy(col("time_grain"), col("dim_set"))
+  }
+
+  private val mvAdvisorWorkloadSql =
+    """WITH wmap AS (
+      |  SELECT
+      |    CASE event_type WHEN 'click' THEN 'hour' WHEN 'view' THEN 'hour'
+      |      WHEN 'purchase' THEN 'day' WHEN 'signup' THEN 'total'
+      |      ELSE 'month' END AS g,
+      |    CASE event_type WHEN 'click' THEN 'event_type'
+      |      WHEN 'purchase' THEN 'event_type' WHEN 'error' THEN 'event_type'
+      |      ELSE '' END AS d,
+      |    COUNT(*) AS wt
+      |  FROM events GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT 'hour' AS g, 'event_type' AS d, 3 AS tl, 1 AS dl, COUNT(*) AS n
+      |    FROM (SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)
+      |  UNION ALL SELECT 'hour', '', 3, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('hour', ts) FROM events)
+      |  UNION ALL SELECT 'day', 'event_type', 2, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('day', ts), event_type FROM events)
+      |  UNION ALL SELECT 'day', '', 2, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('day', ts) FROM events)
+      |  UNION ALL SELECT 'month', 'event_type', 1, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('month', ts), event_type FROM events)
+      |  UNION ALL SELECT 'month', '', 1, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('month', ts) FROM events)
+      |  UNION ALL SELECT 'total', 'event_type', 0, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT event_type FROM events)
+      |  UNION ALL SELECT 'total', '', 0, 0, 1
+      |), ws AS (
+      |  SELECT s.*, COALESCE((SELECT SUM(wt) FROM wmap m
+      |    WHERE m.g = s.g AND m.d = s.d), 0) AS node_wt
+      |  FROM sizes s
+      |), cov AS (
+      |  SELECT v.*,
+      |    (SELECT COALESCE(SUM(w.node_wt), 0) FROM ws w
+      |      WHERE w.tl <= v.tl AND w.dl <= v.dl) AS cov_wt
+      |  FROM ws v
+      |), ben AS (
+      |  SELECT *, CASE WHEN tl = 3 AND dl = 1 THEN 0
+      |    ELSE cov_wt * ((SELECT n FROM sizes r WHERE r.tl = 3 AND r.dl = 1)
+      |                   - n) END AS b
+      |  FROM cov
+      |), pick AS (
+      |  SELECT g, d FROM ben WHERE b > 0
+      |  ORDER BY b DESC, n ASC, g ASC, d ASC LIMIT 1)
+      |SELECT g AS time_grain, d AS dim_set, CAST(n AS BIGINT) AS view_rows,
+      |  CAST(node_wt AS BIGINT) AS node_weight,
+      |  CAST(cov_wt AS BIGINT) AS covered_weight,
+      |  CAST(b AS BIGINT) AS benefit1,
+      |  EXISTS (SELECT 1 FROM pick p WHERE p.g = ben.g AND p.d = ben.d)
+      |    AS picked1,
+      |  cov_wt = 0 AS drop_hint
+      |FROM ben ORDER BY time_grain, dim_set""".stripMargin
+
   // mv_advisor_e2e — the loop CLOSED: advise → materialize → route.
   // The advisor prices the lattice and picks its top view; the gate
   // refuses to proceed unless the pick is the day×event_type node (it
@@ -880,6 +979,8 @@ object MatView {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mv_advisor_lattice", mvAdvisorLattice, Some(mvAdvisorLatticeSql)),
+    QueryDef("mv_advisor_workload", mvAdvisorWorkload,
+      Some(mvAdvisorWorkloadSql)),
     QueryDef("mv_advisor_e2e", mvAdvisorE2e, Some(mvAdvisorE2eSql)),
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
     QueryDef("mv_rewrite_joined", mvJoined, Some(mvJoinedSql)),

@@ -99,6 +99,43 @@ class MvAdvisorSpec extends AnyFunSuite {
     assert(MvAdvisor.greedy(cube, psc, 3, _ => 0L).isEmpty)
   }
 
+  test("workloadFromHistory: per-query medians map to node weights and flip the pick") {
+    // three bench runs; q_s is noisy (1.0/9.0/1.1 — median 1.1, the
+    // robustness the median buys), q_c steady
+    val lines = Seq(
+      """{"metric":"total","value":9,"queries":{"q_s":1.000,"q_c":0.200,"q_other":5.0},"sf":"x"}""",
+      """{"metric":"total","value":9,"queries":{"q_s":9.000,"q_c":0.200},"sf":"x"}""",
+      """{"metric":"total","value":9,"queries":{"q_s":1.100,"q_c":0.400},"sf":"x"}""")
+    val nodeOf: String => Option[String] = {
+      case "q_s" => Some("s")
+      case "q_c" => Some("c")
+      case _     => None // q_other doesn't aggregate this lattice
+    }
+    val w = MvAdvisor.workloadFromHistory(lines, nodeOf)
+    // medians: q_s -> 1.1s = 1100, q_c -> 0.2s = 200 (sorted middle of
+    // [0.2, 0.2, 0.4]); unmapped queries contribute nothing
+    assert(w == Map("s" -> 1100L, "c" -> 200L), w.toString)
+
+    // uniform weights pick ps (the cube test above); a c-heavy history
+    // must flip the greedy toward the c branch
+    val heavyC = MvAdvisor.workloadFromHistory(
+      Seq("""{"queries":{"q_c":50.0}}"""), nodeOf)
+    val weight: View => Long =
+      v => heavyC.getOrElse(v.name, 0L)
+    val pick = MvAdvisor.greedy(cube, psc, 1, weight).head.view.name
+    assert(pick == "c", s"c-only workload must pick c, got $pick")
+  }
+
+  test("dropHints: zero covered workload marks a view as pure storage") {
+    // workload lives only at node c: everything NOT covering c (and
+    // not covered-by-weighted nodes) is a drop candidate
+    val weight: View => Long = v => if (v.name == "c") 10L else 0L
+    val drops = MvAdvisor.dropHints(cube, weight).map(_.name).toSet
+    // views covering c: psc, pc, sc, c — everything else covers only
+    // zero-weight nodes
+    assert(drops == Set("ps", "p", "s", "none"), drops.toString)
+  }
+
   test("random lattices: every pick is a brute-force argmax and S stays consistent") {
     val genLattice: Gen[Seq[View]] = for {
       dims <- Gen.choose(2, 3)

@@ -57,6 +57,32 @@ class WindowTopKRewriteSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("a residual predicate merged into the rank filter still heaps") {
+    // the optimizer collapses a downstream filter into the rank filter
+    // (Filter(v > t && rank <= 3)) — the sf10 semantic-dedup edge build
+    // paid a full 179M-row window sort because the old pattern only
+    // matched a BARE rank comparison; the residual must re-apply above
+    // the heap, same rows out
+    val merged = base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).drop("rank")
+      .filter(col("v") > 2)
+    val plan = merged.queryExecution.optimizedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    val expected = base.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._2, r._3)).take(3).filter(_._2 > 2)
+      }.sorted
+    assert(merged.as[(Long, Long, Long)].collect().sorted.toSeq == expected)
+    // the rank-KEPT spelling with a merged residual heaps under the
+    // window too
+    val kept = base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3 && col("v") > 2)
+    val keptPlan = kept.queryExecution.optimizedPlan.toString
+    assert(keptPlan.contains("TopKPerGroup"), keptPlan)
+    assert(kept.drop("rank").as[(Long, Long, Long)].collect().sorted.toSeq
+      == expected)
+  }
+
   test("global (no-partition) row_number does not rewrite, and count() executes") {
     // a global window has no clustering key for the heap exec; and under
     // count(), column pruning drops the rank column from the Project, so
