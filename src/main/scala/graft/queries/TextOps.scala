@@ -219,6 +219,160 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // text_nb_classify — DISTILL THE LM FILTER into a cheap trained
+  // classifier, the CCNet workflow: perplexity-style filters are too
+  // expensive to run on every crawl byte, so production curation
+  // trains a linear bag-of-ngrams model (fasttext there, multinomial
+  // Naive Bayes here — its exact-integer-arithmetic cousin) to MIMIC
+  // the filter and gates at classifier speed. The pipeline is
+  // end-to-end in one query, every step cross-engine exact:
+  //  - TEACHER LABELS: each doc's unigram-LM quality (text_lm_score's
+  //    quantized int64 sum u over n_tok tokens) becomes an integer
+  //    score s_mu = -((-u)·1000 div n_tok) (negate-divide-negate so
+  //    both engines truncate the SAME direction), and the corpus
+  //    splits at the deterministic median rank (s_mu, doc_id) into
+  //    low/high halves. The global rank window is label-GENERATION,
+  //    |docs| rows once per corpus build — at 100 TB this step rides
+  //    the histogram + boundary-bucket trick curate_token_budget
+  //    demonstrates; exactness is the point here.
+  //  - STUDENT: unigrams hashed into B=4096 buckets — the model is a
+  //    DENSE 2×B table whatever the vocabulary (bounded metadata),
+  //    add-one-smoothed log-likelihoods and log-priors floor-quantized
+  //    to int64 millionths (the lm_score float discipline; the
+  //    quantization-edge wobble class is adjudicated at lm_score).
+  //    Train on doc_id % 5 ≠ 0, evaluate held-out.
+  //  - SCORING: one broadcast join of the model onto the exploded
+  //    test-token stream, one hash re-aggregate to (doc, class),
+  //    argmax via min_by over struct(-score, class) — map-side
+  //    economics; the corpus never shuffles by anything but doc_id.
+  // Output: the held-out confusion matrix — the artifact that tells a
+  // curation run whether the distilled gate is trustworthy. (The
+  // corpus label columns are deliberately NOT the target: this
+  // testdata's lang/source labels carry no generalizable textual
+  // signal — measured 0/100 held-out — and a gate that "learns" noise
+  // would be theater. The LM teacher is real signal by construction.)
+  private def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val B = 4096
+    val tok = T.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    // ---- teacher: integer LM quality + median-rank halves ----------
+    val nTok = tok.agg(count(lit(1)).cast("double").as("n_corpus"))
+    val lp = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(nTok))
+      .select(col("w"),
+        floor(log(col("tf").cast("double") / col("n_corpus")) * lit(1e6))
+          .cast("long").as("lp_mu"))
+    val docq = tok.join(lp, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_mu")).as("u"))
+      .select(col("doc_id"),
+        (-expr("((-u) * 1000) div n_tok")).as("s_mu"))
+    val wRank = Window.orderBy(col("s_mu"), col("doc_id"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val labels = docq
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .select(col("doc_id"),
+        when(col("rn") <= expr("cnt div 2"), "low").otherwise("high")
+          .as("q"))
+    // ---- student: dense hashed-unigram NB ---------------------------
+    val feat = tok
+      .withColumn("b",
+        expr(s"cast(conv(substring(md5(w), 1, 4), 16, 10) as bigint) % $B"))
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("q"), col("b"))
+    val train = feat.filter(col("doc_id") % 5 =!= 0)
+    val counts = train.groupBy(col("q").as("l"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val totals = train.groupBy(col("q").as("l")).agg(count(lit(1)).as("n_l"))
+    val priors = labels.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("q").as("l")).agg(count(lit(1)).as("d_l"))
+      .withColumn("d_tot", sum(col("d_l")).over(wAll))
+      .select(col("l"),
+        floor(log(col("d_l").cast("double") / col("d_tot").cast("double"))
+          * lit(1e6)).cast("long").as("prior_mu"))
+    val model = totals
+      .select(col("l"), col("n_l"),
+        explode(expr(s"sequence(0L, ${B - 1}L)")).as("b"))
+      .join(counts, Seq("l", "b"), "left")
+      .select(col("l"), col("b"),
+        floor(log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0))
+          / (col("n_l").cast("double") + lit(B.toDouble))) * lit(1e6))
+          .cast("long").as("w_mu"))
+    val test = feat.filter(col("doc_id") % 5 === 0)
+    val docScore = test.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("l"))
+      .agg(sum(col("w_mu")).as("s"))
+    val testDocs = labels.filter(col("doc_id") % 5 === 0)
+    val perClass = testDocs
+      .crossJoin(broadcast(priors))
+      .join(docScore, Seq("doc_id", "l"), "left")
+      .withColumn("score", col("prior_mu") + coalesce(col("s"), lit(0L)))
+    perClass.groupBy(col("doc_id"), col("q"))
+      .agg(min_by(col("l"), struct((-col("score")).as("ns"), col("l")))
+        .as("pred"))
+      .groupBy(col("q").as("label_true"), col("pred").as("label_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("label_true"), col("label_pred"))
+  }
+
+  private val nbClassifySql =
+    """WITH tok AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus FROM tok),
+      |lp AS (
+      |  SELECT w, CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE) / nc.n_corpus)
+      |    * 1000000) AS BIGINT) AS lp_mu
+      |  FROM tok, nc GROUP BY w, nc.n_corpus),
+      |docq AS (
+      |  SELECT doc_id, -(((-SUM(lp_mu)) * 1000) // COUNT(*)) AS s_mu
+      |  FROM tok JOIN lp USING (w) GROUP BY doc_id),
+      |labels AS (
+      |  SELECT doc_id, CASE WHEN ROW_NUMBER() OVER (ORDER BY s_mu, doc_id)
+      |    <= (SELECT COUNT(*) FROM docq) // 2 THEN 'low' ELSE 'high' END AS q
+      |  FROM docq),
+      |feat AS (
+      |  SELECT tok.doc_id, labels.q,
+      |    CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) % 4096 AS b
+      |  FROM tok JOIN labels ON tok.doc_id = labels.doc_id),
+      |train AS (SELECT * FROM feat WHERE doc_id % 5 <> 0),
+      |counts AS (SELECT q AS l, b, COUNT(*) AS c FROM train GROUP BY 1, 2),
+      |totals AS (SELECT q AS l, COUNT(*) AS n_l FROM train GROUP BY 1),
+      |pri AS (
+      |  SELECT q AS l,
+      |    CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE) /
+      |      (SUM(COUNT(*)) OVER ())) * 1000000) AS BIGINT) AS prior_mu
+      |  FROM labels WHERE doc_id % 5 <> 0 GROUP BY q),
+      |model AS (
+      |  SELECT t.l, r.range AS b,
+      |    CAST(FLOOR(ln((COALESCE(c.c, 0) + 1.0) / (t.n_l + 4096.0))
+      |      * 1000000) AS BIGINT) AS w_mu
+      |  FROM totals t CROSS JOIN range(4096) r
+      |  LEFT JOIN counts c ON c.l = t.l AND c.b = r.range),
+      |test AS (SELECT * FROM feat WHERE doc_id % 5 = 0),
+      |ds AS (
+      |  SELECT test.doc_id, m.l, SUM(m.w_mu) AS s
+      |  FROM test JOIN model m ON m.b = test.b GROUP BY 1, 2),
+      |td AS (SELECT doc_id, q FROM labels WHERE doc_id % 5 = 0),
+      |pl AS (
+      |  SELECT td.doc_id, td.q, p.l, p.prior_mu + COALESCE(ds.s, 0) AS score
+      |  FROM td CROSS JOIN pri p
+      |  LEFT JOIN ds ON ds.doc_id = td.doc_id AND ds.l = p.l),
+      |pred AS (
+      |  SELECT doc_id, q, l AS pred FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, l) AS rn FROM pl)
+      |  WHERE rn = 1)
+      |SELECT q AS label_true, pred AS label_pred,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // text_token_stats — corpus token accounting per source.
   private def tokenStats(spark: SparkSession, dir: String): DataFrame =
     toks(spark, dir)
@@ -1525,6 +1679,7 @@ object TextOps {
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("text_nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("text_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),

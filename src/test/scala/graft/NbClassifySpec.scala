@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `text_nb_classify` — the LM-filter distillation gate. The oracle
+  * proves bit-parity; this spec pins what the hash can't see: the
+  * student actually LEARNED (held-out accuracy well above the 50%
+  * coin — a majority-class or noise-fitting degenerate would sit at
+  * ~0.5), and the serving plan is the map-side shape (model and
+  * priors broadcast; the only cartesian is the bounded 2×|test-docs|
+  * prior spine). */
+class NbClassifySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("held-out accuracy beats chance by a wide margin") {
+    assume(new java.io.File(sf).isDirectory)
+    val rows = SparkEntry.queries("text_nb_classify")(spark, sf).collect()
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum
+    val correct = rows.filter(r =>
+      r.getAs[String]("label_true") == r.getAs[String]("label_pred"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(tot > 0)
+    val acc = correct.toDouble / tot
+    assert(acc >= 0.75,
+      s"distilled classifier held-out accuracy $acc — the student is " +
+        "not learning the teacher (0.5 = coin, ~0.87 measured at sf0.01)")
+    // both classes must be PREDICTED (a majority-class degenerate
+    // passes no-accuracy-floor corpora but never predicts the minority)
+    val preds = rows.map(_.getAs[String]("label_pred")).distinct
+    assert(preds.toSet == Set("low", "high"), preds.mkString(","))
+  }
+
+  test("serving plan: model broadcasts; no unbounded cartesian") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("text_nb_classify")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the prior spine is a broadcast nested loop over a 2-row side —
+    // acceptable; a CartesianProduct would mean the model join lost
+    // its key
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+}
