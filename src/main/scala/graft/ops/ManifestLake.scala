@@ -183,6 +183,9 @@ object ManifestLake {
     if (op == "rename") requireColName("rename target", to)
     if (op == "add") require(to.matches("""[A-Za-z0-9_(),<> ]+"""),
       s"invalid add-column type '$to'")
+    if (op == "widen") require(Seq("bigint", "double").contains(to),
+      s"invalid widen target '$to' — promotions are widening-only " +
+        "(int->bigint, float->double), the Iceberg whitelist")
     val conf = spark.sparkContext.hadoopConfiguration
     var attempt = 0
     while (attempt < 10) {
@@ -194,7 +197,7 @@ object ManifestLake {
         case _        => None
       }
       introduced.foreach { n =>
-        val (epochs, _) = schemaEpochs(prior)
+        val (epochs, _, _) = schemaEpochs(prior)
         val cur = epochs.last
         val liveInLog = cur.get(n).exists(_.isDefined)
         // a base column untouched by any op is live under its own name:
@@ -249,6 +252,68 @@ object ManifestLake {
   def dropColumn(spark: SparkSession, tablePath: String, name: String): Int =
     commitSchemaOp(spark, tablePath, "drop", name)
 
+  /** Metadata-only TYPE PROMOTION (Iceberg's widening evolution):
+    * int→bigint or float→double on a live column. Zero data files
+    * touched — the read path casts every epoch's physical column to
+    * the widened type (a no-op for post-widen files), so values that
+    * only fit the wider type can land in later commits while old files
+    * keep reading verbatim. The promotion binds to the FIELD ID: a
+    * later drop + re-add of the name starts un-widened. Narrowing and
+    * cross-family casts are rejected at commit — they would silently
+    * corrupt old data instead of widening its container. */
+  def widenColumn(spark: SparkSession, tablePath: String, name: String,
+      toType: String): Int = {
+    val fromType = currentTypeOf(spark, tablePath, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"widen of '$name' at $tablePath: column is not live (no op-log " +
+          "entry and not in the newest data file's schema)"))
+    val legal = Map("int" -> "bigint", "integer" -> "bigint",
+      "float" -> "double")
+    if (!legal.get(fromType).contains(toType))
+      throw new IllegalArgumentException(
+        s"widen of '$name' from '$fromType' to '$toType' is not a " +
+          "widening promotion (allowed: int->bigint, float->double)")
+    commitSchemaOp(spark, tablePath, "widen", name, toType)
+  }
+
+  /** The current declared/physical type of a live column: the op log's
+    * declared add/widen type when the field was introduced or promoted
+    * there, else the newest data file's footer type. None = not live. */
+  private def currentTypeOf(spark: SparkSession, tablePath: String,
+      name: String): Option[String] = {
+    val ops = schemaOps(spark, tablePath)
+    val (epochs, addedType, widened) = schemaEpochs(ops)
+    val cur = epochs.last
+    cur.get(name) match {
+      case Some(None) => None // dead name
+      case Some(Some(id)) =>
+        // physical files may still carry any of the id's historical
+        // spellings (a rename with no data committed since)
+        val spellings = (epochs.flatMap(_.collect {
+          case (n, Some(i)) if i == id => n
+        }) ++ (if (id.startsWith("b:")) Seq(id.stripPrefix("b:"))
+               else Seq.empty)).distinct
+        widened.get(id).orElse(addedType.get(id))
+          .orElse(physicalTypeOf(spark, tablePath, spellings))
+      case None =>
+        // untouched base name — widened under its implicit id?
+        widened.get(s"b:$name")
+          .orElse(physicalTypeOf(spark, tablePath, Seq(name)))
+    }
+  }
+
+  private def physicalTypeOf(spark: SparkSession, tablePath: String,
+      names: Seq[String]): Option[String] = {
+    val at = Manifest.currentListVersion(spark, tablePath)
+    if (at < 0) return None
+    Manifest.readAll(spark, tablePath, at)
+      .filterNot(e => isDeleteFile(e.path)).lastOption.flatMap { e =>
+        val fields = spark.read.parquet(e.path).schema.fields
+        names.view.flatMap(n => fields.find(_.name == n)).headOption
+          .map(_.dataType.simpleString)
+      }
+  }
+
   // ---- FIELD-ID schema resolution (VERDICT r8 #5) --------------------
   // Every logical column is a numeric-identity FIELD, not a name:
   // base columns carry the implicit id `b:<name>`, each `add` op i
@@ -268,11 +333,14 @@ object ManifestLake {
   private type EpochMap = Map[String, Option[String]]
 
   /** Replay the op log: mapping per epoch (epoch e = state before op
-    * e; epoch ops.size = current), plus declared types by add-id. */
+    * e; epoch ops.size = current), plus declared types by add-id and
+    * the widened target type by id (type promotion binds to the FIELD
+    * — a later drop + re-add of the name starts un-widened). */
   private def schemaEpochs(ops: Seq[SchemaOp])
-      : (Vector[EpochMap], Map[String, String]) = {
+      : (Vector[EpochMap], Map[String, String], Map[String, String]) = {
     var cur: EpochMap = Map.empty
     var addedType = Map.empty[String, String]
+    var widened = Map.empty[String, String]
     val epochs = Vector.newBuilder[EpochMap]
     def idOf(name: String): Option[String] =
       cur.getOrElse(name, Some(s"b:$name"))
@@ -288,12 +356,17 @@ object ManifestLake {
           val id = s"a$i:$name"
           cur = cur + (name -> Some(id))
           addedType += id -> (if (tpe.nonEmpty) tpe else "string")
+        case SchemaOp("widen", name, tpe, _) =>
+          idOf(name).foreach { id =>
+            widened += id -> tpe
+            if (addedType.contains(id)) addedType += id -> tpe
+          }
         case SchemaOp(other, _, _, _) =>
           throw new IllegalStateException(s"unknown schema op '$other'")
       }
     }
     epochs += cur
-    (epochs.result(), addedType)
+    (epochs.result(), addedType, widened)
   }
 
   /** First list version naming each of `paths` — the epoch anchor for
@@ -319,7 +392,7 @@ object ManifestLake {
     * diff path. */
   private final class FieldResolution(ops: Seq[SchemaOp],
       epochs: Vector[EpochMap], addedType: Map[String, String],
-      births: Map[String, Int]) {
+      widened: Map[String, String], births: Map[String, Int]) {
     private val last = epochs.last
     private val idToFinal: Map[String, String] =
       last.collect { case (n, Some(i)) => (i, n) }
@@ -342,8 +415,13 @@ object ManifestLake {
       val m = epochs(e)
       val cols = df.columns.toSeq.flatMap { p =>
         if (p == "_graft_file" || p == "_graft_pos") Some(col(p))
-        else m.getOrElse(p, Some(s"b:$p"))
-          .flatMap(finalNameOf).map(fn => col(p).as(fn))
+        else m.getOrElse(p, Some(s"b:$p")).flatMap { id =>
+          // type promotion: every epoch's physical column casts to the
+          // field's widened type (a no-op for files written after the
+          // widen), so the cross-epoch union sees ONE type
+          finalNameOf(id).map(fn => widened.get(id)
+            .map(t => col(p).cast(t)).getOrElse(col(p)).as(fn))
+        }
       }
       df.select(cols: _*)
     }
@@ -366,8 +444,8 @@ object ManifestLake {
   private def fieldResolution(spark: SparkSession, tablePath: String,
       version: Int, ops: Seq[SchemaOp],
       paths: Seq[String]): FieldResolution = {
-    val (epochs, addedType) = schemaEpochs(ops)
-    new FieldResolution(ops, epochs, addedType,
+    val (epochs, addedType, widened) = schemaEpochs(ops)
+    new FieldResolution(ops, epochs, addedType, widened,
       birthVersions(spark, tablePath, version, paths.toSet))
   }
 

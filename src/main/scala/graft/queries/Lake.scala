@@ -712,6 +712,66 @@ object Lake {
       |ORDER BY o_orderpriority""".stripMargin
 
   // -------------------------------------------------------------------
+  // lake_schema_widen — TYPE PROMOTION (Iceberg widening evolution) on
+  // the manifest-list table: an int column outgrows its container —
+  // the canonical ops incident: a counter crosses 2^31 — and
+  // [[ManifestLake.widenColumn]] promotes it to bigint as pure
+  // metadata. Old files stay byte-identical (the read path casts each
+  // epoch to the widened type — exact, int⊂bigint), and the NEXT
+  // commit lands values only a bigint can hold. The fixture writes an
+  // int epoch, widens, then appends values past 2^31 (bounded so Σ stays in int64 at any SF);
+  // the oracle recomputes both epochs from raw orders with the same
+  // CAST, so the promotion is hash-proven value-preserving across the
+  // epoch boundary. SchemaEvolutionSpec pins the rejections (narrowing,
+  // cross-family, dead/unknown columns) and byte-stability.
+  private def schemaWidenPath(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val tag = s"orders_widen_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-sev/$tag"
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_WIDEN_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val o = T.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      ManifestLake.appendCommit(spark, path, "o_orderpriority", "o_orderkey",
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("qty", pmod(col("o_orderkey"), lit(1000)).cast("int")),
+        "load")
+      ManifestLake.widenColumn(spark, path, "qty", "bigint")
+      ManifestLake.appendCommit(spark, path, "o_orderpriority", "o_orderkey",
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .withColumn("qty",
+            (pmod(col("o_orderkey"), lit(1000)) * lit(4000000L)
+              + lit(3000000000L)).cast("bigint")),
+        "wide")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def schemaWiden(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    ManifestLake.read(spark, schemaWidenPath(spark, dir))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("qty")).as("sum_qty"),
+        max(col("qty")).as("max_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val schemaWidenSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000
+      |       ELSE (o_orderkey % 1000) * 4000000 + 3000000000 END) AS BIGINT)
+      |    AS sum_qty,
+      |  CAST(MAX(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000
+      |       ELSE (o_orderkey % 1000) * 4000000 + 3000000000 END) AS BIGINT)
+      |    AS max_qty
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
   // lake_delete_vectors — merge-on-read DELETE over a manifest-list
   // table ([[ManifestLake.deleteWhere]]): two successive deletes write
   // only (file_path, row_index) sidecars — zero data files rewritten,
@@ -1284,6 +1344,7 @@ object Lake {
     QueryDef("lake_time_travel", timeTravel, Some(timeTravelSql)),
     QueryDef("lake_schema_evolution", schemaEvolution,
       Some(schemaEvolutionSql)),
+    QueryDef("lake_schema_widen", schemaWiden, Some(schemaWidenSql)),
     QueryDef("scan_bloom_prune", bloomPrune, Some(bloomPruneSql)),
     QueryDef("scan_bloom_prune_str", bloomPruneStr, Some(bloomPruneStrSql))
   )

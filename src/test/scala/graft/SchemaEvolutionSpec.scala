@@ -137,6 +137,67 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq("rename", "add", "drop", "add"))
   }
 
+  test("widen: int->bigint is metadata-only, value-preserving, id-bound") {
+    val dir = Files.createTempDirectory("graft-sev-widen").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 7), (2L, "a", 9)).toDF("k", "p", "qty"), "load")
+    val v0Files = Manifest.readAll(spark, dir, 0).map(_.path)
+    val v0Stamps = v0Files.map(p => fs.getFileStatus(new Path(p))
+      .getModificationTime)
+    ManifestLake.widenColumn(spark, dir, "qty", "bigint")
+    // promotion touched zero data files
+    v0Files.zip(v0Stamps).foreach { case (p, t) =>
+      assert(fs.getFileStatus(new Path(p)).getModificationTime == t, p)
+    }
+    // reads are bigint NOW, old values intact
+    val cur = ManifestLake.read(spark, dir)
+    assert(cur.schema("qty").dataType.simpleString == "bigint")
+    // next commit carries a value only bigint holds
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((3L, "a", 3000000000L)).toDF("k", "p", "qty"), "wide")
+    val rows = ManifestLake.read(spark, dir)
+      .select(col("k"), col("qty")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 7L), (2L, 9L), (3L, 3000000000L)), rows.toString)
+    // widening survives a rename (bound to the field id, not the name)
+    ManifestLake.renameColumn(spark, dir, "qty", "quantity")
+    val renamed = ManifestLake.read(spark, dir)
+    assert(renamed.schema("quantity").dataType.simpleString == "bigint")
+    // drop + re-add of the name starts UN-widened (new field id)
+    ManifestLake.dropColumn(spark, dir, "quantity")
+    ManifestLake.addColumn(spark, dir, "qty", "int")
+    val readd = ManifestLake.read(spark, dir)
+    assert(readd.schema("qty").dataType.simpleString == "int")
+    // time travel before the widen reads the original int
+    val v0 = ManifestLake.read(spark, dir, 0)
+    assert(v0.schema("qty").dataType.simpleString == "int")
+  }
+
+  test("widen rejections: narrowing, cross-family, dead and unknown columns") {
+    val dir = Files.createTempDirectory("graft-sev-widen2").toString
+    ManifestLake.mergeCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 7, 1.5f, "x")).toDF("k", "p", "qty", "ratio", "tag"),
+      "load")
+    // bigint -> int is narrowing; string -> bigint is cross-family
+    intercept[IllegalArgumentException] {
+      ManifestLake.widenColumn(spark, dir, "k", "int")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.widenColumn(spark, dir, "tag", "bigint")
+    }
+    intercept[IllegalArgumentException] { // unknown column
+      ManifestLake.widenColumn(spark, dir, "nope", "bigint")
+    }
+    ManifestLake.dropColumn(spark, dir, "qty")
+    intercept[IllegalArgumentException] { // dead column
+      ManifestLake.widenColumn(spark, dir, "qty", "bigint")
+    }
+    // float -> double IS legal
+    ManifestLake.widenColumn(spark, dir, "ratio", "double")
+    assert(ManifestLake.read(spark, dir)
+      .schema("ratio").dataType.simpleString == "double")
+  }
+
   test("declared add is visible as typed NULL before any file writes it") {
     val dir = Files.createTempDirectory("graft-sev5").toString
     ManifestLake.mergeCommit(spark, dir, "p", "k",
