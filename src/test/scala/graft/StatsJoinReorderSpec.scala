@@ -101,6 +101,58 @@ class StatsJoinReorderSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("bit-parity net: reorder changes no answer across join shapes") {
+    cleanup()
+    // a 4th table joined on a second A key, with DUPLICATE join keys on
+    // both sides of the j-join (multiplicities must survive reordering)
+    val dDir = mkLake(
+      spark.range(40).select(col("id").as("kd"), (col("id") % 5).as("td"),
+        concat(lit("u"), col("id") % 7).as("uname"), lit("w").as("pd2")),
+      "pd2", "kd")
+    val shapes: Seq[() => DataFrame] = {
+      def a = ManifestLake.read(spark, aDir)
+      def b = ManifestLake.read(spark, bDir)
+      def d0 = ManifestLake.read(spark, this.dDir)
+      def d4 = ManifestLake.read(spark, dDir)
+        .select(col("td").as("td4"), col("uname"))
+      Seq(
+        // worst-first star
+        () => a.join(b, col("j") === col("jb"))
+          .join(d0, col("t") === col("td"))
+          .groupBy(col("tname")).agg(sum(col("va") + col("vb")).as("s")),
+        // already-good order — the rule must be a no-op that still answers
+        () => a.join(d0, col("t") === col("td"))
+          .join(b, col("j") === col("jb"))
+          .groupBy(col("tname")).agg(count(lit(1)).as("n")),
+        // 4-table chain with a DUPLICATING dim (8 rows per td4 value)
+        () => a.join(b, col("j") === col("jb"))
+          .join(d0, col("t") === col("td"))
+          .join(d4, col("t") === col("td4"))
+          .groupBy(col("tname"), col("uname"))
+          .agg(count(lit(1)).as("n"), sum(col("va")).as("s")),
+        // filters above and between the joins
+        () => a.filter(col("va") > 30)
+          .join(b, col("j") === col("jb"))
+          .join(d0, col("t") === col("td"))
+          .filter(col("tname") =!= "type_0")
+          .groupBy(col("tname")).agg(count(lit(1)).as("n")),
+        // non-equi conjunct riding the equi key
+        () => a.join(b, col("j") === col("jb") && col("va") < col("vb"))
+          .join(d0, col("t") === col("td"))
+          .groupBy(col("tname")).agg(count(lit(1)).as("n")))
+    }
+    val plain = shapes.map(s => s().collect().map(_.toString).sorted.toSeq)
+    registerAll()
+    StatsBroadcast.register(spark, dDir)
+    StatsJoinReorder.registerNdv(spark, dDir, "td")
+    try {
+      shapes.zip(plain).zipWithIndex.foreach { case ((s, want), i) =>
+        val got = s().collect().map(_.toString).sorted.toSeq
+        assert(got == want, s"shape $i diverged under reordering")
+      }
+    } finally cleanup()
+  }
+
   test("refusals: disabled flag, unregistered side, user hint, outer join") {
     cleanup()
     registerAll()
