@@ -1674,7 +1674,12 @@ object TextOps {
         "blocked edit-distance verify is Theta(N^2) within length bands " +
           "BY CONTRACT (sf3 measured 9.03x ~ 3^2); banded candidates + " +
           "dedup_near_minhash are the linear-regime path"))),
-    QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql)),
+    QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql),
+      ceiling = Some(("documents", 150000L,
+        "consumes text_fuzzy_pairs' blocked edit-distance edges — " +
+          "Theta(N^2) within length bands BY CONTRACT (the sf10 run " +
+          "sat in levenshtein for 90+ min); banded MinHash candidates " +
+          "are the linear-regime edge source at scale"))),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
