@@ -231,10 +231,17 @@ object TextOps {
   //    score s_mu = -((-u)·1000 div n_tok) (negate-divide-negate so
   //    both engines truncate the SAME direction), and the corpus
   //    splits at the deterministic median rank (s_mu, doc_id) into
-  //    low/high halves. The global rank window is label-GENERATION,
-  //    |docs| rows once per corpus build — at 100 TB this step rides
-  //    the histogram + boundary-bucket trick curate_token_budget
-  //    demonstrates; exactness is the point here.
+  //    low/high halves. The median rank rides the histogram +
+  //    boundary-bucket idiom (curate_token_budget's two-pass shape):
+  //    s_mu quantizes onto a ≤1000-cell integer grid (monotone in
+  //    s_mu, pure int64 arithmetic), the cell-count cumulative sweep
+  //    is a window over bounded metadata, whole cells label without
+  //    any per-doc ordering, and only the single cell straddling the
+  //    median pays a doc-level rank — PARTITIONED by cell, so the
+  //    corpus never flows through one ordering. The oracle keeps the
+  //    global ROW_NUMBER spelling: rank equivalence (cell is
+  //    order-compatible with s_mu) makes the labels identical, and
+  //    the hash gate proves it.
   //  - STUDENT: unigrams hashed into B=4096 buckets — the model is a
   //    DENSE 2×B table whatever the vocabulary (bounded metadata),
   //    add-one-smoothed log-likelihoods and log-priors floor-quantized
@@ -269,15 +276,36 @@ object TextOps {
       .agg(count(lit(1)).as("n_tok"), sum(col("lp_mu")).as("u"))
       .select(col("doc_id"),
         (-expr("((-u) * 1000) div n_tok")).as("s_mu"))
-    val wRank = Window.orderBy(col("s_mu"), col("doc_id"))
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val labels = docq
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("cnt", count(lit(1)).over(wAll))
+    // median split, histogram + boundary-bucket (see header): the grid
+    // cell is monotone in s_mu, so global-rank ≤ half ⟺ (cell strictly
+    // below the straddling cell) ∨ (in it, with in-cell rank making up
+    // the difference). (mx - mn + 1) never overflows: |s_mu| ≤ ~2.5e10.
+    val stats = docq.agg(min(col("s_mu")).as("mn"), max(col("s_mu")).as("mx"),
+      count(lit(1)).as("cnt"))
+    val dq = docq.crossJoin(broadcast(stats))
+      .withColumn("cell", expr("((s_mu - mn) * 1000) div (mx - mn + 1)"))
+    val wCell = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = dq.groupBy(col("cell"))
+      .agg(count(lit(1)).as("c"), first(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("c")).over(wCell))
+      .withColumn("prev_cum", col("cum") - col("c"))
+      .withColumn("half", expr("cnt div 2"))
+      .withColumn("status",
+        when(col("cum") <= col("half"), "low")
+          .when(col("prev_cum") >= col("half"), "high")
+          .otherwise("edge"))
+      .select(col("cell"), col("status"), col("prev_cum"), col("half"))
+    val wEdge = Window.partitionBy(col("cell"))
+      .orderBy(col("s_mu"), col("doc_id"))
+    val labels = dq.join(broadcast(cells), "cell")
+      .withColumn("rn", row_number().over(wEdge))
       .select(col("doc_id"),
-        when(col("rn") <= expr("cnt div 2"), "low").otherwise("high")
-          .as("q"))
+        when(col("status") === "low" || (col("status") === "edge" &&
+          col("prev_cum") + col("rn") <= col("half")), "low")
+          .otherwise("high").as("q"))
     // ---- student: dense hashed-unigram NB ---------------------------
     val feat = tok
       .withColumn("b",
@@ -705,21 +733,29 @@ object TextOps {
     .selectExpr("doc_id",
       "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
 
+  /** Band-collision candidate pairs from a (doc_id, band, sig) signature
+    * frame, by bucket-collect instead of a self-join (one pass over the
+    * signature table; pairs are generated inside each (band, sig) posting
+    * list — quadratic only in the bucket length, sorted ids so i<j ⇒
+    * doc_a < doc_b). Shared by dedup_near_minhash and er_golden_record —
+    * the LINEAR-REGIME candidate generator both gates ride at scale. */
+  private def bandCandidates(mh: DataFrame): DataFrame = mh
+    .groupBy(col("band"), col("sig"))
+    .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    .filter(size(col("ids")) >= 2)
+    .select(explode(expr(
+      "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+    .select(col("p.doc_a"), col("p.doc_b"))
+    .distinct()
+
   private def nearMinhash(spark: SparkSession, dir: String): DataFrame = {
     // read off the SAME disk mirror dedup_near_jaccard uses, so both
     // queries share one build
     val sh = shingleMirror(spark, dir)
       .select(col("doc_id"), col("shingle_set"), col("ids"))
-    val mh = bandSigs(sh)
     // bucket-collect pair generation (see dedup_near_jaccard): one pass
     // over the signature table instead of a self-join evaluating it twice
-    val cand = mh.groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    val cand = bandCandidates(bandSigs(sh))
     // dictionary-encoded verify with shuffle-hash hints — see
     // dedup_near_jaccard for the rationale and the sf10 measurement
     val sa = sh.select(col("doc_id").as("doc_a"), col("ids").as("sa"))
@@ -1013,22 +1049,57 @@ object TextOps {
 
   // -------------------------------------------------------------------
   // er_golden_record — entity resolution end-to-end (the record-linkage
-  // composite downstream of text_fuzzy_pairs): blocked fuzzy-match
-  // edges → connected components → one GOLDEN RECORD per entity by
-  // deterministic survivorship rules — representative = min doc_id,
-  // golden document = the longest text (ties to lowest id), golden
-  // language = the cluster's modal lang (ties lexicographic). Every
-  // survivorship pick is a max_by/min_by over a TOTALLY ordered struct
-  // (the family's determinism discipline — bare max_by ties are
-  // "any"), so both engines agree bit-for-bit. Scale shape: the edge
-  // set is the blocked join (never all-pairs), components are the
-  // contraction+doubling machinery, and survivorship is two hash
-  // aggregates + a broadcast-sized mode join — no windows over the
-  // corpus. Singletons are entities too: the output IS the master
-  // table, one row per resolved entity.
+  // composite): candidate edges → fuzzy verify → connected components →
+  // one GOLDEN RECORD per entity by deterministic survivorship rules —
+  // representative = min doc_id, golden document = the longest text
+  // (ties to lowest id), golden language = the cluster's modal lang
+  // (ties lexicographic). Every survivorship pick is a max_by/min_by
+  // over a TOTALLY ordered struct (the family's determinism discipline —
+  // bare max_by ties are "any"), so both engines agree bit-for-bit.
+  //
+  // Scale shape — this is the LINEAR-REGIME ER gate: candidates come
+  // from the banded-MinHash collision generator (bandCandidates, the
+  // same edge source dedup_near_minhash rides — quadratic only inside a
+  // (band, sig) posting list, never across the corpus), and the
+  // thresholded-DP levenshtein verify runs ONLY inside those candidate
+  // pairs. Contrast with text_fuzzy_pairs, the by-contract Θ(N²)-within-
+  // bands exhaustive gate, which keeps its declared ceiling; this gate
+  // has NONE — at sf10 it runs, it doesn't skip. Components are the
+  // alternating-star machinery (O(log² n) rounds, diameter-free), and
+  // survivorship is two hash aggregates + an equi-join — no windows
+  // over the corpus. Singletons are entities too (docs with no verified
+  // edge, including <3-token docs that produce no shingles): the
+  // left-join + coalesce makes the output the master table, one row per
+  // resolved entity. The oracle REPLAYS the banded candidate set (same
+  // band salts, same md5-min signatures) so the gate proves the
+  // candidate→verify→cluster→survive pipeline end-to-end, not just the
+  // aggregate step.
+  /** The linear-regime ER edge set: banded-MinHash candidates verified
+    * by the thresholded-DP levenshtein — exposed for the plan spec,
+    * which pins the band-signature aggregate as the edge source. */
+  private[graft] def erEdges(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleMirror(spark, dir).select(col("doc_id"), col("shingle_set"))
+    val cand = bandCandidates(bandSigs(sh))
+    val d = T.documents(spark, dir).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 40).as("head"), col("n_chars"))
+    // verify payload joins: shuffle-hash hints for the same reason as
+    // dedup_near_minhash — the candidate stream widened by per-doc
+    // attributes is what a sort-merge join would sort twice
+    val da = d.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("head").as("head_a"), col("n_chars").as("nc_a"))
+    val db = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("head").as("head_b"), col("n_chars").as("nc_b"))
+    cand
+      .join(da.hint("shuffle_hash"), "doc_a")
+      .join(db.hint("shuffle_hash"), "doc_b")
+      .filter(col("lang_a") === col("lang_b"))
+      .filter(abs(col("nc_a") - col("nc_b")) <= 12)
+      .filter(levenshtein(col("head_a"), col("head_b"), 12) >= 0)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   private def erGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
-    val edges = fuzzyFrame(spark, dir).select(col("doc_a"), col("doc_b"))
-    val labels = graft.ops.Graph.connectedComponents(edges)
+    val labels = graft.ops.Graph.altStarComponents(erEdges(spark, dir))
     val docs = T.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val m = docs.join(labels, docs("doc_id") === labels("id"), "left")
@@ -1052,14 +1123,28 @@ object TextOps {
   }
 
   private val erGoldenRecordSql =
-    """WITH RECURSIVE d AS (
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(tokens)-1),
+      |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s3
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      |  WHERE len(tokens) >= 3
+      |), mh AS (
+      |  SELECT doc_id, b.band,
+      |    list_min(list_transform(s3, s -> md5(CAST(b.band AS VARCHAR) || ':' || s))) AS sig
+      |  FROM sh, (SELECT unnest(range(4)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      |d AS (
       |  SELECT doc_id, lang, substr(text, 1, 40) AS head, n_chars
       |  FROM documents),
       |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |    AND abs(a.n_chars - b.n_chars) <= 12
-      |  WHERE levenshtein(a.head, b.head) <= 12),
+      |  SELECT doc_a, doc_b
+      |  FROM cand JOIN d a ON cand.doc_a = a.doc_id
+      |            JOIN d b ON cand.doc_b = b.doc_id
+      |  WHERE a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 12
+      |    AND levenshtein(a.head, b.head) <= 12),
       |eedges AS (SELECT doc_a, doc_b FROM pairs
       |           UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(src, dst) AS (
@@ -1674,12 +1759,7 @@ object TextOps {
         "blocked edit-distance verify is Theta(N^2) within length bands " +
           "BY CONTRACT (sf3 measured 9.03x ~ 3^2); banded candidates + " +
           "dedup_near_minhash are the linear-regime path"))),
-    QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql),
-      ceiling = Some(("documents", 150000L,
-        "consumes text_fuzzy_pairs' blocked edit-distance edges — " +
-          "Theta(N^2) within length bands BY CONTRACT (the sf10 run " +
-          "sat in levenshtein for 90+ min); banded MinHash candidates " +
-          "are the linear-regime edge source at scale"))),
+    QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql)),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),

@@ -43,4 +43,19 @@ class NbClassifySpec extends SparkSpec {
     // its key
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("teacher median is histogram-split: no corpus-wide window") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("text_nb_classify")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the boundary-bucket rank partitions by the histogram cell; the
+    // old corpus-wide teacher ranking printed windowspecdefinition(s_mu
+    // — a single-partition WindowExec over every document
+    assert(p.contains("windowspecdefinition(cell"), p.take(2000))
+    assert(!p.contains("windowspecdefinition(s_mu"),
+      "teacher labeling regressed to a corpus-wide rank window:\n" +
+        p.take(2000))
+  }
 }

@@ -168,10 +168,26 @@ class TokenBudgetSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
-  test("er_golden_record: blocked edges only — no cartesian, no BNLJ") {
+  test("er_golden_record: banded-MinHash edge source — no cartesian, no BNLJ") {
     assume(new java.io.File(sf).isDirectory)
     val p = executedPlan("er_golden_record")
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the linear-regime pin, on the EDGE BUILD (the final plan only shows
+    // post-CC survivorship — altStar materializes edges inside its loop):
+    // edges must come from the band-signature aggregate (min
+    // md5('0:'||shingle) per band) with the levenshtein verify applied to
+    // candidates, not from the exhaustive length-band blocked join
+    // text_fuzzy_pairs keeps by contract
+    val edges = graft.queries.TextOps.erEdges(spark, sf)
+    edges.collect()
+    val ep = edges.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(ep.contains("concat(0:"), "ER edge source is not the " +
+      "banded-MinHash generator:\n" + ep.take(1500))
+    assert(ep.toLowerCase.contains("levenshtein"),
+      "ER edges lost the thresholded-DP verify:\n" + ep.take(1500))
+    assert(!ep.contains("CartesianProduct") &&
+      !ep.contains("BroadcastNestedLoopJoin"), ep.take(1500))
   }
 }
