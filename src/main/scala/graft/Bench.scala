@@ -30,10 +30,21 @@ object Bench {
     // declared driving-table row bound degrades to a SKIP with the
     // recorded reason (which names the linear-regime replacement) —
     // a 100x driver run must never hang on a documented contract.
+    // Only a genuinely MISSING driving table degrades to "past every
+    // ceiling" (ADVICE r9: catching all Throwables here converted any
+    // read failure — wrong sfDir, corrupt footer — into a silent SKIP
+    // with a misleading 9.2e18-row reason); other errors propagate.
     val tableRows = scala.collection.mutable.HashMap.empty[String, Long]
     def rowsOf(t: String): Long = tableRows.getOrElseUpdate(t,
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => Long.MaxValue })
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+            _: org.apache.spark.sql.AnalysisException) =>
+          System.err.println(
+            s"[bench] $t.parquet unreadable (${e.getClass.getSimpleName}) " +
+              "— treating as past every ceiling")
+          Long.MaxValue
+      })
     val ceilings = SparkEntry.scaleCeilings
     val (skippedQ, selected) = inScope.partition { case (n, _) =>
       ceilings.get(n).exists { case (t, max, _) => rowsOf(t) > max }

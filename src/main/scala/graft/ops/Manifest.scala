@@ -221,7 +221,18 @@ object Manifest {
     * |-------------------|---------------------------|-----------------|
     * | `file`            | `link(2)` via Files.createLink | hardlink creation fails EEXIST in the kernel — one syscall, no probe |
     * | `hdfs`, `viewfs`  | `FileContext.rename(Rename.NONE)` | the NameNode arbitrates exists-check + rename in one namespace op (contractual) |
-    * | object stores (`s3a`, `gs`, …) | NOT SUPPORTED HERE — must map to a conditional put: S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, Azure `If-None-Match: *` | the store's own compare-and-set; a Hadoop "rename" on these is copy+delete behind an exists PROBE — a TOCTOU lost update by construction |
+    * | `graft.manifest.atomicRenameSchemes` (conf, comma-sep) | same `Rename.NONE` path | operator opt-in for HDFS-COMPATIBLE stores whose single-op rename is contractually atomic (abfs/ADLS Gen2, ofs) — ADVICE r9: fail-loud is the right default, but the sound-primitive set is wider than the built-in whitelist |
+    * | `graft.manifest.conditionalPutSchemes` (conf, comma-sep) | ONE no-overwrite `create(dst)` carrying the bytes | the store's own compare-and-set: the connector maps exclusive create to S3 `If-None-Match: *` (S3A conditional create), GCS `ifGenerationMatch=0`, Azure `If-None-Match: *`. No rename at all — object stores have none; the temp file is local staging whose bytes are re-uploaded in the one conditional PUT |
+    * | anything else     | NOT SUPPORTED — fails loudly | a Hadoop "rename" on an unlisted store is copy+delete behind an exists PROBE — a TOCTOU lost update by construction |
+    *
+    * Listing a scheme under `conditionalPutSchemes` is an operator
+    * ASSERTION that the connector's exclusive create is a true
+    * conditional put evaluated at commit time (e.g. S3A with
+    * `fs.s3a.create.conditional.enabled`), not a client-side exists
+    * probe. MemCasFsSpec races 8 writers through this branch against an
+    * in-memory store whose exclusive create is a real compare-and-set
+    * and whose rename throws — proving the arbiter never needs rename
+    * on this path.
     *
     * Unknown schemes FAIL LOUDLY (UnsupportedOperationException) instead
     * of falling through to rename semantics that silently lose commits:
@@ -236,33 +247,70 @@ object Manifest {
       tmp: Path, dst: Path): Boolean = {
     val fs = dst.getFileSystem(conf)
     val scheme = Option(dst.toUri.getScheme).getOrElse(fs.getScheme)
+    def confSchemes(key: String): Set[String] =
+      conf.get(key, "").split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def renameNone(): Boolean =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => false
+        // some FileContext impls surface the exists-conflict as a
+        // generic IOException; the destination existing is the proof
+        case _: java.io.IOException if fs.exists(dst) => false
+      }
+    // ONE exclusive create carrying the full payload — the branch for
+    // stores whose no-overwrite create is a conditional put. Bytes are
+    // buffered first (manifests are KBs of metadata): the conditional
+    // PUT either lands whole or not at all.
+    def conditionalPut(): Boolean = {
+      val in = fs.open(tmp)
+      val bytes =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+      try {
+        val out = fs.create(dst, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => false
+        // connectors that evaluate the precondition at close() may
+        // surface the conflict as a plain IOException — the destination
+        // existing is the proof of a lost race
+        case _: java.io.IOException if fs.exists(dst) => false
+      }
+    }
     val won = scheme match {
       case "file" =>
         val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
         val dstNio = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
         try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case "hdfs" | "viewfs" =>
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-          fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-               _: java.nio.file.FileAlreadyExistsException => false
-          // some FileContext impls surface the exists-conflict as a
-          // generic IOException; the destination existing is the proof
-          case _: java.io.IOException if fs.exists(dst) => false
-        }
+      case "hdfs" | "viewfs" => renameNone()
+      case other if confSchemes("graft.manifest.atomicRenameSchemes")
+          .contains(other) => renameNone()
+      case other if confSchemes("graft.manifest.conditionalPutSchemes")
+          .contains(other) => conditionalPut()
       case other =>
         if (fs.exists(tmp)) fs.delete(tmp, false)
         throw new UnsupportedOperationException(
           s"graft.Manifest: no atomic no-overwrite publish primitive is " +
             s"wired for scheme '$other' — refusing to fall through to " +
-            "rename semantics that can silently lose a commit. Wire the " +
-            "store's conditional put (S3 If-None-Match: *, GCS " +
-            "ifGenerationMatch=0, Azure If-None-Match: *) into " +
-            "publishIfAbsent before pointing a table at this scheme.")
+            "rename semantics that can silently lose a commit. Either " +
+            "wire the store's conditional put (S3 If-None-Match: *, GCS " +
+            "ifGenerationMatch=0, Azure If-None-Match: *) and list the " +
+            "scheme under graft.manifest.conditionalPutSchemes, or — for " +
+            "an HDFS-compatible store whose single-op rename is " +
+            "contractually atomic — list it under " +
+            "graft.manifest.atomicRenameSchemes.")
     }
     if (fs.exists(tmp)) fs.delete(tmp, false)
     won

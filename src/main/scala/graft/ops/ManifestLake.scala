@@ -201,13 +201,22 @@ object ManifestLake {
         val cur = epochs.last
         val liveInLog = cur.get(n).exists(_.isDefined)
         // a base column untouched by any op is live under its own name:
-        // check the newest data file's physical schema (one footer)
+        // probe the UNION of physical schemas across the version's data
+        // files (ADVICE r9 medium — the evolved read path lets columns
+        // land file-by-file within an epoch, so a live base column can
+        // be absent from the newest file; probing only that footer let
+        // a colliding add/rename silently retire the implicit field id
+        // and orphan every existing value). A name under a RETIRED id
+        // can't false-positive here: any op touching n puts it in
+        // `cur`, which this branch excludes.
         val liveAsBase = !cur.contains(n) && {
           if (at < 0) false
-          else Manifest.readAll(spark, tablePath, at)
-            .filterNot(e => isDeleteFile(e.path)).lastOption.exists { e =>
-              spark.read.parquet(e.path).columns.contains(n)
-            }
+          else {
+            val files = Manifest.readAll(spark, tablePath, at)
+              .filterNot(e => isDeleteFile(e.path)).map(_.path)
+            files.nonEmpty && spark.read.option("mergeSchema", "true")
+              .parquet(files: _*).columns.contains(n)
+          }
         }
         if (liveInLog || liveAsBase) throw new IllegalArgumentException(
           s"schema-op $op introduces name '$n' at $tablePath but that " +
@@ -294,24 +303,43 @@ object ManifestLake {
         }) ++ (if (id.startsWith("b:")) Seq(id.stripPrefix("b:"))
                else Seq.empty)).distinct
         widened.get(id).orElse(addedType.get(id))
-          .orElse(physicalTypeOf(spark, tablePath, spellings))
+          .orElse(physicalTypeOf(spark, tablePath, ops, epochs, id,
+            spellings))
       case None =>
         // untouched base name — widened under its implicit id?
         widened.get(s"b:$name")
-          .orElse(physicalTypeOf(spark, tablePath, Seq(name)))
+          .orElse(physicalTypeOf(spark, tablePath, ops, epochs,
+            s"b:$name", Seq(name)))
     }
   }
 
+  /** Physical type of field `id` from the data files, NEWEST-first: a
+    * file counts only when a physical name among `names` resolves to
+    * `id` under the file's OWN epoch. Probing just the newest footer
+    * missed columns that land file-by-file within an epoch (ADVICE r9
+    * medium), and a bare name match would cross-attribute a retired
+    * id's column after a drop + re-add. Footer reads stop at the first
+    * hit; commit-time metadata cost only. */
   private def physicalTypeOf(spark: SparkSession, tablePath: String,
+      ops: Seq[SchemaOp], epochs: Vector[EpochMap], id: String,
       names: Seq[String]): Option[String] = {
     val at = Manifest.currentListVersion(spark, tablePath)
     if (at < 0) return None
-    Manifest.readAll(spark, tablePath, at)
-      .filterNot(e => isDeleteFile(e.path)).lastOption.flatMap { e =>
-        val fields = spark.read.parquet(e.path).schema.fields
-        names.view.flatMap(n => fields.find(_.name == n)).headOption
-          .map(_.dataType.simpleString)
-      }
+    val files = Manifest.readAll(spark, tablePath, at)
+      .filterNot(e => isDeleteFile(e.path)).map(_.path)
+    if (files.isEmpty) return None
+    val births = birthVersions(spark, tablePath, at, files.toSet)
+    def epochOf(p: String): Int = {
+      val b = births.getOrElse(p, Int.MaxValue)
+      math.min(ops.count(_.atVersion < b), ops.size)
+    }
+    files.reverse.view.flatMap { p =>
+      val m = epochs(epochOf(p))
+      val fields = spark.read.parquet(p).schema.fields
+      names.view.flatMap(n => fields.find(_.name == n)
+        .filter(_ => m.getOrElse(n, Some(s"b:$n")).contains(id)))
+        .headOption.map(_.dataType.simpleString)
+    }.headOption
   }
 
   // ---- FIELD-ID schema resolution (VERDICT r8 #5) --------------------

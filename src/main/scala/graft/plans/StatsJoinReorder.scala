@@ -4,9 +4,10 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression,
-  PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
+  Expression, Generator, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -26,11 +27,26 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *
   * Estimator (textbook, independence-assuming):
   *   |A ⋈ B on a.x = b.y| = |A|·|B| / max(ndv(x), ndv(y))
-  * with per-conjunct factors multiplied. Base cardinalities come from
-  * the manifest row bounds; ndv(col) comes from the registered KMV
-  * estimate when [[registerNdv]] published one, else falls back to the
-  * owning side's row bound (the key-is-unique / FK-PK assumption —
-  * conservative for dims, and the fallback the classic optimizers use).
+  * — the NDV divisor applies to EQUALITY conjuncts only; a non-equality
+  * conjunct that references both sides (a.x < b.y) contributes the
+  * classic fixed 1/3 factor instead (System R's inequality default —
+  * dividing a range conjunct by a key NDV underestimates by orders of
+  * magnitude and can reorder INTO a worse plan). Per-conjunct factors
+  * multiply. Base cardinalities come from the manifest row bounds
+  * scaled by FILTER SELECTIVITY: an equality to a literal contributes
+  * 1/ndv(col) when a KMV sketch is registered, a range predicate
+  * against an integer literal contributes its overlap fraction with
+  * the column's manifest [min,max] span when [[registerSpan]]
+  * published one, and any predicate the stats can't see contributes
+  * 1.0 — the estimate degrades to the row BOUND, never below the
+  * truth's order of magnitude by guesswork. This is what routes a
+  * 0.1%-filtered fact EARLY: its effective cardinality is now smaller
+  * than an unfiltered mid-size dim's, which is the plan a warehouse
+  * CBO would pick. ndv(col) comes from the registered KMV estimate
+  * when [[registerNdv]] published one, else falls back to the owning
+  * side's row estimate (the key-is-unique / FK-PK assumption —
+  * conservative for dims, and the fallback the classic optimizers
+  * use).
   *
   * Refusal discipline (same stance as StatsBroadcast — never guess):
   *  - only INNER joins with no user hints anywhere in the flattened
@@ -78,9 +94,37 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
   def unregisterNdv(tablePath: String): Unit = {
     val tk = rawKey(tablePath)
     ndvReg.keySet.removeIf(_._1 == tk)
+    spanReg.keySet.removeIf(_._1 == tk)
   }
 
-  def clear(): Unit = ndvReg.clear()
+  def clear(): Unit = { ndvReg.clear(); spanReg.clear() }
+
+  /** (raw table path, column name) -> global [lo, hi] value span. */
+  private val spanReg = new ConcurrentHashMap[(String, String), (Long, Long)]()
+
+  /** Publish the manifest-version file set's [min, max] span of an int64
+    * `column` to the selectivity estimator. Metadata-only: one parquet
+    * FOOTER pass over the version's file list (the same
+    * [[graft.ops.Manifest.collectStats]] harvest the pruning manifests
+    * use) — no data pages. Refuses (throws) when any file lacks
+    * harvestable stats for the column: a sentinel full-domain span
+    * would silently neutralize every range estimate. Returns the span. */
+  def registerSpan(spark: SparkSession, tablePath: String, column: String,
+      version: Int = -1): (Long, Long) = {
+    val v = if (version >= 0) version
+      else graft.ops.Manifest.currentListVersion(spark, tablePath)
+    require(v >= 0, s"no committed list versions at $tablePath")
+    val files = graft.ops.Manifest.readAll(spark, tablePath, v).map(_.path)
+    val stats = graft.ops.Manifest.collectStats(spark, files, column)
+    require(stats.nonEmpty, s"no files at $tablePath v$v")
+    require(stats.forall(e =>
+      !(e.minKey == Long.MinValue && e.maxKey == Long.MaxValue)),
+      s"$tablePath.$column: some files carry no footer stats — refusing " +
+        "to register a span that does not bound the data")
+    val span = (stats.map(_.minKey).min, stats.map(_.maxKey).max)
+    spanReg.put((rawKey(tablePath), column), span)
+    span
+  }
 
   /** NDV of the table column `a` resolves to in `side`, if the attr
     * traces to a registered table's scan and a registered sketch. The
@@ -97,7 +141,101 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
         }
     }.flatten
 
-  private case class Item(plan: LogicalPlan, rows: Long)
+  /** Span of the table column `a` resolves to in `side`, if registered —
+    * same exprId-trace discipline as [[ndvOf]]. */
+  private def spanOf(side: LogicalPlan, a: Attribute): Option[(Long, Long)] =
+    side.collectFirst {
+      case lr: LogicalRelation if lr.outputSet.contains(a) =>
+        lr.relation match {
+          case h: HadoopFsRelation =>
+            StatsBroadcast.leafTable(h)
+              .flatMap(tp => Option(spanReg.get((tp, a.name))))
+          case _ => None
+        }
+    }.flatten
+
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case i: java.lang.Long    => Some(i)
+    case i: java.lang.Short   => Some(i.longValue)
+    case _                    => None
+  }
+
+  /** Selectivity of one filter conjunct against the stats the estimator
+    * can see; 1.0 (no reduction — the bound survives) for anything it
+    * can't. Range fractions interpolate the registered [lo, hi] span
+    * under a uniform assumption; equality uses the KMV NDV. */
+  private def selOf(e: Expression, child: LogicalPlan): Double = {
+    def clamp(x: Double) = math.min(1.0, math.max(0.0, x))
+    def range(a: Attribute, keepBelow: Boolean, c: Long,
+        inclusive: Boolean): Double =
+      spanOf(child, a).map { case (lo, hi) =>
+        val width = hi.toDouble - lo.toDouble + 1.0
+        val kept =
+          if (keepBelow) c.toDouble - lo.toDouble + (if (inclusive) 1.0 else 0.0)
+          else hi.toDouble - c.toDouble + (if (inclusive) 1.0 else 0.0)
+        clamp(kept / width)
+      }.getOrElse(1.0)
+    e match {
+      case EqualTo(a: Attribute, _: Literal) =>
+        ndvOf(child, a).map(n => 1.0 / math.max(n, 1.0)).getOrElse(1.0)
+      case EqualTo(_: Literal, a: Attribute) =>
+        ndvOf(child, a).map(n => 1.0 / math.max(n, 1.0)).getOrElse(1.0)
+      case LessThan(a: Attribute, l: Literal) =>
+        litLong(l).map(range(a, keepBelow = true, _, inclusive = false))
+          .getOrElse(1.0)
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        litLong(l).map(range(a, keepBelow = true, _, inclusive = true))
+          .getOrElse(1.0)
+      case GreaterThan(a: Attribute, l: Literal) =>
+        litLong(l).map(range(a, keepBelow = false, _, inclusive = false))
+          .getOrElse(1.0)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        litLong(l).map(range(a, keepBelow = false, _, inclusive = true))
+          .getOrElse(1.0)
+      case LessThan(l: Literal, a: Attribute) =>
+        litLong(l).map(range(a, keepBelow = false, _, inclusive = false))
+          .getOrElse(1.0)
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        litLong(l).map(range(a, keepBelow = false, _, inclusive = true))
+          .getOrElse(1.0)
+      case GreaterThan(l: Literal, a: Attribute) =>
+        litLong(l).map(range(a, keepBelow = true, _, inclusive = false))
+          .getOrElse(1.0)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        litLong(l).map(range(a, keepBelow = true, _, inclusive = true))
+          .getOrElse(1.0)
+      case _ => 1.0
+    }
+  }
+
+  /** Filter-aware cardinality ESTIMATE of a join side: the manifest row
+    * bound ([[StatsBroadcast.bound]]'s refusal discipline, mirrored
+    * node-for-node) scaled by the selectivity of every Filter crossed
+    * on the way down. Still an estimate that never grows past the
+    * bound — unknown predicates contribute 1.0, known ones only
+    * shrink. */
+  private def estRows(p: LogicalPlan): Option[Double] = p match {
+    case f: Filter =>
+      estRows(f.child).map(r => splitConjunctivePredicates(f.condition)
+        .map(selOf(_, f.child)).product * r)
+    case Project(pl, c) if !pl.exists(_.exists(_.isInstanceOf[Generator])) =>
+      estRows(c)
+    case s: Sort => estRows(s.child)
+    case l: GlobalLimit => estRows(l.child)
+    case l: LocalLimit => estRows(l.child)
+    case a: Aggregate => estRows(a.child)
+    case d: Deduplicate => estRows(d.child)
+    case r: RepartitionOperation => estRows(r.child)
+    case u: Union =>
+      val bs = u.children.map(estRows)
+      if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+    case jn: Join if jn.joinType == LeftSemi || jn.joinType == LeftAnti =>
+      estRows(jn.left)
+    case other => StatsBroadcast.bound(other).map(_.toDouble)
+  }
+
+  private case class Item(plan: LogicalPlan, rows: Double)
 
   /** Flatten a no-hint inner-join chain; a hinted or non-inner join is
     * an opaque leaf. Attribute-only pruning Projects (column pruning
@@ -119,21 +257,28 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Cardinality of joining `acc` (estimated rows `cur`) with item `j`
-    * over `conjs`: one ndv divisor per conjunct, each the max of the
-    * two sides' key NDVs (registered sketch, else that side's rows). */
+    * over `conjs`: an ndv divisor per EQUALITY conjunct (the max of the
+    * two sides' key NDVs — registered sketch, else that side's row
+    * estimate); a non-equality two-sided conjunct contributes the fixed
+    * 1/3 inequality factor (ADVICE r9: dividing a range conjunct by a
+    * key NDV underestimates by orders of magnitude). */
   private def joinEst(cur: Double, items: Seq[Item], inSet: Set[Int],
       j: Int, conjs: Seq[(Expression, Int, Int)]): Double = {
     val linking = conjs.filter { case (_, a, b) =>
       (inSet.contains(a) && b == j) || (inSet.contains(b) && a == j)
     }
-    linking.foldLeft(cur * items(j).rows.toDouble) { case (c, (e, a, b)) =>
-      val div = Seq(a, b).map { i =>
-        val side = items(i).plan
-        val attrs = e.references.toSeq.filter(side.outputSet.contains)
-        attrs.flatMap(at => ndvOf(side, at)).reduceOption(_ min _)
-          .getOrElse(items(i).rows.toDouble)
-      }.max
-      c / math.max(div, 1.0)
+    linking.foldLeft(cur * items(j).rows) { case (c, (e, a, b)) =>
+      e match {
+        case _: EqualTo =>
+          val div = Seq(a, b).map { i =>
+            val side = items(i).plan
+            val attrs = e.references.toSeq.filter(side.outputSet.contains)
+            attrs.flatMap(at => ndvOf(side, at)).reduceOption(_ min _)
+              .getOrElse(items(i).rows)
+          }.max
+          c / math.max(div, 1.0)
+        case _ => c / 3.0
+      }
     }
   }
 
@@ -150,7 +295,7 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
   private def reorder(j: Join): Option[LogicalPlan] = {
     val (sides, conjuncts) = flatten(j)
     if (sides.size < 3) return None
-    val bounds = sides.map(StatsBroadcast.bound)
+    val bounds = sides.map(estRows)
     if (bounds.exists(_.isEmpty)) return None // a side the stats can't see
     val items = sides.zip(bounds).map { case (p, b) => Item(p, b.get) }
     // attribute each conjunct to exactly two sides, by exprId
@@ -173,10 +318,10 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     } yield (a, b)
     if (pairs.isEmpty) return None
     val (s0, s1) = pairs.minBy { case (a, b) =>
-      joinEst(items(a).rows.toDouble, items, Set(a), b, attributed)
+      joinEst(items(a).rows, items, Set(a), b, attributed)
     }
     var order = Vector(s0, s1)
-    var cur = joinEst(items(s0).rows.toDouble, items, Set(s0), s1, attributed)
+    var cur = joinEst(items(s0).rows, items, Set(s0), s1, attributed)
     while (order.size < n) {
       val inSet = order.toSet
       val candidates = (0 until n).filter(i => !inSet.contains(i) &&

@@ -1241,6 +1241,71 @@ object Lake {
       |ORDER BY type_rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // lake_cbo_selectivity — FILTER SELECTIVITY feeds the join reorderer
+  // (VERDICT r9 #3): the same star as lake_cbo_reorder, but the orders
+  // fact carries a range predicate (o_orderkey <= 600) and the
+  // estimator now knows the column's manifest [min,max] span
+  // ([[graft.plans.StatsJoinReorder.registerSpan]] — one parquet FOOTER
+  // pass, no data pages). The written order joins the heavily-filtered
+  // fact LAST; the span-scaled estimate makes it the smallest side, so
+  // the greedy rebuild joins it EARLY — the routing a warehouse CBO
+  // picks when ANALYZE histograms exist, and exactly the case the old
+  // row-bound-only estimator misordered (a 0.1%-filtered fact costed
+  // at full rows). StatsJoinReorderSpec pins the order FLIP itself
+  // (ndv-only: written order survives; span registered: the filtered
+  // fact joins innermost) plus bit-parity both ways; this gate proves
+  // the selectivity-driven plan against the oracle end-to-end.
+  private def cboSelectivity(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    val (po, pe, pd) = cboReorderPaths(spark, dir)
+    graft.plans.StatsBroadcast.register(spark, po)
+    graft.plans.StatsBroadcast.register(spark, pe)
+    graft.plans.StatsBroadcast.register(spark, pd)
+    graft.plans.StatsJoinReorder.registerNdv(spark, po, "o_custkey")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pe, "user_id")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pe, "event_type")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pd, "event_type")
+    // the selectivity input: o_orderkey's global span from file footers
+    graft.plans.StatsJoinReorder.registerSpan(spark, po, "o_orderkey")
+    val o = ManifestLake.read(spark, po)
+      .filter(col("o_orderkey") <= 600)
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
+    val e = ManifestLake.read(spark, pe)
+      .select(col("user_id"), col("event_type"), dec(col("value")).as("v"))
+    val d = ManifestLake.read(spark, pd)
+      .select(col("event_type").as("d_event_type"), col("type_rank"))
+    // written: dim join first, the 1%-filtered fact LAST
+    e.join(d, col("event_type") === col("d_event_type"))
+      .join(o, col("user_id") === col("o_custkey"))
+      .groupBy(col("type_rank"), col("d_event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("v")).cast("double").as("sum_value"),
+        sum(col("p")).cast("double").as("sum_price"))
+      .orderBy(col("type_rank"))
+  }
+
+  private val cboSelectivitySql =
+    """WITH dim AS (
+      |  SELECT event_type AS d_event_type,
+      |    ROW_NUMBER() OVER (ORDER BY event_type) AS type_rank
+      |  FROM (SELECT DISTINCT event_type FROM events WHERE event_id IS NOT NULL)),
+      |j AS (
+      |  SELECT type_rank, d_event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS v,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM (SELECT user_id, event_type, value FROM events
+      |        WHERE event_id IS NOT NULL) e
+      |  JOIN dim ON event_type = d_event_type
+      |  JOIN (SELECT o_custkey, o_totalprice FROM orders
+      |        WHERE o_orderkey <= 600) o ON user_id = o_custkey)
+      |SELECT type_rank, d_event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM j GROUP BY type_rank, d_event_type
+      |ORDER BY type_rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // lake_hotkey_salted — the skew-mitigation primitives WIRED to a
   // data-driven trigger: per-file SpaceSaving heavy-hitter sidecars
   // ([[HotKeyStats]], the sibling of the NDV sketches) merge at
@@ -1329,6 +1394,7 @@ object Lake {
     QueryDef("lake_stats_profile", statsProfile, Some(statsProfileSql)),
     QueryDef("lake_cbo_broadcast", cboBroadcast, Some(cboBroadcastSql)),
     QueryDef("lake_cbo_reorder", cboReorder, Some(cboReorderSql)),
+    QueryDef("lake_cbo_selectivity", cboSelectivity, Some(cboSelectivitySql)),
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
     QueryDef("lake_compact_cluster", compactCluster, Some(compactClusterSql)),

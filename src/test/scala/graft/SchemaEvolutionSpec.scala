@@ -137,6 +137,32 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq("rename", "add", "drop", "add"))
   }
 
+  test("live base column absent from the NEWEST file still collides; widen finds it") {
+    // ADVICE r9 medium: columns land file-by-file within an epoch
+    // (mergeSchema), so the newest footer is NOT the live-name oracle —
+    // probing only it let a colliding add/rename silently retire the
+    // implicit field id and orphan every existing value of the column.
+    val dir = Files.createTempDirectory("graft-sev-union").toString
+    ManifestLake.appendCommit(spark, dir, "p", "k",
+      Seq((1L, "a", "keep", 7)).toDF("k", "p", "extra", "cnt"), "wide")
+    // second commit WITHOUT 'extra'/'cnt' — now the newest file's
+    // physical schema doesn't carry them, but both are live
+    ManifestLake.appendCommit(spark, dir, "p", "k",
+      Seq((2L, "b")).toDF("k", "p"), "narrow")
+    intercept[IllegalArgumentException] {
+      ManifestLake.addColumn(spark, dir, "extra")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.renameColumn(spark, dir, "p", "extra")
+    }
+    // physicalTypeOf must find the int in the OLDER file: widen works
+    ManifestLake.widenColumn(spark, dir, "cnt", "bigint")
+    val rows = ManifestLake.read(spark, dir)
+      .select(col("k"), col("cnt")).as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, Some(7L)), (2L, None)), s"widen broke: $rows")
+  }
+
   test("widen: int->bigint is metadata-only, value-preserving, id-bound") {
     val dir = Files.createTempDirectory("graft-sev-widen").toString
     ManifestLake.mergeCommit(spark, dir, "p", "k",
