@@ -31,12 +31,19 @@ import org.apache.spark.sql.types.DecimalType
   *              be registered on the session (VecExprs.register)
   * @param k     cell count (init takes vec_id < k)
   * @param iters Lloyd rounds, fixed
+  * @param init  optional explicit seed frame (vec_id, v, …) — the
+  *              sample-trained quantizer passes the FULL corpus's k
+  *              lowest ids while `e` is a hash-sample, so the seed stays
+  *              deterministic whatever the sample keeps; default is the
+  *              k lowest-id vectors of `e` itself. Lloyd's convergence
+  *              doesn't require seeds to be members of the training set.
   * @return (cent_id, cv: array<double>, cn: L2 norm)
   */
 object KMeans {
 
-  def train(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = e.filter(col("vec_id") < k)
+  def train(e: DataFrame, k: Int, iters: Int,
+      init: Option[DataFrame] = None): DataFrame = {
+    var cent = init.getOrElse(e.filter(col("vec_id") < k))
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     for (_ <- 1 to iters) {
       val withNorm = cent.withColumn("cn", expr("sqrt(vec_dot(cv, cv))"))

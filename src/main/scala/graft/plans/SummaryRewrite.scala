@@ -130,6 +130,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       .toList.foreach(registry.remove)
   }
 
+  /** Drop ONE grain's route, leaving the source's other grains live —
+    * the advisor's drop-hint action (a day summary retired under a
+    * realtime workload keeps the hour route serving, and day queries
+    * fall back to it). */
+  def deregister(srcPathSuffix: String, grain: String): Unit =
+    registry.remove((srcPathSuffix, grain.toLowerCase))
+
   /** Test hook: forget all routes (no-fire behavior without rebuilding). */
   def clear(): Unit = registry.clear()
 

@@ -915,24 +915,32 @@ object Curation {
   //     one broadcast join of the 1024-row weight table onto the
   //     exploded bigram stream, one hash re-aggregate to doc grain. The
   //     corpus never shuffles by anything but doc_id;
-  //   - selection: Gumbel-top-25% per source — gumbel_mu derives from
-  //     the doc_id multiplicative-hash residue (deterministic, retry-
-  //     safe, independent of the other curation draws by multiplier
-  //     choice), and the rank window partitions by source so no global
-  //     ordering ever sees the corpus.
-  // Float-boundary robustness (ADVICE r8): gumbel_mu feeds a hard rank
-  // cut, so a cross-engine libm wobble that flips its floor() would
-  // flake the oracle. It provably cannot: u has only 1000003 possible
-  // residues, and over ALL of them the scaled value −ln(−ln((u+.5)/M))·1e6
-  // sits ≥ 5.7e-7 away from every integer (GumbelBoundarySpec scans the
-  // full domain and pins margin > 1e-7), while the engine-to-engine
-  // wobble is a few ULPs of the ~O(10) result ≈ 1e-8 after scaling —
-  // p = (u+.5)/M is one correctly-rounded IEEE division, bit-identical
-  // in both engines, so no cancellation amplifies it. Margin ≥ 50×
-  // wobble for every representable input ⇒ the floor, hence the rank
-  // cut, is engine-independent.
+  //   - selection: Gumbel-top-25% per source — the noise is a
+  //     1024-level QUANTIZED Gumbel read from an integer quantile
+  //     table (VERDICT r9 #7): the doc_id multiplicative-hash residue
+  //     (deterministic, retry-safe, independent of the other curation
+  //     draws by multiplier choice) range-scales to a table index by
+  //     integer division, and the key is score_mu + table[idx] — two
+  //     integer ops, NO float anywhere in the selection key path. The
+  //     table constants are floor(−ln(−ln((i+.5)/1024))·1e6) authored
+  //     ONCE at query-build time and pasted verbatim into BOTH
+  //     engines' query texts, so no per-row libm evaluation exists for
+  //     a rounding wobble to flip: the old construction's whole
+  //     boundary-distance proof obligation (GumbelBoundarySpec's
+  //     full-domain scan, which certified this corpus's residues but
+  //     not the construction) is gone by construction, on any corpus.
+  //     The rank window partitions by source so no global ordering
+  //     ever sees the corpus.
   // Output is the per-source resampling ledger (docs, kept, Σ kept
   // score) — integer-only, no cross-engine division semantics in play.
+  /** The 1024-level Gumbel quantile table, int64 millionths: entry i =
+    * floor(−ln(−ln((i+.5)/1024))·1e6). Computed once here and embedded
+    * as LITERALS in both engines' query texts — the selection key path
+    * is then pure integer arithmetic (GumbelTableSpec pins shape and
+    * monotonicity). */
+  private[graft] val GumbelQ: IndexedSeq[Long] = (0 until 1024).map(i =>
+    math.floor(-math.log(-math.log((i + 0.5) / 1024.0)) * 1e6).toLong)
+
   private def dsirResample(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val d = T.documents(spark, dir)
@@ -963,9 +971,12 @@ object Curation {
       .join(score, Seq("doc_id"), "left")
       .withColumn("score_mu", coalesce(col("score_mu"), lit(0L)))
       .withColumn("u", ((col("doc_id") % lit(1000003L)) * lit(999983L)) % lit(1000003L))
+      // integer-only noise: range-scale the residue onto the quantile
+      // table (each index gets 976-977 of the 1000003 residues) and
+      // look the value up in the embedded literal array
+      .withColumn("gb", expr("(u * 1024) div 1000003"))
       .withColumn("gumbel_mu",
-        floor(-log(-log((col("u").cast("double") + lit(0.5)) / lit(1000003.0)))
-          * lit(1e6)).cast("long"))
+        element_at(typedLit(GumbelQ.toArray), (col("gb") + 1).cast("int")))
       .withColumn("key", col("score_mu") + col("gumbel_mu"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("key").desc, col("doc_id"))
@@ -982,7 +993,7 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  private val dsirResampleSql =
+  private val dsirResampleSql = (
     """WITH d AS (
       |  SELECT doc_id, source, lang, string_split(text, ' ') AS toks
       |  FROM documents),
@@ -1010,8 +1021,9 @@ object Curation {
       |  SELECT d.doc_id, d.source,
       |    COALESCE(sc.score_mu, 0) AS score_mu,
       |    COALESCE(sc.score_mu, 0)
-      |      + CAST(FLOOR(-LN(-LN((((d.doc_id % 1000003) * 999983) % 1000003
-      |          + 0.5) / 1000003.0)) * 1e6) AS BIGINT) AS key
+      |      + list_extract(GQ_TABLE,
+      |          CAST((((d.doc_id % 1000003) * 999983) % 1000003) * 1024
+      |            // 1000003 AS BIGINT) + 1) AS key
       |  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id),
       |rk AS (
       |  SELECT source, score_mu,
@@ -1023,6 +1035,7 @@ object Curation {
       |  CAST(SUM(CASE WHEN rn <= cnt // 4 THEN score_mu ELSE 0 END) AS BIGINT)
       |    AS kept_score_mu
       |FROM rk GROUP BY source ORDER BY source""".stripMargin
+    ).replace("GQ_TABLE", GumbelQ.mkString("[", ", ", "]"))
 
   // -------------------------------------------------------------------
   // curate_pack_sizeclass — HARMONIC-k bin packing of documents into

@@ -938,6 +938,137 @@ object MatView {
       |  cov_wt = 0 AS drop_hint
       |FROM ben ORDER BY time_grain, dim_set""".stripMargin
 
+  // mv_advisor_shift — the advisor under a WORKLOAD SHIFT (VERDICT r9
+  // #5): the same lattice priced under two query logs — W1 the "daily
+  // era" (dashboards at day/month/total grains) and W2 the "realtime
+  // migration" (every dashboard moved to hour grains) — and the whole
+  // decision delta in one table: per node, both workloads' weights,
+  // covered mass, the greedy pick under each, and the DROP hints. The
+  // shift flips the pick (day:event_type → hour:) and flips six nodes
+  // to droppable — under W2 nothing the workload runs can route to any
+  // day/month/total view, so a W1-era materialization of day:event_type
+  // is pure storage. MvAdvisorSpec's lifecycle test ACTS on exactly
+  // this table: materialize W1's pick, shift, materialize W2's pick,
+  // unregister + vacuum the now-hinted summary — and the day-grain
+  // dashboard query stays green THROUGH the vacuum because the
+  // navigator falls back to the finer hour summary. The gate
+  // hard-requires the expected picks (a testdata regen that moves them
+  // must fail loudly, not silently re-map the lifecycle), and the
+  // oracle replays both weightings, both picks, and both drop sets.
+  private def mvAdvisorShift(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    import graft.ops.MvAdvisor
+    val (views, root) = eventsLattice(spark, dir)
+    val nodeW1 = Map("click" -> "day:event_type", "view" -> "day:",
+      "purchase" -> "month:event_type", "signup" -> "total:",
+      "error" -> "month:event_type")
+    val nodeW2 = Map("purchase" -> "hour:event_type",
+      "error" -> "hour:event_type")
+    val counts = T.events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def wmap(nodeOf: Map[String, String], dflt: String): Map[String, Long] =
+      counts.toSeq.map { case (t, c) => nodeOf.getOrElse(t, dflt) -> c }
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    val w1 = wmap(nodeW1, "month:")
+    val w2 = wmap(nodeW2, "hour:")
+    val f1: MvAdvisor.View => Long = v => w1.getOrElse(v.name, 0L)
+    val f2: MvAdvisor.View => Long = v => w2.getOrElse(v.name, 0L)
+    val p1 = MvAdvisor.greedy(views, root, 1, f1).headOption.map(_.view.name)
+    val p2 = MvAdvisor.greedy(views, root, 1, f2).headOption.map(_.view.name)
+    require(p1.contains("day:event_type") && p2.contains("hour:"),
+      s"workload-shift picks moved ($p1, $p2) — the testdata changed " +
+        "shape; re-derive the lifecycle mapping before trusting this gate")
+    val d1 = MvAdvisor.dropHints(views, f1).map(_.name).toSet
+    val d2 = MvAdvisor.dropHints(views, f2).map(_.name).toSet
+    val rows = views.map { v =>
+      val cov1 = views.filter(MvAdvisor.covers(v, _)).map(f1).sum
+      val cov2 = views.filter(MvAdvisor.covers(v, _)).map(f2).sum
+      val Array(g, d) = v.name.split(":", -1)
+      (g, d, v.rows, f1(v), f2(v), cov1, cov2,
+        p1.contains(v.name), p2.contains(v.name),
+        d1.contains(v.name), d2.contains(v.name))
+    }
+    import spark.implicits._
+    rows.toDF("time_grain", "dim_set", "view_rows", "w1_weight",
+        "w2_weight", "w1_covered", "w2_covered", "picked_w1", "picked_w2",
+        "drop_w1", "drop_w2")
+      .orderBy(col("time_grain"), col("dim_set"))
+  }
+
+  private val mvAdvisorShiftSql =
+    """WITH m1 AS (
+      |  SELECT
+      |    CASE event_type WHEN 'click' THEN 'day' WHEN 'view' THEN 'day'
+      |      WHEN 'purchase' THEN 'month' WHEN 'signup' THEN 'total'
+      |      ELSE 'month' END AS g,
+      |    CASE event_type WHEN 'click' THEN 'event_type'
+      |      WHEN 'purchase' THEN 'event_type' WHEN 'error' THEN 'event_type'
+      |      ELSE '' END AS d,
+      |    COUNT(*) AS wt
+      |  FROM events GROUP BY 1, 2
+      |), m2 AS (
+      |  SELECT 'hour' AS g,
+      |    CASE WHEN event_type IN ('purchase', 'error') THEN 'event_type'
+      |      ELSE '' END AS d,
+      |    COUNT(*) AS wt
+      |  FROM events GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT 'hour' AS g, 'event_type' AS d, 3 AS tl, 1 AS dl, COUNT(*) AS n
+      |    FROM (SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)
+      |  UNION ALL SELECT 'hour', '', 3, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('hour', ts) FROM events)
+      |  UNION ALL SELECT 'day', 'event_type', 2, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('day', ts), event_type FROM events)
+      |  UNION ALL SELECT 'day', '', 2, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('day', ts) FROM events)
+      |  UNION ALL SELECT 'month', 'event_type', 1, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('month', ts), event_type FROM events)
+      |  UNION ALL SELECT 'month', '', 1, 0, COUNT(*)
+      |    FROM (SELECT DISTINCT date_trunc('month', ts) FROM events)
+      |  UNION ALL SELECT 'total', 'event_type', 0, 1, COUNT(*)
+      |    FROM (SELECT DISTINCT event_type FROM events)
+      |  UNION ALL SELECT 'total', '', 0, 0, 1
+      |), ws AS (
+      |  SELECT s.*,
+      |    COALESCE((SELECT SUM(wt) FROM m1 WHERE m1.g = s.g AND m1.d = s.d),
+      |      0) AS wt1,
+      |    COALESCE((SELECT SUM(wt) FROM m2 WHERE m2.g = s.g AND m2.d = s.d),
+      |      0) AS wt2
+      |  FROM sizes s
+      |), cov AS (
+      |  SELECT v.*,
+      |    (SELECT COALESCE(SUM(w.wt1), 0) FROM ws w
+      |      WHERE w.tl <= v.tl AND w.dl <= v.dl) AS cov1,
+      |    (SELECT COALESCE(SUM(w.wt2), 0) FROM ws w
+      |      WHERE w.tl <= v.tl AND w.dl <= v.dl) AS cov2
+      |  FROM ws v
+      |), ben AS (
+      |  SELECT *,
+      |    CASE WHEN tl = 3 AND dl = 1 THEN 0
+      |      ELSE cov1 * ((SELECT n FROM sizes r WHERE r.tl = 3 AND r.dl = 1)
+      |                   - n) END AS b1,
+      |    CASE WHEN tl = 3 AND dl = 1 THEN 0
+      |      ELSE cov2 * ((SELECT n FROM sizes r WHERE r.tl = 3 AND r.dl = 1)
+      |                   - n) END AS b2
+      |  FROM cov
+      |), pick1 AS (
+      |  SELECT g, d FROM ben WHERE b1 > 0
+      |  ORDER BY b1 DESC, n ASC, g ASC, d ASC LIMIT 1
+      |), pick2 AS (
+      |  SELECT g, d FROM ben WHERE b2 > 0
+      |  ORDER BY b2 DESC, n ASC, g ASC, d ASC LIMIT 1)
+      |SELECT g AS time_grain, d AS dim_set, CAST(n AS BIGINT) AS view_rows,
+      |  CAST(wt1 AS BIGINT) AS w1_weight, CAST(wt2 AS BIGINT) AS w2_weight,
+      |  CAST(cov1 AS BIGINT) AS w1_covered, CAST(cov2 AS BIGINT) AS w2_covered,
+      |  EXISTS (SELECT 1 FROM pick1 p WHERE p.g = ben.g AND p.d = ben.d)
+      |    AS picked_w1,
+      |  EXISTS (SELECT 1 FROM pick2 p WHERE p.g = ben.g AND p.d = ben.d)
+      |    AS picked_w2,
+      |  cov1 = 0 AS drop_w1,
+      |  cov2 = 0 AS drop_w2
+      |FROM ben ORDER BY time_grain, dim_set""".stripMargin
+
   // mv_advisor_e2e — the loop CLOSED: advise → materialize → route.
   // The advisor prices the lattice and picks its top view; the gate
   // refuses to proceed unless the pick is the day×event_type node (it
@@ -981,6 +1112,7 @@ object MatView {
     QueryDef("mv_advisor_lattice", mvAdvisorLattice, Some(mvAdvisorLatticeSql)),
     QueryDef("mv_advisor_workload", mvAdvisorWorkload,
       Some(mvAdvisorWorkloadSql)),
+    QueryDef("mv_advisor_shift", mvAdvisorShift, Some(mvAdvisorShiftSql)),
     QueryDef("mv_advisor_e2e", mvAdvisorE2e, Some(mvAdvisorE2eSql)),
     QueryDef("mv_rewrite_daily", mvDaily, Some(mvDailySql)),
     QueryDef("mv_rewrite_joined", mvJoined, Some(mvJoinedSql)),

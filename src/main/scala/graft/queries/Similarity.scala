@@ -231,10 +231,12 @@ object Similarity {
     * a SQL expression so the cell count can be data-derived (the scaled
     * k-NN join trains at C = ⌈√N⌉ via a scalar subquery) as well as a
     * pinned literal. */
-  private def ivfTrainingCtes(k: String, iters: Int, corpus: String = "n"): String = {
+  private def ivfTrainingCtes(k: String, iters: Int, corpus: String = "n",
+      initCorpus: String = null): String = {
+    val ic = Option(initCorpus).getOrElse(corpus)
     val sb = new StringBuilder
     sb.append(
-      s", cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM $corpus WHERE vec_id < $k)")
+      s", cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM $ic WHERE vec_id < $k)")
     for (t <- 1 to iters) {
       val prev = s"cent${t - 1}"
       val cur = s"cent$t"
@@ -278,8 +280,9 @@ object Similarity {
     * layout must not change any answer) and on the cell-count expression
     * (pinned IvfK for the probe gates, ⌈√N⌉ for the k-NN join). */
   private def ivfSearchSql(probePred: String,
-      kExpr: String = IvfK.toString): String =
-    ivfSearchCtes(probePred, kExpr) +
+      kExpr: String = IvfK.toString, trainCorpus: String = "n",
+      preCtes: String = ""): String =
+    ivfSearchCtes(probePred, kExpr, trainCorpus, preCtes) +
       """
       |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank FROM (
       |  SELECT *, ROW_NUMBER() OVER (
@@ -291,8 +294,10 @@ object Similarity {
   /** The search chain up to the candidate set (`cand`), so composites
     * (the k-NN-graph dedup oracle) can keep building CTEs on top. */
   private def ivfSearchCtes(probePred: String,
-      kExpr: String = IvfK.toString): String =
-    normCte + ivfTrainingCtes(kExpr, IvfIters) +
+      kExpr: String = IvfK.toString, trainCorpus: String = "n",
+      preCtes: String = ""): String =
+    normCte + preCtes +
+      ivfTrainingCtes(kExpr, IvfIters, trainCorpus, initCorpus = "n") +
       s"""
       |, scored AS (
       |  SELECT n.vec_id, n.v, n.nrm, cent_id,
@@ -314,6 +319,83 @@ object Similarity {
       |  FROM corpus JOIN probes ON cell = qcell AND corpus.vec_id <> query_id)""".stripMargin
 
   private val annIvfSql = ivfSearchSql("vec_id < 10")
+
+  // -------------------------------------------------------------------
+  // ann_ivf_sampled — the quantizer trained on a HASH-SAMPLE, serving
+  // the FULL corpus (VERDICT r9 #6): every other ann gate trains on all
+  // N vectors, which at sf10 was the family's dominant cold-build cost
+  // (376.7 s, O(N·C·iters) assignment work per Lloyd round). The 100 TB
+  // story has always been "train on a sample" — this gate REGISTERS it.
+  // The sample is the doc_sample_hash idiom (md5(vec_id) first byte
+  // < 0x40 — deterministic 25%, no rand(), task retries can't change
+  // membership); the seed stays the full corpus's k lowest ids so the
+  // init is sample-independent (Lloyd seeds need not be training
+  // members); serving assigns and probes the WHOLE corpus against the
+  // sample-trained cells, exactly like the full gate. The oracle
+  // replays sampling, training, and search CTE-for-CTE, so "sampled
+  // training changes only the centroids, never the serving contract"
+  // is hash-proven. Probe set 20-29 keeps this gate's answers
+  // independent of ann_ivf_topk (0-9) and ann_ivf_bucketed (10-19).
+  private def sampledCentroids(spark: SparkSession, dir: String): DataFrame =
+    centMemo.computeIfAbsent((spark, s"$dir#sampled"), _ => {
+      val fp = graft.ops.IncrementalDedup
+        .sourceFingerprint(spark, s"$dir/embeddings.parquet")
+      val tag = s"ivf_cent_samp_${IvfK}x${IvfIters}_${dir}_$fp"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success)) {
+        val e = vecs(spark, dir)
+        val samp = e.filter(
+          substring(md5(col("vec_id").cast("string")), 1, 2) < "40")
+        graft.ops.KMeans.train(
+          samp.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters,
+          init = Some(e.filter(col("vec_id") < IvfK)))
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path).localCheckpoint(true)
+    })
+
+  private def annIvfSampled(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = sampledCentroids(spark, dir)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+    val corpus = scored.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+          .as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = scored.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("qcell"))
+    val cand = corpus.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sampCte =
+    """
+      |, samp AS (
+      |  SELECT vec_id, v, nrm FROM n
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '40')""".stripMargin
+
+  private val annIvfSampledSql = ivfSearchSql(
+    "vec_id >= 20 AND vec_id < 30", IvfK.toString,
+    trainCorpus = "samp", preCtes = sampCte)
 
   // -------------------------------------------------------------------
   // ann_ivf_bucketed — the IVF index AS A STORAGE LAYOUT: the assigned
@@ -1409,6 +1491,7 @@ object Similarity {
     QueryDef("ann_cosine_topk", annTopk, Some(annTopkSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
+    QueryDef("ann_ivf_sampled", annIvfSampled, Some(annIvfSampledSql)),
     QueryDef("ann_ivf_bucketed", annIvfBucketed, Some(annIvfBucketedSql)),
     QueryDef("ann_ivf_incremental", annIvfIncremental,
       Some(annIvfIncrementalSql)),

@@ -89,6 +89,63 @@ class MatViewSpec extends SparkSpec {
     } finally graft.queries.MatView.enableRouting(spark, sf)
   }
 
+  test("advisor lifecycle: workload shift re-materializes; drop hint vacuums; routing green throughout") {
+    assume(new java.io.File(sf).isDirectory)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    // the decisions come from the GATE's own output, not re-derived here
+    val shift = SparkEntry.queries("mv_advisor_shift")(spark, sf).collect()
+    def nodeOf(r: org.apache.spark.sql.Row) =
+      r.getAs[String]("time_grain") + ":" + r.getAs[String]("dim_set")
+    val pickW1 = shift.filter(_.getAs[Boolean]("picked_w1")).map(nodeOf).head
+    val pickW2 = shift.filter(_.getAs[Boolean]("picked_w2")).map(nodeOf).head
+    val dropW2 = shift.filter(_.getAs[Boolean]("drop_w2")).map(nodeOf).toSet
+    assert(pickW1 == "day:event_type" && pickW2 == "hour:")
+    assert(dropW2.contains(pickW1),
+      "the W1-era materialization must become droppable under W2")
+    graft.queries.MatView.enableRouting(spark, sf) // fixture summaries exist
+    def dayAgg() = T.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+    // W1 era: materialize the pick in a PRIVATE dir (the vacuum must
+    // not eat the shared fixture mirror) and route through it
+    val w1Dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-w1").toString + "/daysum"
+    graft.plans.SummaryRewrite.clear()
+    try {
+      spark.read
+        .parquet(graft.queries.MatView.ensureSummary(spark, sf, "day"))
+        .write.mode("overwrite").parquet(w1Dir)
+      graft.plans.SummaryRewrite.register(s"$sf/events.parquet", "day", w1Dir)
+      val before = dayAgg()
+      assert(scanPaths(before).exists(_.contains("daysum")),
+        s"W1 era must route to the materialized pick: ${scanPaths(before)}")
+      val rows = before.collect().map(_.toString).sorted
+      // the SHIFT: materialize W2's pick (the hour summary), act on the
+      // drop hint — deregister ONLY the day grain and vacuum its files
+      graft.plans.SummaryRewrite.register(s"$sf/events.parquet", "hour",
+        graft.queries.MatView.ensureSummary(spark, sf, "hour"))
+      graft.plans.SummaryRewrite.deregister(s"$sf/events.parquet", "day")
+      val p = new org.apache.hadoop.fs.Path(w1Dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      assert(!fs.exists(p), "dropped summary's files must be vacuumed")
+      // routing stays green THROUGH the vacuum: the same day query now
+      // falls back to the finer hour summary, byte-equal answer
+      val after = dayAgg()
+      val paths = scanPaths(after)
+      assert(paths.exists(_.contains("events_hourly_")),
+        s"day query did not fall back after the drop: $paths")
+      assert(!paths.exists(_.contains("daysum")) &&
+        !paths.exists(_.endsWith("events.parquet")), paths.toString)
+      assert(after.collect().map(_.toString).sorted.sameElements(rows),
+        "answers diverged across the materialization shift")
+    } finally graft.queries.MatView.enableRouting(spark, sf)
+  }
+
   test("schema-generic route: the orders aggregate reads the orders summary") {
     assume(new java.io.File(sf).isDirectory)
     val df = SparkEntry.queries("mv_rewrite_orders_daily")(spark, sf)

@@ -97,6 +97,12 @@ class TokenBudgetSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(p.contains("windowspecdefinition(source"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the selection key is an integer table lookup (VERDICT r9 #7) —
+    // a regression back to the per-row double-log Gumbel would put
+    // libm back in the rank cut
+    assert(p.contains("element_at"), "integer Gumbel table lookup missing")
+    assert(!p.toUpperCase.matches("(?s).*LOG\\(+-?\\(*-?LOG.*"),
+      "per-row nested log reappeared in the selection key path")
   }
 
   test("curate_pack_sizeclass: bins provably fit, ceil arithmetic, no window/shuffle-heavy plan") {
