@@ -126,6 +126,38 @@ class MvAdvisorSpec extends AnyFunSuite {
     assert(pick == "c", s"c-only workload must pick c, got $pick")
   }
 
+  test("workloadFromHistory parses the repo's REAL measured history end-to-end") {
+    // not a synthetic line set: the actual BENCH_FULL_HISTORY.jsonl the
+    // bench accumulates — the production entry point must survive its
+    // real format (long lines, many runs, float seconds) and produce
+    // usable weights for the events lattice's grain mapping
+    val f = new java.io.File("BENCH_FULL_HISTORY.jsonl")
+    assume(f.isFile, "no measured history on this checkout")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').toSeq
+    assume(lines.nonEmpty)
+    val nodeOf: String => Option[String] = {
+      case "events_tumbling_hourly" => Some("hour:event_type")
+      case "mv_rewrite_daily"       => Some("day:event_type")
+      case "mv_rewrite_monthly"     => Some("month:event_type")
+      case _                        => None
+    }
+    val w = MvAdvisor.workloadFromHistory(lines, nodeOf)
+    assert(w.nonEmpty, "real history produced no weights")
+    // every mapped node's weight is a positive millisecond mass, and
+    // medians are bounded by the slowest plausible single query (60s)
+    w.foreach { case (n, ms) =>
+      assert(ms > 0L && ms < 60000L, s"$n -> $ms ms out of range")
+    }
+    // weights drive the greedy without throwing on the real lattice
+    val weight: View => Long = v => w.getOrElse(v.name, 0L)
+    MvAdvisor.greedy(cube, psc, 2, _ => 1L) // sanity: uniform still works
+    assert(MvAdvisor.dropHints(cube, weight).nonEmpty ||
+      w.keySet.exists(Set("p", "s", "c", "ps", "pc", "sc", "psc")),
+      "history weights must be consumable by dropHints")
+  }
+
   test("dropHints: zero covered workload marks a view as pure storage") {
     // workload lives only at node c: everything NOT covering c (and
     // not covered-by-weighted nodes) is a drop candidate
