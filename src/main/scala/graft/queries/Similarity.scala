@@ -497,7 +497,14 @@ object Similarity {
   /** Quantizer trained at C = ⌈√N⌉ — same deterministic Lloyd loop and
     * fingerprint-keyed sidecar lifecycle as [[trainedCentroids]], keyed
     * separately so the pinned-C probe gates and the scaled k-NN join
-    * never share an index. */
+    * never share an index. TRAINS ON THE 25% HASH-SAMPLE (round 10):
+    * the √N-cell regime is exactly where full-corpus training is the
+    * family's dominant cold-build cost (O(N^1.5·iters) assignment work
+    * — sf10 measured 208.8 s full vs 11.8 s sampled at C=448), and the
+    * seed stays the FULL corpus's C lowest ids so init is
+    * sample-independent. Serving (assignment of all N vectors, probe
+    * search) is unchanged — only the Lloyd rounds ride the sample, and
+    * the oracle replays sampling + training + search identically. */
   private val centScaledMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
@@ -506,15 +513,18 @@ object Similarity {
       val c = scaledCellCount(spark, dir)
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
-      val tag = s"ivf_cent_${c}x${IvfIters}_${dir}_$fp"
+      val tag = s"ivf_cent_samp_${c}x${IvfIters}_${dir}_$fp"
         .replaceAll("[^A-Za-z0-9._-]", "_")
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(success)) {
         val e = vecs(spark, dir)
+        val samp = e.filter(
+          substring(md5(col("vec_id").cast("string")), 1, 2) < "40")
         graft.ops.KMeans.train(
-          e.select(col("vec_id"), col("v"), col("nrm")), c, IvfIters)
+          samp.select(col("vec_id"), col("v"), col("nrm")), c, IvfIters,
+          init = Some(e.filter(col("vec_id") < c)))
           .write.mode("overwrite").parquet(path)
       }
       spark.read.parquet(path).localCheckpoint(true)
@@ -544,7 +554,7 @@ object Similarity {
     val cent = trainedCentroidsScaled(spark, dir)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
     val mirror = graft.ops.PartitionedLayout.ensureDerived(
-      spark, s"$dir/embeddings.parquet", s"emb_ivf${c}x${IvfIters}p2_$dir",
+      spark, s"$dir/embeddings.parquet", s"emb_ivfs${c}x${IvfIters}p2_$dir",
       "cell") {
       val scored = e.crossJoin(broadcast(cent))
         .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
@@ -577,7 +587,8 @@ object Similarity {
 
   // every vector is a probe: the shared search SQL with a TRUE pred,
   // trained at the same derived C = ⌈√N⌉ the Spark plan uses
-  private val annKnnJoinSql = ivfSearchSql("TRUE", SqrtKExpr)
+  private val annKnnJoinSql = ivfSearchSql("TRUE", SqrtKExpr,
+    trainCorpus = "samp", preCtes = sampCte)
 
   // -------------------------------------------------------------------
   // dedup_semantic_knn — semantic deduplication in the LINEAR regime:
@@ -622,7 +633,8 @@ object Similarity {
   }
 
   private val dedupSemanticKnnSql =
-    ("WITH RECURSIVE" + ivfSearchCtes("TRUE", SqrtKExpr).stripPrefix("WITH")) +
+    ("WITH RECURSIVE" + ivfSearchCtes("TRUE", SqrtKExpr,
+      trainCorpus = "samp", preCtes = sampCte).stripPrefix("WITH")) +
       """
       |, knn AS (
       |  SELECT query_id, neighbor_id, cosine FROM (
