@@ -1541,6 +1541,53 @@ object TextOps {
       |ORDER BY src_doc, within_doc""".stripMargin
 
   // -------------------------------------------------------------------
+  // doc_chunk_windows — RAG-style overlapping window chunking: split
+  // every document into 64-token windows at a 48-token stride (16-token
+  // overlap, the retrieval-ingestion shape), emitting one row per chunk
+  // with a content md5 as the stable chunk id. The chunk COUNT is pure
+  // integer arithmetic (1 + max(0, ⌈(n−W)/S⌉) as (n−W+S−1) div S —
+  // greatest(0,·) absorbs the trunc-vs-floor divergence the negative
+  // numerator would otherwise cause cross-engine), the windows are a
+  // map-only array HOF + posexplode (no shuffle anywhere but the output
+  // sort), and the id is md5 over the space-joined window — identical
+  // hex both engines. At 100 TB this is the ingestion map pass that
+  // feeds the embedding pipeline: linear, partition-local, and
+  // re-runnable (same corpus ⇒ same chunk ids, so incremental loads
+  // union instead of re-chunking history).
+  private def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val W = 64
+    val S = 48
+    T.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nc", expr(s"1 + greatest(0, (n - $W + $S - 1) div $S)"))
+      .select(col("doc_id"), col("n"), posexplode(expr(
+        s"transform(sequence(0, nc - 1), " +
+          s"i -> array_join(slice(toks, i * $S + 1, $W), ' '))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(W), col("n") - col("chunk_idx") * lit(S)).cast("int")
+          .as("chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkWindowsSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(toks) AS n,
+      |    1 + greatest(0, (len(toks) - 64 + 47) // 48) AS nc, toks
+      |  FROM d)
+      |SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+      |  CAST(least(64, n - u.i * 48) AS INT) AS chunk_tokens,
+      |  md5(array_to_string(toks[u.i * 48 + 1 : u.i * 48 + 64], ' '))
+      |    AS chunk_md5
+      |FROM c, unnest(range(0, nc)) AS u(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------------
   // dedup_substring_spans — exact repeated-substring detection at the
   // SPAN grain, the operation Lee et al. (ACL'22, "Deduplicating
   // Training Data Makes Language Models Better") run with a suffix
@@ -1747,6 +1794,7 @@ object TextOps {
     QueryDef("text_novelty_ref", noveltyRef, Some(noveltyRefSql)),
     QueryDef("dedup_span_removal", spanRemoval, Some(spanRemovalSql)),
     QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
+    QueryDef("doc_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     QueryDef("text_containment", containmentPairs, Some(containmentPairsSql)),
     QueryDef("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
