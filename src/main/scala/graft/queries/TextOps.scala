@@ -276,7 +276,16 @@ object TextOps {
       .agg(count(lit(1)).as("n_tok"), sum(col("lp_mu")).as("u"))
       .select(col("doc_id"),
         (-expr("((-u) * 1000) div n_tok")).as("s_mu"))
-    val wAll = Window.rowsBetween(
+    // the two bounded-metadata sweeps below run in ONE partition BY
+    // DECLARATION (explicit constant key): the cell sweep sees ≤1001
+    // aggregate rows and the prior sweep 2, both bounded by
+    // construction — the constant key states that instead of tripping
+    // WindowExec's single-partition warning on every driver bench run
+    // (the key is column-derived pmod(c, 1) ≡ 0 — a lit(0) or a
+    // non-nullable c*0 is folded out of the partition spec by the
+    // optimizer and the warning fires anyway)
+    def one(c: org.apache.spark.sql.Column) = pmod(c, lit(1L))
+    val wAll = Window.partitionBy(one(col("d_l"))).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     // median split, histogram + boundary-bucket (see header): the grid
     // cell is monotone in s_mu, so global-rank ≤ half ⟺ (cell strictly
@@ -286,7 +295,7 @@ object TextOps {
       count(lit(1)).as("cnt"))
     val dq = docq.crossJoin(broadcast(stats))
       .withColumn("cell", expr("((s_mu - mn) * 1000) div (mx - mn + 1)"))
-    val wCell = Window.orderBy(col("cell"))
+    val wCell = Window.partitionBy(one(col("cell"))).orderBy(col("cell"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cells = dq.groupBy(col("cell"))
       .agg(count(lit(1)).as("c"), first(col("cnt")).as("cnt"))
