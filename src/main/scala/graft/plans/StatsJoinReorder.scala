@@ -181,6 +181,19 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
         ndvOf(child, a).map(n => 1.0 / math.max(n, 1.0)).getOrElse(1.0)
       case EqualTo(_: Literal, a: Attribute) =>
         ndvOf(child, a).map(n => 1.0 / math.max(n, 1.0)).getOrElse(1.0)
+      // IN-list: |list| / ndv under the same uniformity assumption (the
+      // optimizer rewrites large lists to InSet — both shapes covered)
+      case org.apache.spark.sql.catalyst.expressions.In(a: Attribute, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        ndvOf(child, a).map(n =>
+          clamp(vs.size.toDouble / math.max(n, 1.0))).getOrElse(1.0)
+      case is: org.apache.spark.sql.catalyst.expressions.InSet =>
+        is.child match {
+          case a: Attribute =>
+            ndvOf(child, a).map(n =>
+              clamp(is.hset.size.toDouble / math.max(n, 1.0))).getOrElse(1.0)
+          case _ => 1.0
+        }
       case LessThan(a: Attribute, l: Literal) =>
         litLong(l).map(range(a, keepBelow = true, _, inclusive = false))
           .getOrElse(1.0)

@@ -196,6 +196,28 @@ class StatsJoinReorderSpec extends SparkSpec {
         "span-scaled estimate must join the filtered fact first")
       assert(q().collect().toSeq == rows,
         "selectivity reorder changed the answer")
+      // IN-list selectivity rides the NDV instead of the span: 2 of j's
+      // 100 distinct values ⇒ 2% — the same flip without any span
+      def qIn(): DataFrame = {
+        val a = ManifestLake.read(spark, aDir)
+          .filter(col("j").isin(3L, 7L))
+        val b = ManifestLake.read(spark, bDir)
+        val m = ManifestLake.read(spark, mDir)
+        b.join(m, col("jb") === col("jm"))
+          .join(a, col("j") === col("jb"))
+          .groupBy(col("mname"))
+          .agg(count(lit(1)).as("n"), sum(col("va")).as("s"))
+          .orderBy(col("mname"))
+      }
+      val rowsIn = {
+        spark.conf.set("graft.statsjoinreorder.enabled", "false")
+        try qIn().collect().toSeq
+        finally spark.conf.unset("graft.statsjoinreorder.enabled")
+      }
+      assert(innermostJoinDirsOf(qIn(), dirs) == Set(aDir, bDir),
+        "IN-list ndv estimate must join the filtered fact first")
+      assert(qIn().collect().toSeq == rowsIn,
+        "IN-list selectivity reorder changed the answer")
     } finally cleanup()
   }
 
