@@ -34,17 +34,19 @@ object Bench {
     // ceiling" (ADVICE r9: catching all Throwables here converted any
     // read failure — wrong sfDir, corrupt footer — into a silent SKIP
     // with a misleading 9.2e18-row reason); other errors propagate.
+    // Only a MISSING path degrades to "past every ceiling" (ADVICE r10:
+    // AnalysisException also covers schema-inference failures over an
+    // empty/corrupt dir — those must propagate, not silently SKIP, so
+    // the existence probe is explicit and every read error surfaces).
     val tableRows = scala.collection.mutable.HashMap.empty[String, Long]
-    def rowsOf(t: String): Long = tableRows.getOrElseUpdate(t,
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch {
-        case e @ (_: java.io.FileNotFoundException |
-            _: org.apache.spark.sql.AnalysisException) =>
-          System.err.println(
-            s"[bench] $t.parquet unreadable (${e.getClass.getSimpleName}) " +
-              "— treating as past every ceiling")
-          Long.MaxValue
-      })
+    def rowsOf(t: String): Long = tableRows.getOrElseUpdate(t, {
+      val p = new java.io.File(s"$sfDir/$t.parquet")
+      if (!p.exists()) {
+        System.err.println(
+          s"[bench] $t.parquet missing — treating as past every ceiling")
+        Long.MaxValue
+      } else spark.read.parquet(p.getPath).count()
+    })
     val ceilings = SparkEntry.scaleCeilings
     val (skippedQ, selected) = inScope.partition { case (n, _) =>
       ceilings.get(n).exists { case (t, max, _) => rowsOf(t) > max }

@@ -214,8 +214,13 @@ object ManifestLake {
           else {
             val files = Manifest.readAll(spark, tablePath, at)
               .filterNot(e => isDeleteFile(e.path)).map(_.path)
-            files.nonEmpty && spark.read.option("mergeSchema", "true")
-              .parquet(files: _*).columns.contains(n)
+            // per-file footer probe, NOT one mergeSchema read: the check
+            // only needs name presence, and a merged read across epochs
+            // throws 'incompatible data types' after a metadata-only
+            // widen (old files int32, new int64) — a state the field-id
+            // design supports and morScan reads per-epoch (ADVICE r10)
+            files.exists(p =>
+              spark.read.parquet(p).columns.contains(n))
           }
         }
         if (liveInLog || liveAsBase) throw new IllegalArgumentException(

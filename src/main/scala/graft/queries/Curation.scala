@@ -750,13 +750,16 @@ object Curation {
     // ONE partition BY DECLARATION (explicit constant key), bounded by
     // construction, so WindowExec's single-partition warning stays out
     // of the driver's bench tail
-    // (column-derived constant key pmod(qb, 1) ≡ 0: a lit(0) or a
-    // non-nullable qb*0 is folded out of the partition spec by the
-    // optimizer and the warning fires anyway)
-    val wDesc = Window.partitionBy(pmod(col("qb"), lit(1)))
+    // (column-derived constant key pmod(coalesce(qb,0), 1) ≡ 0: a lit(0)
+    // or a non-nullable qb*0 is folded out of the partition spec by the
+    // optimizer and the warning fires anyway; the coalesce keeps a
+    // null-keyed row — pmod(null,1) is null — from landing in its own
+    // partition and silently leaving the global aggregate)
+    val oneQb = pmod(coalesce(col("qb").cast("long"), lit(0L)), lit(1L))
+    val wDesc = Window.partitionBy(oneQb)
       .orderBy(col("qb").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(pmod(col("qb"), lit(1))).rowsBetween(
+    val wAll = Window.partitionBy(oneQb).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val buckets = d.groupBy(col("qb")).agg(sum(col("n_tokens")).as("bmass"))
       .withColumn("cum", sum(col("bmass")).over(wDesc))
@@ -842,9 +845,11 @@ object Curation {
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
     // one partition BY DECLARATION over the |sources|-row aggregate —
-    // pmod(c,1) ≡ 0 keeps the constant key out of the optimizer's
-    // folding so WindowExec's single-partition warning stays quiet
-    val wAll = Window.partitionBy(pmod(col("src_tokens"), lit(1L)))
+    // pmod(coalesce(c,0),1) ≡ 0 keeps the constant key out of the
+    // optimizer's folding so WindowExec's single-partition warning stays
+    // quiet, and never-null so a null key can't fork its own partition
+    val wAll = Window.partitionBy(
+      pmod(coalesce(col("src_tokens"), lit(0L)), lit(1L)))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lmax = lit(Long.MaxValue)
     val srcs = d.groupBy(col("source"))

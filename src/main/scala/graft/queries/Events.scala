@@ -227,7 +227,8 @@ object Events {
         sum(when(col("late"), 1L).otherwise(0L)).as("c2"))
     // declared single partition over the bounded value grid (pmod
     // constant key — see curate_token_budget)
-    val w = Window.partitionBy(pmod(col("cents"), lit(1)))
+    val w = Window.partitionBy(
+        pmod(coalesce(col("cents"), lit(0L)), lit(1L)))
       .orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = grid.select(

@@ -121,8 +121,13 @@ object SqlSurface {
   // (sql_rabin_karp) AND custom aggregates are both SQL-callable.
   // Oracle replays the exact-decimal fold relationally.
   private def sqlUdafWavg(spark: SparkSession, dir: String): DataFrame = {
-    spark.udf.register("wavg",
-      org.apache.spark.sql.functions.udaf(graft.functions.Udafs.WeightedAvg))
+    // register once per session: re-registering WARNs in the bench tail
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("wavg")))
+      spark.udf.register("wavg",
+        org.apache.spark.sql.functions.udaf(graft.functions.Udafs.WeightedAvg))
     Views.sql(spark, dir,
       """SELECT l_returnflag, wavg(l_extendedprice, l_quantity) AS wavg_price,
         |  CAST(COUNT(*) AS BIGINT) AS n

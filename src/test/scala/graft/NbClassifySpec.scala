@@ -46,7 +46,10 @@ class NbClassifySpec extends SparkSpec {
 
   test("teacher median is histogram-split: no corpus-wide window") {
     assume(new java.io.File(sf).isDirectory)
-    val df = SparkEntry.queries("text_nb_classify")(spark, sf)
+    // the teacher moved into the fingerprint-memoized label mirror
+    // (VERDICT r10 #5 recoup) — pin its plan at the layer it lives now
+    val df = graft.queries.TextOps.nbTeacherLabels(
+      graft.queries.TextOps.nbTokens(spark, sf))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
@@ -57,5 +60,19 @@ class NbClassifySpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(s_mu"),
       "teacher labeling regressed to a corpus-wide rank window:\n" +
         p.take(2000))
+  }
+
+  test("serving plan reads teacher labels from the mirror, not a re-run") {
+    assume(new java.io.File(sf).isDirectory)
+    val df = SparkEntry.queries("text_nb_classify")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // labels arrive as a parquet scan of the nblabels mirror; the
+    // teacher's LM-quality machinery (s_mu cells) must NOT re-run in
+    // the serving plan — that was the 3x recompute VERDICT r10 #5 taxed
+    assert(p.contains("nblabels_"), p.take(2000))
+    assert(!p.contains("windowspecdefinition(cell"),
+      "serving plan re-runs the teacher pipeline:\n" + p.take(2000))
   }
 }

@@ -163,6 +163,33 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(rows == Seq((1L, Some(7L)), (2L, None)), s"widen broke: $rows")
   }
 
+  test("liveness probe survives mixed physical types across epochs") {
+    // ADVICE r10 medium: the probe used ONE mergeSchema read over all of
+    // a version's files; after a metadata-only widen (old files int32,
+    // post-widen files int64) parquet schema merge throws 'incompatible
+    // data types', so a later add/rename of an UNRELATED name crashed
+    // instead of validating. Presence is per-file now.
+    val dir = Files.createTempDirectory("graft-sev-mixed").toString
+    ManifestLake.appendCommit(spark, dir, "p", "k",
+      Seq((1L, "a", 7)).toDF("k", "p", "qty"), "int-file")
+    ManifestLake.widenColumn(spark, dir, "qty", "bigint")
+    ManifestLake.appendCommit(spark, dir, "p", "k",
+      Seq((2L, "b", 3000000000L)).toDF("k", "p", "qty"), "bigint-file")
+    // unrelated add/rename must validate, not crash on schema merge
+    ManifestLake.addColumn(spark, dir, "note", "string")
+    ManifestLake.renameColumn(spark, dir, "note", "remark")
+    // a COLLIDING add still rejects with the liveness error (and the
+    // probe walked both epochs' footers to find 'p' live)
+    ManifestLake.dropColumn(spark, dir, "remark")
+    intercept[IllegalArgumentException] {
+      ManifestLake.addColumn(spark, dir, "p")
+    }
+    val rows = ManifestLake.read(spark, dir)
+      .select(col("k"), col("qty")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 7L), (2L, 3000000000L)), rows.toString)
+  }
+
   test("widen: int->bigint is metadata-only, value-preserving, id-bound") {
     val dir = Files.createTempDirectory("graft-sev-widen").toString
     ManifestLake.mergeCommit(spark, dir, "p", "k",
