@@ -1137,11 +1137,12 @@ object TextOps {
   // band salts, same md5-min signatures) so the gate proves the
   // candidate→verify→cluster→survive pipeline end-to-end, not just the
   // aggregate step.
-  /** The linear-regime ER edge set: banded-MinHash candidates verified
-    * by the thresholded-DP levenshtein — exposed for the plan spec,
-    * which pins the band-signature aggregate as the edge source. */
-  private[graft] def erEdges(spark: SparkSession, dir: String): DataFrame = {
-    val cand = bandCandidates(bandSigMirror(spark, dir))
+  /** In-candidate fuzzy verify (same language, |len diff| ≤ 12,
+    * thresholded-DP levenshtein ≤ 12 over 40-char heads) — the match
+    * rule shared by er_golden_record and er_incremental, applied ONLY
+    * inside a (doc_a, doc_b) candidate frame. */
+  private def erVerify(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     val d = T.documents(spark, dir).select(col("doc_id"), col("lang"),
       substring(col("text"), 1, 40).as("head"), col("n_chars"))
     // verify payload joins: shuffle-hash hints for the same reason as
@@ -1159,6 +1160,12 @@ object TextOps {
       .filter(levenshtein(col("head_a"), col("head_b"), 12) >= 0)
       .select(col("doc_a"), col("doc_b"))
   }
+
+  /** The linear-regime ER edge set: banded-MinHash candidates verified
+    * by the thresholded-DP levenshtein — exposed for the plan spec,
+    * which pins the band-signature aggregate as the edge source. */
+  private[graft] def erEdges(spark: SparkSession, dir: String): DataFrame =
+    erVerify(spark, dir, bandCandidates(bandSigMirror(spark, dir)))
 
   private def erGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
     val labels = graft.ops.Graph.altStarComponents(erEdges(spark, dir))
@@ -1183,6 +1190,219 @@ object TextOps {
         col("golden_doc"), col("golden_len"), col("golden_lang"))
       .orderBy(col("cluster_rep"))
   }
+
+  // -------------------------------------------------------------------
+  // er_incremental — DELTA-vs-CORPUS entity resolution, the production
+  // re-resolve-on-ingest tick (VERDICT r10 #2): the corpus (doc_id % 20
+  // ≠ 0, the dedup_incremental split contract) is resolved ONCE into
+  // persisted entity clusters with stable golden ids; the delta (% 20 =
+  // 0) then probes the persisted MinHash signature index for candidates
+  // against the existing corpus (never re-joining the corpus with
+  // itself), verifies in-candidate, and MERGES into the persisted
+  // clusters through a CONTRACTED graph: every corpus endpoint collapses
+  // to its existing entity rep before components run, so the CC input is
+  // O(delta edges) nodes — delta docs plus the reps they touch — not
+  // O(corpus). Entity-id stability is a deterministic rule the node
+  // spaces make trivial: corpus reps are corpus doc ids (≢0 mod 20),
+  // delta ids ≡0 — disjoint — so a merged component keeps the MINIMUM
+  // PARTICIPATING BASE REP (an extended entity keeps its id; two
+  // entities bridged by a delta doc keep the smaller id), and only a
+  // pure-delta component mints a new id (its min delta doc). Output =
+  // the master-table rows the tick CHANGES: one row per affected entity
+  // (every one contains ≥1 delta doc by construction) plus delta
+  // singletons as new entities, with the same totally-ordered
+  // survivorship as er_golden_record. The oracle replays base+delta
+  // resolution end-to-end — base corpus-only clustering, delta candidate
+  // generation, contraction, merged components, survivorship.
+  /** Fingerprint-memoized base resolution: (doc_id, rep) for every
+    * corpus doc (singletons rep=self) — the persisted entity-cluster
+    * master table an ingest tick merges into. Corpus signatures come
+    * off [[bandSigMirror]] (per-doc independent, so the corpus subset
+    * is a filter, not a recompute). */
+  private def erBaseLabelsMirror(spark: SparkSession, dir: String): DataFrame = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/erbase1_$fp"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val cand = bandCandidates(
+        bandSigMirror(spark, dir).filter(col("doc_id") % 20 =!= 0))
+      val edges = erVerify(spark, dir, cand)
+      val labels = graft.ops.Graph.altStarComponents(edges)
+      T.documents(spark, dir).filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  private[graft] def erIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalDedup
+    val sh = shingleMirror(spark, dir).select(col("doc_id"), col("shingle_set"))
+    val deltaSigs = IncrementalDedup.withPfx(
+      bandSigs(sh.filter(col("doc_id") % 20 === 0)))
+    // the SAME persisted signature index dedup_incremental maintains —
+    // one artifact serves both the dedup tick and the ER tick
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val path = IncrementalDedup.indexPath(s"minhash-$dir-$fp")
+    IncrementalDedup.ensureIndex(
+      bandSigMirror(spark, dir).filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("band"), col("sig")), spark, path)
+    val idx = IncrementalDedup.readIndex(spark, path)
+    // delta-vs-corpus + within-delta candidates; broadcast delta drives
+    // dynamic partition pruning on the index scan (dedup_incremental's
+    // contract — a corpus-sized "delta" is a rebuild, not an increment)
+    val dcand = IncrementalDedup.newCandidatesOn(
+      idx, broadcast(deltaSigs), IncrementalDedup.indexBucket)
+    val verified = erVerify(spark, dir, dcand)
+    val base = erBaseLabelsMirror(spark, dir)
+    // contract corpus endpoints to their base entity rep — after this,
+    // components run over O(delta) nodes
+    val contracted = verified
+      .join(base.select(col("doc_id").as("doc_a"), col("rep").as("rep_a")),
+        Seq("doc_a"), "left")
+      .join(base.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")),
+        Seq("doc_b"), "left")
+      .select(
+        when(col("doc_a") % 20 === 0, col("doc_a")).otherwise(col("rep_a")).as("na"),
+        when(col("doc_b") % 20 === 0, col("doc_b")).otherwise(col("rep_b")).as("nb"))
+    val labels = graft.ops.Graph.altStarComponents(contracted)
+    // stable-id rule: min participating base rep, else min delta id
+    val ents = labels.groupBy(col("label")).agg(
+      coalesce(min(when(col("id") % 20 =!= 0, col("id"))), min(col("id")))
+        .as("entity_id"))
+    val compNodes = labels.join(broadcast(ents), "label")
+    val deltaMembers = compNodes.filter(col("id") % 20 === 0)
+      .select(col("entity_id"), col("id").as("doc_id"))
+    val corpusMembers = compNodes.filter(col("id") % 20 =!= 0)
+      .select(col("entity_id"), col("id").as("rep"))
+      .join(base, "rep")
+      .select(col("entity_id"), col("doc_id"))
+    val singles = T.documents(spark, dir).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"))
+      .join(compNodes.filter(col("id") % 20 === 0)
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("entity_id"), col("doc_id"))
+    val memb = deltaMembers.unionByName(corpusMembers).unionByName(singles)
+    val m = memb.join(
+      T.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id")
+    // survivorship — identical total orders to er_golden_record
+    val langMode = m.groupBy(col("entity_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("entity_id"))
+      .agg(min_by(col("lang"),
+        struct((-col("cnt")).as("nc"), col("lang"))).as("golden_lang"))
+    m.groupBy(col("entity_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("golden_doc"),
+        max(col("n_chars")).as("golden_len"))
+      .join(langMode, "entity_id")
+      .select(col("entity_id"), col("n_members"), col("golden_doc"),
+        col("golden_len"), col("golden_lang"))
+      .orderBy(col("entity_id"))
+  }
+
+  private val erIncrementalSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(tokens)-1),
+      |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s3
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      |  WHERE len(tokens) >= 3
+      |), mh AS (
+      |  SELECT doc_id, b.band,
+      |    list_min(list_transform(s3, s -> md5(CAST(b.band AS VARCHAR) || ':' || s))) AS sig
+      |  FROM sh, (SELECT unnest(range(4)) AS band) b),
+      |d AS (
+      |  SELECT doc_id, lang, substr(text, 1, 40) AS head, n_chars
+      |  FROM documents),
+      |bcand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      |  WHERE x.doc_id % 20 <> 0 AND y.doc_id % 20 <> 0),
+      |bpairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM bcand JOIN d a ON bcand.doc_a = a.doc_id
+      |             JOIN d b ON bcand.doc_b = b.doc_id
+      |  WHERE a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 12
+      |    AND levenshtein(a.head, b.head) <= 12),
+      |bedges AS (SELECT doc_a, doc_b FROM bpairs
+      |           UNION ALL SELECT doc_b, doc_a FROM bpairs),
+      |breach(src, dst) AS (
+      |  SELECT DISTINCT doc_a, doc_a FROM bedges
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM breach r JOIN bedges e ON r.dst = e.doc_a),
+      |blab AS (SELECT src, MIN(dst) AS lab FROM breach GROUP BY src),
+      |base_m AS (
+      |  SELECT doc_id, COALESCE(lab, doc_id) AS rep
+      |  FROM documents LEFT JOIN blab ON doc_id = blab.src
+      |  WHERE doc_id % 20 <> 0),
+      |dcand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      |  WHERE x.doc_id % 20 = 0 OR y.doc_id % 20 = 0),
+      |dpairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM dcand JOIN d a ON dcand.doc_a = a.doc_id
+      |             JOIN d b ON dcand.doc_b = b.doc_id
+      |  WHERE a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 12
+      |    AND levenshtein(a.head, b.head) <= 12),
+      |cedges0 AS (
+      |  SELECT CASE WHEN doc_a % 20 = 0 THEN doc_a ELSE ma.rep END AS na,
+      |         CASE WHEN doc_b % 20 = 0 THEN doc_b ELSE mb.rep END AS nb
+      |  FROM dpairs
+      |  LEFT JOIN base_m ma ON dpairs.doc_a = ma.doc_id
+      |  LEFT JOIN base_m mb ON dpairs.doc_b = mb.doc_id),
+      |cedges AS (SELECT na, nb FROM cedges0 WHERE na <> nb
+      |           UNION ALL SELECT nb, na FROM cedges0 WHERE na <> nb),
+      |creach(src, dst) AS (
+      |  SELECT DISTINCT na, na FROM cedges
+      |  UNION
+      |  SELECT r.src, e.nb FROM creach r JOIN cedges e ON r.dst = e.na),
+      |clab AS (SELECT src, MIN(dst) AS lab FROM creach GROUP BY src),
+      |ents AS (
+      |  SELECT lab,
+      |    COALESCE(MIN(CASE WHEN src % 20 <> 0 THEN src END), MIN(src)) AS entity_id
+      |  FROM clab GROUP BY lab),
+      |memb AS (
+      |  SELECT e.entity_id, c.src AS doc_id
+      |  FROM clab c JOIN ents e ON c.lab = e.lab WHERE c.src % 20 = 0
+      |  UNION ALL
+      |  SELECT e.entity_id, bm.doc_id
+      |  FROM clab c JOIN ents e ON c.lab = e.lab
+      |  JOIN base_m bm ON bm.rep = c.src
+      |  WHERE c.src % 20 <> 0
+      |  UNION ALL
+      |  SELECT doc_id AS entity_id, doc_id
+      |  FROM documents WHERE doc_id % 20 = 0
+      |    AND doc_id NOT IN (SELECT src FROM clab WHERE src % 20 = 0)),
+      |m AS (
+      |  SELECT memb.entity_id, dd.doc_id, dd.lang, dd.n_chars
+      |  FROM memb JOIN documents dd ON memb.doc_id = dd.doc_id),
+      |lm AS (SELECT entity_id, lang, COUNT(*) AS cnt FROM m GROUP BY entity_id, lang),
+      |lmode AS (
+      |  SELECT entity_id, lang AS golden_lang FROM (
+      |    SELECT entity_id, lang,
+      |      ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY cnt DESC, lang) AS r
+      |    FROM lm) WHERE r = 1),
+      |gdoc AS (
+      |  SELECT entity_id, doc_id AS golden_doc FROM (
+      |    SELECT entity_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY n_chars DESC, doc_id) AS r
+      |    FROM m) WHERE r = 1),
+      |agg AS (
+      |  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    MAX(n_chars) AS golden_len
+      |  FROM m GROUP BY entity_id)
+      |SELECT agg.entity_id AS entity_id, n_members, golden_doc, golden_len, golden_lang
+      |FROM agg JOIN gdoc ON agg.entity_id = gdoc.entity_id
+      |  JOIN lmode ON agg.entity_id = lmode.entity_id
+      |ORDER BY agg.entity_id""".stripMargin
 
   private val erGoldenRecordSql =
     """WITH RECURSIVE sh AS (
@@ -1870,6 +2090,7 @@ object TextOps {
           "BY CONTRACT (sf3 measured 9.03x ~ 3^2); banded candidates + " +
           "dedup_near_minhash are the linear-regime path"))),
     QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql)),
+    QueryDef("er_incremental", erIncremental, Some(erIncrementalSql)),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
