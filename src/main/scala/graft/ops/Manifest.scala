@@ -266,8 +266,8 @@ object Manifest {
     // buffered first (manifests are KBs of metadata): the conditional
     // PUT either lands whole or not at all.
     def conditionalPut(): Boolean = {
-      val in = fs.open(tmp)
-      val bytes =
+      def readAll(p: Path): Array[Byte] = {
+        val in = fs.open(p)
         try {
           val bos = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
@@ -275,17 +275,32 @@ object Manifest {
           while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
           bos.toByteArray
         } finally in.close()
+      }
+      val bytes = readAll(tmp)
+      // RETRY AMBIGUITY: a conditional PUT can land and still surface as
+      // a failure to the client (response lost; the SDK's retry then
+      // sees 412 because the FIRST attempt created the object). A naive
+      // "caught → lost" here makes the writer rebase on a head that IS
+      // its own commit and re-apply the delta — a duplicate. So every
+      // failure where the destination exists reconciles by reading the
+      // head back: byte-identical means the store holds exactly the
+      // state this writer intended to publish — claim the win (if a
+      // racer wrote those same bytes, the intended states coincide and
+      // neither re-applying is correct); different bytes is a real loss.
+      def reconcile(): Boolean =
+        try java.util.Arrays.equals(readAll(dst), bytes)
+        catch { case _: java.io.IOException => false }
       try {
         val out = fs.create(dst, false)
         try out.write(bytes) finally out.close()
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException => false
+             _: java.nio.file.FileAlreadyExistsException => reconcile()
         // connectors that evaluate the precondition at close() may
         // surface the conflict as a plain IOException — the destination
-        // existing is the proof of a lost race
-        case _: java.io.IOException if fs.exists(dst) => false
+        // existing distinguishes a conflict/ambiguity from a hard fault
+        case _: java.io.IOException if fs.exists(dst) => reconcile()
       }
     }
     val won = scheme match {

@@ -22,7 +22,30 @@ object MemCasFileSystem {
   /** key → bytes; PENDING marks a claimed-but-unwritten object. */
   private[graft] val store = new ConcurrentHashMap[String, Array[Byte]]()
   private[graft] val PENDING = new Array[Byte](0)
-  def clear(): Unit = store.clear()
+  /** Retry-ambiguity injection: when > 0, every Nth SUCCESSFUL exclusive
+    * create commits its bytes and then THROWS from close() — the PUT
+    * landed, the response was lost (the S3 500-after-write shape). The
+    * caller cannot tell this from a genuine conflict without reading the
+    * head back. */
+  @volatile private[graft] var ambiguityEvery: Int = 0
+  private[graft] val createCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Latency jitter bound in ms (0 = off) injected before open/create/
+    * list — object-store calls are not instantaneous, and the arbiter
+    * must not depend on any two of them appearing ordered. Seeded, so
+    * runs are reproducible. */
+  @volatile private[graft] var jitterMs: Int = 0
+  private val rnd = new java.util.Random(0x9e3779b9L)
+  private[graft] def jitter(): Unit = {
+    val j = jitterMs
+    if (j > 0) Thread.sleep(rnd.nextInt(j).toLong)
+  }
+  def clear(): Unit = {
+    store.clear()
+    ambiguityEvery = 0
+    jitterMs = 0
+    createCount.set(0)
+  }
 }
 
 class MemCasFileSystem extends FileSystem {
@@ -44,6 +67,7 @@ class MemCasFileSystem extends FileSystem {
   private def key(f: Path): String = makeQualified(f).toUri.getPath
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    jitter()
     val b = store.get(key(f))
     if (b == null || (b eq PENDING)) throw new FileNotFoundException(key(f))
     new FSDataInputStream(new MemInputStream(b))
@@ -52,18 +76,28 @@ class MemCasFileSystem extends FileSystem {
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
+    jitter()
     val k = key(f)
     if (!overwrite) {
       // THE conditional put: one atomic claim, no exists probe
       if (store.putIfAbsent(k, PENDING) != null)
         throw new FileAlreadyExistsException(s"conditional put lost: $k")
     } else store.put(k, PENDING)
+    // this create WON the claim; decide now whether its success will be
+    // reported as a failure (retry ambiguity) — the bytes land either way
+    val ambiguous = !overwrite && ambiguityEvery > 0 &&
+      createCount.incrementAndGet() % ambiguityEvery == 0
     val bos = new ByteArrayOutputStream()
     val sink: OutputStream = new OutputStream {
       override def write(b: Int): Unit = bos.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
         bos.write(b, off, len)
-      override def close(): Unit = store.put(k, bos.toByteArray)
+      override def close(): Unit = {
+        store.put(k, bos.toByteArray)
+        if (ambiguous)
+          throw new java.io.IOException(
+            s"simulated retry ambiguity: PUT landed at $k, response lost")
+      }
     }
     new FSDataOutputStream(sink, null)
   }
@@ -92,6 +126,7 @@ class MemCasFileSystem extends FileSystem {
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
+    jitter()
     val k = key(f)
     // one consistent snapshot: a concurrent writer may create/delete
     // between listing and stat (an object-store LIST has the same
@@ -125,6 +160,7 @@ class MemCasFileSystem extends FileSystem {
   override def mkdirs(f: Path, permission: FsPermission): Boolean = true
 
   override def getFileStatus(f: Path): FileStatus = {
+    jitter()
     val k = key(f)
     val b = store.get(k)
     if (b != null)

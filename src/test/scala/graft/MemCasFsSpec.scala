@@ -82,6 +82,50 @@ class MemCasFsSpec extends SparkSpec {
     }
   }
 
+  test("retry ambiguity: a PUT that lands but reports failure is reconciled, never re-applied") {
+    MemCasFileSystem.clear()
+    val dir = "memcas://bucket/tbl-ambig"
+    assert(Manifest.tryCommit(spark, dir, -1, Seq.empty) == Right(0))
+    // every 3rd winning create THROWS after its bytes land (the S3
+    // 500-after-write), plus latency jitter on every store call — a
+    // naive arbiter now rebases on its own commit and applies the
+    // writer's delta twice
+    MemCasFileSystem.ambiguityEvery = 3
+    MemCasFileSystem.jitterMs = 3
+    val nWriters = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val ts = (1 to nWriters).map { i =>
+      new Thread(() => {
+        gate.await()
+        committed.add(Manifest.commitWithRetry(spark, dir, maxAttempts = 100) {
+          (_, cur) =>
+            cur :+ Manifest.FileEntry(s"mem://a$i.parquet", 1, 1, 0, 0)
+        })
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    MemCasFileSystem.ambiguityEvery = 0
+    MemCasFileSystem.jitterMs = 0
+    // exactly one version per writer: ambiguity produced no duplicate
+    // and no lost commit
+    val head = Manifest.currentVersion(spark, dir)
+    assert(head == nWriters, s"expected v$nWriters head, got v$head")
+    import scala.jdk.CollectionConverters._
+    assert(committed.asScala.toSet == (1 to nWriters).toSet,
+      s"every writer owns exactly one distinct version: $committed")
+    val byV = (0 to head).map(v =>
+      Manifest.read(spark, dir, v).map(_.path).toSet)
+    (1 to head).foreach { v =>
+      assert(byV(v).size == byV(v - 1).size + 1, s"v$v not parent+1")
+      assert(byV(v - 1).subsetOf(byV(v)), s"v$v dropped entries")
+    }
+    (1 to nWriters).foreach { i =>
+      // each delta applied EXACTLY once across the whole chain
+      assert(byV(head).count(_ == s"mem://a$i.parquet") == 1)
+    }
+  }
+
   test("rename-scheme allowlist: an opted-in HDFS-compatible scheme publishes") {
     val conf = new org.apache.hadoop.conf.Configuration(hc)
     conf.set("fs.mockabfs.impl", classOf[MockAbfsFs].getName)
