@@ -273,6 +273,7 @@ object LakeStream {
         prevVersions.dropRight(1) // keep the replay fallback, drop the rest
           .foreach(v => fs.delete(new Path(gDir, s"v$v"), true))
       }
+      afterGrainRefresh(grain, batchId)
       grain -> fs.makeQualified(vDir).toString
     }.toMap
   }
@@ -284,6 +285,14 @@ object LakeStream {
     * at any trigger boundary), and re-registers the navigator routes so
     * raw-spelling dashboard aggregates over the table keep reading the
     * fresh rollup instead of the firehose. */
+  /** Test hooks into the TORN WINDOW of the two-commit shape: fired
+    * after the batch's manifest CAS lands (before any summary write),
+    * and after each grain's summary version lands (before the next
+    * grain's). A spec that throws from one simulates a process death
+    * inside the window; the restart contract below must heal it. */
+  private[graft] var afterManifestCommit: Long => Unit = _ => ()
+  private[graft] var afterGrainRefresh: (String, Long) => Unit = (_, _) => ()
+
   def startWithSummary(source: DataFrame, tablePath: String, partCol: String,
       keyCol: String, checkpoint: String,
       grains: Seq[String] = Seq("day", "hour")): StreamingQuery =
@@ -291,8 +300,29 @@ object LakeStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
-        val merged = mergeAndCommit(s, tablePath, partCol, keyCol, batch, id)
-        val archDirs = merged.flatMap(_.archivedTo)
+        mergeAndCommit(s, tablePath, partCol, keyCol, batch, id)
+        afterManifestCommit(id)
+        // ORDERING INVARIANT (crash recovery): the data commit precedes
+        // the summary refresh, and BOTH are idempotent-keyed by batch id
+        // — the merge archives under `_archive/batch-<id>` and the
+        // summary completes `v<id>` exactly once (`complete` check in
+        // refreshSummaries). A death between the two replays the batch:
+        // the merge re-applies (same keys, same rows — convergent) and
+        // the refresh then runs against the already-merged table. That
+        // replay's OWN archivedTo only holds the partitions the RE-merge
+        // rewrote — the batch's rows themselves, not the pre-batch rows
+        // the first attempt retracted — so `replaced` must be derived
+        // from the WHOLE per-batch archive root (every attempt's dirs,
+        // unique-suffixed by the CoW swap): otherwise a bucket the first
+        // attempt emptied (an upsert that moved a row across hours)
+        // escapes the scoped rebuild and lingers stale in the summary.
+        val fs = new Path(tablePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val archRoot = new Path(s"$tablePath/_archive/batch-$id")
+        val archDirs: Seq[String] =
+          if (!fs.exists(archRoot)) Seq.empty
+          else fs.listStatus(archRoot).toSeq.filter(_.isDirectory)
+            .map(_.getPath.toString)
         // pre-merge rows the batch rewrote: the archived partitions'
         // content, restricted to the batch's keys. Empty archive set ⇒
         // pure appends ⇒ the merge-law path.

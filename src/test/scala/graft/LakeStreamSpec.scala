@@ -233,6 +233,116 @@ class LakeStreamSpec extends SparkSpec {
       SummaryRewrite.deregister(dir)
     }
   }
+  test("torn two-commit window: death between manifest CAS and summary refresh heals on replay") {
+    import graft.ops.{CopyOnWrite, Manifest}
+    import graft.plans.SummaryRewrite
+    import org.apache.spark.sql.types.DecimalType
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val ckpt = Files.createTempDirectory("graft-torn-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      Ev(1L, "2024-01-01", ts("2024-01-01 08:10:00"), "view", 5.0, 100L),
+      Ev(2L, "2024-01-01", ts("2024-01-01 09:20:00"), "click", 3.0, 101L))
+      .toDF().write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    def rebuild(grain: String): Seq[String] = SummaryRewrite.withBypass {
+      CopyOnWrite.read(spark, dir)
+        .groupBy(date_trunc(grain, col("ts")).as(grain), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DecimalType(28, 2)).as("sum_value_dec"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def stored(grain: String): Seq[String] = {
+      val g = new java.io.File(s"$dir/_summary/$grain")
+      val vs = g.listFiles().map(_.getName).filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).sorted
+      spark.read.parquet(s"$dir/_summary/$grain/v${vs.last}").drop("uhll")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def restartAndDrain(mem: MemoryStream[Ev]): Unit = {
+      val q = LakeStream.startWithSummary(mem.toDF(), dir, "day", "event_id", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val mem = MemoryStream[Ev](spark)
+    try {
+      // batch 0: clean bootstrap
+      mem.addData(Ev(3L, "2024-01-02", ts("2024-01-02 10:00:00"), "view", 9.0, 100L))
+      restartAndDrain(mem)
+      Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g)))
+
+      // batch 1 — THE hard case: event 1 moves hour 08 → 12, so the
+      // first attempt RETRACTS the 08:00 bucket. Die right after its
+      // manifest CAS, before any summary write.
+      LakeStream.afterManifestCommit = id =>
+        if (id == 1L) throw new RuntimeException("injected: died in the torn window")
+      mem.addData(Ev(1L, "2024-01-01", ts("2024-01-01 12:45:00"), "view", 50.0, 103L))
+      val q1 = LakeStream.startWithSummary(mem.toDF(), dir, "day", "event_id", ckpt)
+      try {
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+      } finally {
+        q1.stop()
+        LakeStream.afterManifestCommit = _ => ()
+      }
+      // torn state is REAL: data committed past v0, summary still at v0
+      assert(Manifest.currentVersion(spark, dir) >= 1)
+      assert(!new java.io.File(s"$dir/_summary/hour/v1/_SUCCESS").exists(),
+        "summary must not have committed v1 before the injected death")
+
+      // restart from the same checkpoint: batch 1 replays and heals —
+      // including the retraction the replay's own archive set no longer
+      // witnesses (it comes from attempt 1's archive dirs)
+      restartAndDrain(mem)
+      Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g),
+        s"post-recovery summary != rebuild at grain $g"))
+      assert(!stored("hour").exists(_.contains("2024-01-01 08:")),
+        "bucket retracted by the crashed attempt must not linger")
+
+      // batch 2 — death BETWEEN grains: day's v2 lands, hour's never
+      // starts; event 2 moves hour 09 → 13 so the hour grain has a
+      // retraction pending at restart
+      LakeStream.afterGrainRefresh = (grain, id) =>
+        if (grain == "day" && id == 2L)
+          throw new RuntimeException("injected: died between grains")
+      mem.addData(Ev(2L, "2024-01-01", ts("2024-01-01 13:05:00"), "click", 30.0, 104L))
+      val q2 = LakeStream.startWithSummary(mem.toDF(), dir, "day", "event_id", ckpt)
+      try {
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+      } finally {
+        q2.stop()
+        LakeStream.afterGrainRefresh = (_, _) => ()
+      }
+      assert(new java.io.File(s"$dir/_summary/day/v2/_SUCCESS").exists(),
+        "day grain committed before the injected death")
+      assert(!new java.io.File(s"$dir/_summary/hour/v2/_SUCCESS").exists())
+
+      restartAndDrain(mem)
+      Seq("day", "hour").foreach(g => assert(stored(g) == rebuild(g),
+        s"post-between-grains recovery != rebuild at grain $g"))
+      assert(!stored("hour").exists(_.contains("2024-01-01 09:")),
+        "hour bucket retracted across the tear must not linger")
+
+      // at-least-once left no duplicate keys in the table itself
+      val keys = CopyOnWrite.read(spark, dir).groupBy(col("event_id"))
+        .count().filter(col("count") > 1).count()
+      assert(keys == 0L, "replayed merges must not duplicate rows")
+      // manifest chain stayed monotone (replays may add content-equal
+      // versions — at-least-once — but never lose or reorder one)
+      val vs = Manifest.versions(spark, dir)
+      assert(vs == vs.sorted && vs.distinct == vs, s"versions: $vs")
+    } finally {
+      LakeStream.afterManifestCommit = _ => ()
+      LakeStream.afterGrainRefresh = (_, _) => ()
+      SummaryRewrite.deregister(dir)
+    }
+  }
 }
 
 object LakeStreamSpec {
