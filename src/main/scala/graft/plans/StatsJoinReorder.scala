@@ -95,9 +95,12 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     val tk = rawKey(tablePath)
     ndvReg.keySet.removeIf(_._1 == tk)
     spanReg.keySet.removeIf(_._1 == tk)
+    histReg.keySet.removeIf(_._1 == tk)
+    hotReg.keySet.removeIf(_._1 == tk)
   }
 
-  def clear(): Unit = { ndvReg.clear(); spanReg.clear() }
+  def clear(): Unit =
+    { ndvReg.clear(); spanReg.clear(); histReg.clear(); hotReg.clear() }
 
   /** (raw table path, column name) -> global [lo, hi] value span. */
   private val spanReg = new ConcurrentHashMap[(String, String), (Long, Long)]()
@@ -124,6 +127,56 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     val span = (stats.map(_.minKey).min, stats.map(_.maxKey).max)
     spanReg.put((rawKey(tablePath), column), span)
     span
+  }
+
+  /** (raw table path, column) -> merged table CDF (support xs, cum rows
+    * ≤ x) from the per-file equi-depth sidecars. */
+  private val histReg =
+    new ConcurrentHashMap[(String, String), (Array[Double], Array[Double])]()
+
+  /** Publish the [[graft.ops.HistStats]] merged histogram CDF for
+    * `tablePath`.`column` — range selectivity then interpolates real
+    * MASS instead of the uniform-span assumption [[registerSpan]] buys
+    * (a long-tailed column under uniform span mis-costs a tail range
+    * predicate by orders of magnitude, reordering INTO the bad plan).
+    * Metadata-only after the sidecar exists ([[graft.ops.HistStats
+    * .ensure]] profiles only files it has never seen). Returns the
+    * number of CDF support points. */
+  def registerHistogram(spark: SparkSession, tablePath: String,
+      column: String, buckets: Int = 32): Int = {
+    val cdf = graft.ops.HistStats.mergedCdf(spark, tablePath, column, buckets)
+    histReg.put((rawKey(tablePath), column), cdf)
+    cdf._1.length
+  }
+
+  /** (raw table path, column) -> (hot value -> estimated row share). */
+  private val hotReg =
+    new ConcurrentHashMap[(String, String), Map[Long, Double]]()
+
+  /** Publish the [[graft.ops.HotKeyStats]] heavy hitters for
+    * `tablePath`.`column` to the EQUALITY estimator: a literal that
+    * matches a hot key costs its OBSERVED share instead of the uniform
+    * 1/ndv — the difference between salting-grade skew (one key owning
+    * 70% of rows) estimated at 70% vs at 1/50. Only keys whose
+    * GUARANTEED share (cnt − err) clears `minShare` register: the
+    * no-false-positive rule, so a miss falls back to 1/ndv rather than
+    * a sketch artifact. Returns the registered map. */
+  def registerHotShares(spark: SparkSession, tablePath: String,
+      column: String, m: Int = 64,
+      minShare: Double = 0.01): Map[Long, Double] = {
+    val v = graft.ops.Manifest.currentListVersion(spark, tablePath)
+    require(v >= 0, s"no committed list versions at $tablePath")
+    val totalRows = graft.ops.Manifest.readAll(spark, tablePath, v)
+      .filterNot(_.path.contains("/deletes/")).map(_.rows).sum.toDouble
+    require(totalRows > 0, s"$tablePath: zero-row manifest")
+    val shares = graft.ops.HotKeyStats
+      .mergedHot(spark, tablePath, column, m, v)
+      .filter { case (_, c, e) => (c - e).toDouble >= minShare * totalRows }
+      .flatMap { case (value, c, _) =>
+        scala.util.Try(value.toLong).toOption.map(_ -> c.toDouble / totalRows)
+      }.toMap
+    hotReg.put((rawKey(tablePath), column), shares)
+    shares
   }
 
   /** NDV of the table column `a` resolves to in `side`, if the attr
@@ -154,6 +207,47 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
         }
     }.flatten
 
+  /** Merged CDF of the table column `a` resolves to in `side`, if
+    * registered — same exprId-trace discipline as [[ndvOf]]. */
+  private def histOf(side: LogicalPlan,
+      a: Attribute): Option[(Array[Double], Array[Double])] =
+    side.collectFirst {
+      case lr: LogicalRelation if lr.outputSet.contains(a) =>
+        lr.relation match {
+          case h: HadoopFsRelation =>
+            StatsBroadcast.leafTable(h)
+              .flatMap(tp => Option(histReg.get((tp, a.name))))
+          case _ => None
+        }
+    }.flatten
+
+  /** Hot-key share map for the table column `a`, if registered. */
+  private def hotOf(side: LogicalPlan,
+      a: Attribute): Option[Map[Long, Double]] =
+    side.collectFirst {
+      case lr: LogicalRelation if lr.outputSet.contains(a) =>
+        lr.relation match {
+          case h: HadoopFsRelation =>
+            StatsBroadcast.leafTable(h)
+              .flatMap(tp => Option(hotReg.get((tp, a.name))))
+          case _ => None
+        }
+    }.flatten
+
+  /** Fraction of rows with value ≤ x under the merged piecewise-linear
+    * CDF (exact at every per-file boundary). */
+  private def cdfFrac(cdf: (Array[Double], Array[Double]), x: Double): Double = {
+    val (xs, cum) = cdf
+    val total = cum.last
+    if (x < xs.head) return 0.0
+    if (x >= xs.last) return 1.0
+    var k = java.util.Arrays.binarySearch(xs, x)
+    if (k >= 0) return cum(k) / total
+    k = -k - 2
+    val frac = (x - xs(k)) / (xs(k + 1) - xs(k))
+    (cum(k) + frac * (cum(k + 1) - cum(k))) / total
+  }
+
   private def litLong(l: Literal): Option[Long] = l.value match {
     case i: java.lang.Integer => Some(i.longValue)
     case i: java.lang.Long    => Some(i)
@@ -167,20 +261,40 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     * under a uniform assumption; equality uses the KMV NDV. */
   private def selOf(e: Expression, child: LogicalPlan): Double = {
     def clamp(x: Double) = math.min(1.0, math.max(0.0, x))
+    // range selectivity, best stats first: a registered HISTOGRAM
+    // interpolates real mass (integer semantics: `≤ c` is CDF(c),
+    // `< c` is CDF(c−1), complements for the keep-above side); the
+    // [min,max] SPAN's uniform assumption is the fallback; no stats
+    // contribute 1.0 (the bound survives).
     def range(a: Attribute, keepBelow: Boolean, c: Long,
         inclusive: Boolean): Double =
-      spanOf(child, a).map { case (lo, hi) =>
+      histOf(child, a).map { cdf =>
+        val below =
+          if (inclusive == keepBelow) cdfFrac(cdf, c.toDouble)
+          else cdfFrac(cdf, c.toDouble - 1.0)
+        clamp(if (keepBelow) below else 1.0 - below)
+      }.orElse(spanOf(child, a).map { case (lo, hi) =>
         val width = hi.toDouble - lo.toDouble + 1.0
         val kept =
           if (keepBelow) c.toDouble - lo.toDouble + (if (inclusive) 1.0 else 0.0)
           else hi.toDouble - c.toDouble + (if (inclusive) 1.0 else 0.0)
         clamp(kept / width)
-      }.getOrElse(1.0)
+      }).getOrElse(1.0)
+    // equality: a literal matching a registered HOT KEY costs its
+    // observed share (the skew the uniform 1/ndv can't see); otherwise
+    // 1/ndv when a KMV sketch is registered.
+    def equal(a: Attribute, l: Literal): Double = {
+      val hot = for {
+        shares <- hotOf(child, a)
+        v <- litLong(l)
+        s <- shares.get(v)
+      } yield s
+      hot.orElse(ndvOf(child, a).map(n => 1.0 / math.max(n, 1.0)))
+        .getOrElse(1.0)
+    }
     e match {
-      case EqualTo(a: Attribute, _: Literal) =>
-        ndvOf(child, a).map(n => 1.0 / math.max(n, 1.0)).getOrElse(1.0)
-      case EqualTo(_: Literal, a: Attribute) =>
-        ndvOf(child, a).map(n => 1.0 / math.max(n, 1.0)).getOrElse(1.0)
+      case EqualTo(a: Attribute, l: Literal) => equal(a, l)
+      case EqualTo(l: Literal, a: Attribute) => equal(a, l)
       // IN-list: |list| / ndv under the same uniformity assumption (the
       // optimizer rewrites large lists to InSet — both shapes covered)
       case org.apache.spark.sql.catalyst.expressions.In(a: Attribute, vs)

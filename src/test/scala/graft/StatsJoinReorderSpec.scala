@@ -221,6 +221,111 @@ class StatsJoinReorderSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("histogram selectivity: skewed range predicate flips the order the uniform span gets wrong") {
+    cleanup()
+    // skewed fact S: 950 rows with ks ∈ [0,99], 50 rows in a
+    // [100000, 982000] tail — span [0, 982000]. Predicate ks ≥ 100000
+    // keeps 5%; the uniform-span model says it keeps ~90% (est ≈ 898),
+    // so est(S⋈B) ≈ 8·898 > est(B⋈M) = 800 and the WRITTEN dim-first
+    // order wrongly survives; the equi-depth histogram interpolates the
+    // real 5% (est 50 → est(S⋈B) = 400 < 800) and flips the filtered
+    // fact innermost.
+    val sDir = mkLake(
+      spark.range(1000).select(col("id").as("ks_pk"),
+        (col("id") % 100).as("js"),
+        when(col("id") < 950, col("id") % 100)
+          .otherwise(lit(100000L) + (col("id") - 950) * 18000L).as("ks"),
+        (col("id") * 3).as("vs"), lit("s").as("ps")), "ps", "ks_pk")
+    val mDir = mkLake(
+      spark.range(100).select(col("id").as("jm"),
+        concat(lit("m"), col("id")).as("mname"), lit("q").as("pm")),
+      "pm", "jm")
+    def q(): DataFrame = {
+      val s = ManifestLake.read(spark, sDir).filter(col("ks") >= 100000L)
+      val b = ManifestLake.read(spark, bDir)
+      val m = ManifestLake.read(spark, mDir)
+      b.join(m, col("jb") === col("jm"))
+        .join(s, col("js") === col("jb"))
+        .groupBy(col("mname"))
+        .agg(count(lit(1)).as("n"), sum(col("vs")).as("s"))
+        .orderBy(col("mname"))
+    }
+    val dirs = Seq(sDir, bDir, mDir)
+    val rows = q().collect().toSeq
+    StatsBroadcast.register(spark, sDir)
+    StatsBroadcast.register(spark, bDir)
+    StatsBroadcast.register(spark, mDir)
+    StatsJoinReorder.registerNdv(spark, sDir, "js")
+    StatsJoinReorder.registerNdv(spark, bDir, "jb")
+    StatsJoinReorder.registerNdv(spark, mDir, "jm")
+    try {
+      // span registered: the uniform model KEEPS the written order —
+      // this is the wrong call the histogram exists to correct
+      StatsJoinReorder.registerSpan(spark, sDir, "ks")
+      assert(innermostJoinDirsOf(q(), dirs) == Set(bDir, mDir),
+        "uniform span must (wrongly) keep the written order on the skew")
+      // histogram registered: real mass flips the filtered fact first
+      StatsJoinReorder.registerHistogram(spark, sDir, "ks")
+      assert(innermostJoinDirsOf(q(), dirs) == Set(sDir, bDir),
+        "histogram mass must join the tail-filtered fact first")
+      assert(q().collect().toSeq == rows,
+        "histogram reorder changed the answer")
+    } finally cleanup()
+  }
+
+  test("hot-key equality: observed share stops the 1/ndv mis-flip") {
+    cleanup()
+    // hot fact H: 70% of rows carry hot_key = 7; EqualTo(hot_key, 7)
+    // keeps 700 rows. The 1/ndv model estimates ~1000/44 ≈ 23 rows —
+    // wrongly moving the barely-filtered fact innermost; the hot-key
+    // share (0.7 → est 700, est(H⋈B) = 5600 > 800) keeps the written
+    // dim-first order, which is the right plan.
+    val hDir = mkLake(
+      spark.range(1000).select(col("id").as("kh"),
+        (col("id") % 100).as("jh"),
+        when(col("id") % 10 < 7, lit(7L)).otherwise(col("id") % 50)
+          .as("hot_key"),
+        (col("id") * 5).as("vh"), lit("h").as("ph")), "ph", "kh")
+    val mDir = mkLake(
+      spark.range(100).select(col("id").as("jm"),
+        concat(lit("m"), col("id")).as("mname"), lit("q").as("pm")),
+      "pm", "jm")
+    def q(): DataFrame = {
+      val h = ManifestLake.read(spark, hDir).filter(col("hot_key") === 7L)
+      val b = ManifestLake.read(spark, bDir)
+      val m = ManifestLake.read(spark, mDir)
+      b.join(m, col("jb") === col("jm"))
+        .join(h, col("jh") === col("jb"))
+        .groupBy(col("mname"))
+        .agg(count(lit(1)).as("n"), sum(col("vh")).as("s"))
+        .orderBy(col("mname"))
+    }
+    val dirs = Seq(hDir, bDir, mDir)
+    val rows = q().collect().toSeq
+    StatsBroadcast.register(spark, hDir)
+    StatsBroadcast.register(spark, bDir)
+    StatsBroadcast.register(spark, mDir)
+    StatsJoinReorder.registerNdv(spark, hDir, "jh")
+    StatsJoinReorder.registerNdv(spark, hDir, "hot_key")
+    StatsJoinReorder.registerNdv(spark, bDir, "jb")
+    StatsJoinReorder.registerNdv(spark, mDir, "jm")
+    try {
+      // ndv-only: uniform equality estimate mis-routes the hot-filtered
+      // fact innermost
+      assert(innermostJoinDirsOf(q(), dirs) == Set(hDir, bDir),
+        "1/ndv must (wrongly) move the hot-filtered fact first")
+      // hot shares registered: the observed 70% share restores the
+      // written order
+      val shares = StatsJoinReorder.registerHotShares(spark, hDir, "hot_key")
+      assert(shares.contains(7L) && shares(7L) > 0.6,
+        s"hot key 7 must register with its real share, got $shares")
+      assert(innermostJoinDirsOf(q(), dirs) == Set(bDir, mDir),
+        "hot-key share must keep the written order")
+      assert(q().collect().toSeq == rows,
+        "hot-share estimate changed the answer")
+    } finally cleanup()
+  }
+
   test("refusals: disabled flag, unregistered side, user hint, outer join") {
     cleanup()
     registerAll()
