@@ -783,7 +783,7 @@ object TextOps {
     * list — quadratic only in the bucket length, sorted ids so i<j ⇒
     * doc_a < doc_b). Shared by dedup_near_minhash and er_golden_record —
     * the LINEAR-REGIME candidate generator both gates ride at scale. */
-  private def bandCandidates(mh: DataFrame): DataFrame = mh
+  private[queries] def bandCandidates(mh: DataFrame): DataFrame = mh
     .groupBy(col("band"), col("sig"))
     .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     .filter(size(col("ids")) >= 2)
