@@ -15,7 +15,9 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+    val n = df.count()
     println(s"[probe] $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
     spark.stop()
   }
