@@ -1219,7 +1219,7 @@ object TextOps {
     * master table an ingest tick merges into. Corpus signatures come
     * off [[bandSigMirror]] (per-doc independent, so the corpus subset
     * is a filter, not a recompute). */
-  private def erBaseLabelsMirror(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def erBaseLabelsMirror(spark: SparkSession, dir: String): DataFrame = {
     val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/documents.parquet")
     val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/erbase1_$fp"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -1238,7 +1238,12 @@ object TextOps {
     spark.read.parquet(path)
   }
 
-  private[graft] def erIncremental(spark: SparkSession, dir: String): DataFrame = {
+  /** The tick's (entity_id, doc_id) membership frame — every entity the
+    * delta TOUCHES (each contains ≥ 1 delta doc) plus delta singletons.
+    * Exposed for ErIncrementalSpec's union-equivalence pin; the
+    * registered gate aggregates this into golden records. */
+  private[graft] def erIncrementalMemb(spark: SparkSession,
+      dir: String): DataFrame = {
     import graft.ops.IncrementalDedup
     val sh = shingleMirror(spark, dir).select(col("doc_id"), col("shingle_set"))
     val deltaSigs = IncrementalDedup.withPfx(
@@ -1285,7 +1290,11 @@ object TextOps {
       .join(compNodes.filter(col("id") % 20 === 0)
         .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("entity_id"), col("doc_id"))
-    val memb = deltaMembers.unionByName(corpusMembers).unionByName(singles)
+    deltaMembers.unionByName(corpusMembers).unionByName(singles)
+  }
+
+  private[graft] def erIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val memb = erIncrementalMemb(spark, dir)
     val m = memb.join(
       T.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
       "doc_id")

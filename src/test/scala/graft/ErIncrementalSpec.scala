@@ -75,6 +75,43 @@ class ErIncrementalSpec extends SparkSpec {
     assert(!out.contains(41L) && !out.contains(42L))
   }
 
+  test("merged master ≡ from-scratch resolution over the union (real corpus, sf0.001)") {
+    // the production invariant: applying the tick to the persisted base
+    // clusters yields exactly the PARTITION a from-scratch resolution of
+    // corpus ∪ delta computes (entity IDS differ by design — stability
+    // keeps base reps where from-scratch takes the global min — so the
+    // comparison is on member sets). Candidate sets coincide because the
+    // banded LSH is deterministic: base pairs ∪ delta-probe pairs = the
+    // full run's pairs; identical verify ⇒ identical edges ⇒ identical
+    // components; the contraction only collapses base components, which
+    // preserves connectivity.
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    // from-scratch over ALL docs: components of the full edge set plus
+    // singleton docs
+    val full = graft.ops.Graph.altStarComponents(TextOps.erEdges(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val fullByDoc = full.toMap
+    val allDocs = T.documents(spark, dir).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val fullPartition = allDocs.groupBy(d => fullByDoc.getOrElse(d, d))
+      .values.map(_.sorted.toSeq).toSet
+    // merged master: tick membership for touched entities + delta
+    // singletons, base reps for everything the tick did not touch
+    val tick = TextOps.erIncrementalMemb(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)) // doc -> entity
+    val tickDocs = tick.map(_._1).toSet
+    val base = TextOps.erBaseLabelsMirror(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val merged = tick ++ base.filterNot { case (d, _) => tickDocs.contains(d) }
+    val mergedPartition = merged.groupBy(_._2).values
+      .map(_.map(_._1).sorted.toSeq).toSet
+    assert(mergedPartition == fullPartition,
+      s"partitions diverge: only-in-merged=${
+        (mergedPartition -- fullPartition).take(3)}, only-in-full=${
+        (fullPartition -- mergedPartition).take(3)}")
+  }
+
   test("tick is deterministic: same input, same ids") {
     val dir = Files.createTempDirectory("graft-er-inc2").toString
     mkDocs(dir)
