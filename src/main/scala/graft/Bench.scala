@@ -64,9 +64,27 @@ object Bench {
     // regen no longer charges a one-time rebuild to an arbitrary victim
     // query (r5: graph_hits 3.2s→28.3s was mirror rebuild, not regression).
     // The warm pass cost is reported as its own line item, never folded in.
+    // Per-query progress goes to STDERR (unbuffered through a redirect,
+    // where stdout's block buffering hides everything until exit) with
+    // heap/RSS so a memory-bound sf sweep shows WHERE the footprint
+    // grows — the r11 sf30 OOM kill was invisible without it.
+    def memLine(): String = {
+      val rt = Runtime.getRuntime
+      val heap = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+      val rss = try {
+        scala.io.Source.fromFile("/proc/self/status").getLines()
+          .find(_.startsWith("VmRSS")).map(_.split("\\s+")(1).toLong / 1024)
+          .getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+      s"heapMB=$heap rssMB=$rss"
+    }
     val w0 = System.nanoTime()
-    selected.foreach { case (_, fn) =>
+    selected.foreach { case (name, fn) =>
+      val q0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      System.err.println(s"[bench] warm $name sec=${
+        "%.1f".formatLocal(java.util.Locale.ROOT,
+          (System.nanoTime() - q0) / 1e9)} ${memLine()}")
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -78,7 +96,11 @@ object Bench {
           Some(Option(e.toString).getOrElse("error")
             .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(300))
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[bench] timed $name sec=${
+        "%.1f".formatLocal(java.util.Locale.ROOT, sec)} ${memLine()}" +
+        err.map(e => s" ERR=${e.take(80)}").getOrElse(""))
+      (name, sec, err)
     }
     val firstPass = selected.map { case (name, fn) => timeOnce(name, fn) }
     // De-noise (VERDICT r7 #5): this runs on a SHARED host where CPU

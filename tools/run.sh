@@ -14,5 +14,5 @@ OPENS="$OPENS --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
   --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-exec java $OPENS -Xmx100g \
+exec java $OPENS -Xmx${GRAFT_XMX:-100g} \
   -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" "$@"
