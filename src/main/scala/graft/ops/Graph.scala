@@ -83,6 +83,56 @@ object Graph {
       .toDF("id", "label")
   }
 
+  /** Components of a DELTA-SIZED edge set: when the edges fit the
+    * driver gate they are collected once (`limit(max+1)` — one job, no
+    * separate count over a possibly-expensive edge plan) and labeled by
+    * a single union-find pass whose unions always hang the larger root
+    * under the smaller, so the final root IS the component minimum —
+    * byte-identical contract to [[altStarComponents]] (min-id labels;
+    * self-loop-only vertices self-label; absent vertices absent). An
+    * incremental tick's contracted graph is O(delta) edges by
+    * construction, and paying O(log²n) distributed star rounds of fixed
+    * scheduler wall for a few thousand edges is exactly the overhead
+    * this gate removes; past the gate it falls through to the
+    * distributed alternating-star. The same size-gated-state stance as
+    * LinkRank's broadcast gate: driver state is bounded by the
+    * THRESHOLD, never by the data. */
+  def componentsSizeGated(pairs: DataFrame,
+      driverMaxEdges: Int = 2000000): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.toSeq.take(2)
+    val spark = pairs.sparkSession
+    val raw = pairs.select(col(ca).cast("long").as("a"),
+      col(cb).cast("long").as("b"))
+    val rows = raw.limit(driverMaxEdges + 1).collect()
+    if (rows.length > driverMaxEdges) altStarComponents(pairs)
+    else {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toArray.sorted
+        .map(k => org.apache.spark.sql.Row(k, find(k)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+  }
+
   /** @param pairs undirected edges as two long columns (any names);
     *              vertices not present in any pair are absent from the
     *              output (they are their own singleton component).

@@ -1273,7 +1273,11 @@ object TextOps {
       .select(
         when(col("doc_a") % 20 === 0, col("doc_a")).otherwise(col("rep_a")).as("na"),
         when(col("doc_b") % 20 === 0, col("doc_b")).otherwise(col("rep_b")).as("nb"))
-    val labels = graft.ops.Graph.altStarComponents(contracted)
+    // delta-sized graph by construction → size-gated driver union-find
+    // (min-id labels, identical contract; distributed alt-star past the
+    // gate) — the tick must not pay log²n star rounds of scheduler wall
+    // for a few thousand contracted edges
+    val labels = graft.ops.Graph.componentsSizeGated(contracted)
     // stable-id rule: min participating base rep, else min delta id
     val ents = labels.groupBy(col("label")).agg(
       coalesce(min(when(col("id") % 20 =!= 0, col("id"))), min(col("id")))

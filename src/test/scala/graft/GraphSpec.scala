@@ -86,6 +86,29 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: size-gated union-find ≡ altstar on random skewed graphs, both sides of the gate") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def gated(pairs: Seq[(Long, Long)], gate: Int): Map[Long, Long] =
+      Graph.componentsSizeGated(pairs.toDF("a", "b"), gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val genGraph: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(4, 30)
+      m <- Gen.choose(3, 50)
+      edges <- Gen.listOfN(m, for {
+        u <- Gen.choose(0.0, 1.0)
+        v <- Gen.choose(0.0, 1.0)
+      } yield ((u * u * n).toLong.min(n - 1L), (v * v * n).toLong.min(n - 1L)))
+    } yield edges
+    val prop = Prop.forAll(genGraph) { es =>
+      val want = star(es)
+      // driver path (gate above the edge count) AND the loud fallback
+      // (gate at 0 forces the distributed alternating-star)
+      gated(es, 1000000) == want && gated(es, 0) == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: degree-ordered triangle counts ≡ id-ordered on power-law graphs") {
     // graph_triangles orients edges by (degree, id) — the
     // Chiba–Nishizeki ordering that bounds wedge fan-out on power-law
