@@ -1404,6 +1404,54 @@ object Lake {
       |FROM j GROUP BY type_rank, d_event_type
       |ORDER BY type_rank""".stripMargin
 
+  // lake_catalog_stats — the manifest→catalog statistics bridge under
+  // the correctness gate (VERDICT r10 #7's wiring, oracle-replayable):
+  // a lake table built from orders (cat = o_custkey % 97, NDV 97 < k =
+  // 256 so the KMV bottom-k holds EVERY distinct hash and the estimate
+  // is exact) is registered in the session catalog with
+  // [[graft.ops.CatalogStats.publish]]; the gate emits the injected
+  // CatalogStatistics themselves — row count from manifest entries, NDV
+  // from the merged per-file sketches, min/max from footers — which the
+  // oracle replays as plain COUNT/COUNT DISTINCT/MIN/MAX over the raw
+  // rows. CatalogStatsSpec separately proves vanilla Spark PLANS with
+  // these numbers; this gate proves the numbers are RIGHT.
+  private def catalogStats(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-compact/" +
+      s"catstats_${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAFT_CATSTATS_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      // ONE commit: the vanilla catalog's schema inference requires a
+      // uniform directory layout under the table root (two chunk roots
+      // trip "multiple root directories") — the multi-commit O(delta)
+      // sidecar reuse is NdvStats/HistStats specs' business
+      val ord = T.orders(spark, dir)
+        .select(col("o_orderkey"), (col("o_custkey") % 97).as("cat"),
+          col("o_orderpriority"))
+      ManifestLake.appendCommit(spark, path, "o_orderpriority",
+        "o_orderkey", ord, "load")
+      fs.create(marker, true).close()
+    }
+    val tbl = "graft_catstats_" +
+      s"${dir}_$fp".replaceAll("[^A-Za-z0-9_]", "_")
+    val stats = graft.ops.CatalogStats.publish(spark, tbl, path, Seq("cat"))
+    val cs = stats.colStats("cat")
+    spark.range(1).select(
+      lit(stats.rowCount.get.toLong).as("n_rows"),
+      lit(cs.distinctCount.get.toLong).as("ndv_cat"),
+      lit(cs.min.get.toLong).as("min_cat"),
+      lit(cs.max.get.toLong).as("max_cat"))
+  }
+
+  private val catalogStatsSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT o_custkey % 97) AS BIGINT) AS ndv_cat,
+      |  CAST(MIN(o_custkey % 97) AS BIGINT) AS min_cat,
+      |  CAST(MAX(o_custkey % 97) AS BIGINT) AS max_cat
+      |FROM orders""".stripMargin
+
   // -------------------------------------------------------------------
   // lake_hotkey_salted — the skew-mitigation primitives WIRED to a
   // data-driven trigger: per-file SpaceSaving heavy-hitter sidecars
@@ -1495,6 +1543,7 @@ object Lake {
     QueryDef("lake_cbo_reorder", cboReorder, Some(cboReorderSql)),
     QueryDef("lake_cbo_selectivity", cboSelectivity, Some(cboSelectivitySql)),
     QueryDef("lake_cbo_histogram", cboHistogram, Some(cboHistogramSql)),
+    QueryDef("lake_catalog_stats", catalogStats, Some(catalogStatsSql)),
     QueryDef("scan_orc_mirror", orcScan, Some(orcScanSql)),
     QueryDef("lake_compact_small", compactSmall, Some(compactSmallSql)),
     QueryDef("lake_compact_cluster", compactCluster, Some(compactClusterSql)),
