@@ -766,7 +766,7 @@ object TextOps {
     * signatures as the array formulation (min over distinct shingles per
     * band) without 4×|shingles| interpreted closure calls per doc.
     * Shared by dedup_near_minhash and the dedup_incremental index. */
-  private def bandSigs(sh: DataFrame): DataFrame = sh
+  private[graft] def bandSigs(sh: DataFrame): DataFrame = sh
     .select(col("doc_id"), explode(col("shingle_set")).as("s"))
     .groupBy(col("doc_id"))
     .agg(
@@ -1183,6 +1183,115 @@ object TextOps {
     * which pins the band-signature aggregate as the edge source. */
   private[graft] def erEdges(spark: SparkSession, dir: String): DataFrame =
     erVerify(spark, dir, bandCandidates(bandSigMirror(spark, dir)))
+
+  // -------------------------------------------------------------------
+  // dedup_stream_ingest — the STREAMING dedup-at-ingest tick
+  // ([[graft.streaming.DedupStream]]) under the correctness gate: two
+  // deterministic "arrivals" (batch 0 = corpus docs, doc_id % 20 ≠ 0;
+  // batch 1 = the delta) run through the real acceptBatch — banded
+  // MinHash candidates off the per-batch signature segments, exact
+  // shingle-Jaccard ≥ 0.8 verify in-candidate, FIRST-WRITER-WINS against
+  // the accepted set, min-id-wins within a batch via size-gated
+  // components. The oracle replays both ticks end-to-end (band
+  // signatures, candidate generation against the batch-0 SURVIVORS'
+  // signatures only, the drop rule, the within-batch components).
+  // DedupStreamSpec pins what SQL can't see: replay idempotence,
+  // restart-from-checkpoint, and that a smaller-id later arrival still
+  // loses to the earlier writer.
+  private def streamDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    val fp = IncrementalDedup.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val root = s"${sys.props("java.io.tmpdir")}/graft-streamdedup/sd1_" +
+      s"${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_SD_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val docs = T.documents(spark, dir).select(col("doc_id"), col("text"))
+      graft.streaming.DedupStream.acceptBatch(spark, root,
+        docs.filter(col("doc_id") % 20 =!= 0), 0L)
+      graft.streaming.DedupStream.acceptBatch(spark, root,
+        docs.filter(col("doc_id") % 20 === 0), 1L)
+      fs.create(marker, true).close()
+    }
+    graft.streaming.DedupStream.accepted(spark, root)
+      .select(col("doc_id"),
+        when(col("doc_id") % 20 === 0, 1).otherwise(0)
+          .cast("int").as("src_batch"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val streamDedupIngestSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-1),
+      |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s3
+      |  FROM toks WHERE len(tokens) >= 3),
+      |mh AS (
+      |  SELECT doc_id, b.band AS band,
+      |    list_min(list_transform(s3, s -> md5(CAST(b.band AS VARCHAR) || ':' || s))) AS sig
+      |  FROM sh, (SELECT unnest(range(4)) AS band) b),
+      |c0 AS (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0),
+      |d1 AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+      |cand0 AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM mh x JOIN mh y
+      |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      |  WHERE x.doc_id % 20 <> 0 AND y.doc_id % 20 <> 0),
+      |v0 AS (
+      |  SELECT doc_a, doc_b FROM cand0
+      |  JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+      |  WHERE len(list_intersect(a.s3, b.s3)) > 0
+      |    AND CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+      |        (len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3))) >= 0.8),
+      |e0 AS (SELECT doc_a, doc_b FROM v0 UNION ALL SELECT doc_b, doc_a FROM v0),
+      |r0(src, dst) AS (
+      |  SELECT DISTINCT doc_a, doc_a FROM e0
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM r0 r JOIN e0 e ON r.dst = e.doc_a),
+      |l0 AS (SELECT src, MIN(dst) AS lab FROM r0 GROUP BY src),
+      |acc0 AS (
+      |  SELECT c0.doc_id FROM c0 LEFT JOIN l0 ON c0.doc_id = l0.src
+      |  WHERE l0.src IS NULL OR l0.lab = c0.doc_id),
+      |candc AS (
+      |  SELECT DISTINCT dx.doc_id AS d, cx.doc_id AS c
+      |  FROM mh dx JOIN mh cx ON dx.band = cx.band AND dx.sig = cx.sig
+      |  JOIN d1 ON dx.doc_id = d1.doc_id
+      |  JOIN acc0 ON cx.doc_id = acc0.doc_id),
+      |dropc AS (
+      |  SELECT DISTINCT d AS doc_id FROM candc
+      |  JOIN sh a ON d = a.doc_id JOIN sh b ON c = b.doc_id
+      |  WHERE len(list_intersect(a.s3, b.s3)) > 0
+      |    AND CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+      |        (len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3))) >= 0.8),
+      |still AS (
+      |  SELECT doc_id FROM d1
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dropc)),
+      |cand1 AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM mh x JOIN mh y
+      |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      |  JOIN still sa ON x.doc_id = sa.doc_id
+      |  JOIN still sb ON y.doc_id = sb.doc_id),
+      |v1 AS (
+      |  SELECT doc_a, doc_b FROM cand1
+      |  JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+      |  WHERE len(list_intersect(a.s3, b.s3)) > 0
+      |    AND CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+      |        (len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3))) >= 0.8),
+      |e1 AS (SELECT doc_a, doc_b FROM v1 UNION ALL SELECT doc_b, doc_a FROM v1),
+      |r1(src, dst) AS (
+      |  SELECT DISTINCT doc_a, doc_a FROM e1
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM r1 r JOIN e1 e ON r.dst = e.doc_a),
+      |l1 AS (SELECT src, MIN(dst) AS lab FROM r1 GROUP BY src),
+      |acc1 AS (
+      |  SELECT still.doc_id FROM still LEFT JOIN l1 ON still.doc_id = l1.src
+      |  WHERE l1.src IS NULL OR l1.lab = still.doc_id)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS INT) AS src_batch
+      |FROM (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1)
+      |ORDER BY doc_id""".stripMargin
 
   private def erGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
     val labels = graft.ops.Graph.altStarComponents(erEdges(spark, dir))
@@ -2121,6 +2230,7 @@ object TextOps {
           "dedup_near_minhash are the linear-regime path"))),
     QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql)),
     QueryDef("er_incremental", erIncremental, Some(erIncrementalSql)),
+    QueryDef("dedup_stream_ingest", streamDedupIngest, Some(streamDedupIngestSql)),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING near-duplicate deduplication at ingest — the shape a
+  * training-data pipeline actually deploys: documents arrive
+  * continuously, each micro-batch is deduplicated against everything
+  * already ACCEPTED (first-writer-wins) plus itself, and only the
+  * survivors land in the corpus. Nothing ever re-reads the corpus text
+  * wholesale:
+  *
+  *  - '''Candidates''' come from the persisted MinHash band-signature
+  *    index (the same 4-band md5-min signatures every batch dedup query
+  *    uses): the batch's signatures probe the accepted set's signature
+  *    segments — O(batch) work, corpus-independent.
+  *  - '''Verify''' is exact shingle-set Jaccard ≥ 0.8, computed only
+  *    inside candidate pairs; the corpus side's shingle sets are
+  *    recomputed from the stored text of just the candidate partners
+  *    (delta-sized join against the corpus, never a scan).
+  *  - '''Within-batch''' duplicates resolve by connected components
+  *    over the verified batch edges ([[graft.ops.Graph
+  *    .componentsSizeGated]] — a batch graph is delta-sized by
+  *    construction), keeping the minimum doc id per component.
+  *
+  * Semantics (deterministic, pinned by DedupStreamSpec): a batch doc
+  * with a verified near-dup already in the corpus is dropped (the
+  * earlier writer won); remaining batch docs dedup among themselves
+  * (min id survives its component). This is the streaming counterpart
+  * of `dedup_incremental`'s batch tick — FIRST-writer-wins rather than
+  * global-min-wins, which is the only causally available rule online.
+  *
+  * Storage layout (replay-idempotent, at-least-once → effectively-once):
+  * each batch OVERWRITES its own `docs/batch-<id>` and
+  * `sigs/batch-<id>` directories, so a replayed batch converges to the
+  * same survivor set (its inputs — the accepted set = all LOWER batch
+  * dirs — are unchanged on replay; its own half-written output is
+  * ignored by the `< id` filter and then overwritten). Signature
+  * segments accumulate per batch and are the streaming DELTA tier of
+  * the index architecture: the batch path's partitioned
+  * ([[graft.ops.IncrementalDedup]]) index is the compacted steady
+  * state; a compaction job folds segments into it off the hot path. */
+object DedupStream {
+
+  /** Shingle projection of a (doc_id, text) frame: 3-word shingles,
+    * distinct per doc — identical to the batch path's. Docs under 3
+    * tokens carry an empty set (they can never near-dup). */
+  private def shingled(df: DataFrame): DataFrame = {
+    graft.functions.VecExprs.register(df.sparkSession)
+    df.withColumn("tokens", split(col("text"), " "))
+      .withColumn("shingle_set",
+        when(size(col("tokens")) >= 3,
+          array_distinct(expr("word_shingles3(tokens)")))
+          .otherwise(array().cast("array<string>")))
+      .drop("tokens")
+  }
+
+  private def sigsOf(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.bandSigs(
+      shingled(docs).filter(size(col("shingle_set")) > 0)
+        .select(col("doc_id"), col("shingle_set")))
+
+  private def listBatchDirs(spark: SparkSession, root: String,
+      below: Long): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter { d =>
+        val n = d.getName
+        n.startsWith("batch-") &&
+          scala.util.Try(n.stripPrefix("batch-").toLong).toOption
+            .exists(_ < below)
+      }
+      .map(_.toString)
+  }
+
+  /** One micro-batch's dedup-and-accept — exposed for the spec; the
+    * stream calls it per trigger. Returns the survivor count. */
+  private[graft] def acceptBatch(spark: SparkSession, tablePath: String,
+      batch: DataFrame, id: Long, jaccard: Double = 0.8): Long = {
+    import graft.ops.IncrementalDedup
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).localCheckpoint(true)
+    val bs = sigsOf(docs).localCheckpoint(true)
+    val segDirs = listBatchDirs(spark, s"$tablePath/sigs", id)
+    val corpusSigs =
+      if (segDirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row],
+          bs.schema)
+      else spark.read.parquet(segDirs: _*)
+    // delta-vs-corpus + within-delta candidate pairs off signatures only
+    val cand = IncrementalDedup.newCandidates(
+      corpusSigs.select(col("doc_id"),
+        concat_ws("#", col("band"), col("sig")).as("bucket")),
+      bs.select(col("doc_id"),
+        concat_ws("#", col("band"), col("sig")).as("bucket")))
+      .localCheckpoint(true)
+    // shingle sets for verify: batch side in hand; corpus side
+    // recomputed from the stored text of candidate PARTNERS only
+    val batchIds = docs.select(col("doc_id"))
+    val corpusPartnerIds = cand
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .join(batchIds, Seq("doc_id"), "left_anti").distinct()
+    val docDirs = listBatchDirs(spark, s"$tablePath/docs", id)
+    val corpusSets =
+      if (docDirs.isEmpty) shingled(docs.limit(0))
+      else shingled(spark.read.parquet(docDirs: _*)
+        .join(corpusPartnerIds, "doc_id"))
+    val sets = shingled(docs)
+      .select(col("doc_id"), col("shingle_set"))
+      .unionByName(corpusSets.select(col("doc_id"), col("shingle_set")))
+    val sa = sets.select(col("doc_id").as("doc_a"), col("shingle_set").as("xa"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("shingle_set").as("xb"))
+    val verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
+      .filter(col("inter") > 0)
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("xa")) + size(col("xb")) - col("inter")))
+      .filter(col("jac") >= jaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val corpusIdSet = corpusPartnerIds
+    // rule 1: a verified edge to the corpus drops the batch doc
+    val dupOfCorpus = verified.join(
+        corpusIdSet.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+      .select(col("doc_b").as("doc_id"))
+      .unionByName(verified.join(
+          corpusIdSet.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+        .select(col("doc_a").as("doc_id")))
+      .distinct()
+    // rule 2: among the rest, min id survives its within-batch component
+    val stillIn = batchIds.join(dupOfCorpus, Seq("doc_id"), "left_anti")
+    val innerEdges = verified
+      .join(stillIn.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+      .join(stillIn.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+    val labels = graft.ops.Graph.componentsSizeGated(innerEdges)
+    val losers = labels.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val survivors = docs.join(stillIn, "doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    survivors.write.mode("overwrite")
+      .parquet(s"$tablePath/docs/batch-$id")
+    sigsOf(survivors).write.mode("overwrite")
+      .parquet(s"$tablePath/sigs/batch-$id")
+    spark.read.parquet(s"$tablePath/docs/batch-$id").count()
+  }
+
+  /** Start the streaming dedup-ingest of `source` (doc_id, text rows)
+    * into `tablePath`. The accepted corpus is `tablePath/docs/batch-*`. */
+  def start(source: DataFrame, tablePath: String,
+      checkpoint: String, jaccard: Double = 0.8): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        acceptBatch(batch.sparkSession, tablePath, batch, id, jaccard)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
+  /** Read back the accepted corpus. */
+  def accepted(spark: SparkSession, tablePath: String): DataFrame = {
+    val dirs = listBatchDirs(spark, s"$tablePath/docs", Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("text")).limit(0)
+    else spark.read.parquet(dirs: _*)
+  }
+}
