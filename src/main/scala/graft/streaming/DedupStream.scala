@@ -85,13 +85,7 @@ object DedupStream {
     val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
       col("text")).localCheckpoint(true)
     val bs = sigsOf(docs).localCheckpoint(true)
-    val segDirs = listBatchDirs(spark, s"$tablePath/sigs", id)
-    val corpusSigs =
-      if (segDirs.isEmpty)
-        spark.createDataFrame(spark.sparkContext
-            .emptyRDD[org.apache.spark.sql.Row],
-          bs.schema)
-      else spark.read.parquet(segDirs: _*)
+    val corpusSigs = corpusSigsBelow(spark, tablePath, id)
     // delta-vs-corpus + within-delta candidate pairs off signatures only
     val cand = IncrementalDedup.newCandidates(
       corpusSigs.select(col("doc_id"),
@@ -163,6 +157,86 @@ object DedupStream {
       }
       .outputMode("append")
       .start()
+
+  /** Newest `_SUCCESS`-complete compacted index strictly below `below`,
+    * as (version, dir). */
+  private def bestIndex(spark: SparkSession, tablePath: String,
+      below: Long): Option[(Long, String)] = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .flatMap { d =>
+        val n = d.getName
+        if (!n.startsWith("index-v")) None
+        else scala.util.Try(n.stripPrefix("index-v").toLong).toOption
+          .filter(v => v < below &&
+            fs.exists(new Path(d, "_SUCCESS")))
+          .map(v => v -> d.toString)
+      }
+      .sortBy(_._1).lastOption
+  }
+
+  /** The signature corpus a batch `below` dedups against: the newest
+    * complete compacted index under it plus every segment the index
+    * does not cover. */
+  private def corpusSigsBelow(spark: SparkSession, tablePath: String,
+      below: Long): DataFrame = {
+    val idx = bestIndex(spark, tablePath, below)
+    val floor = idx.map(_._1).getOrElse(-1L)
+    val segs = listBatchDirs(spark, s"$tablePath/sigs", below)
+      .filter(d => new Path(d).getName.stripPrefix("batch-").toLong > floor)
+    val segDf =
+      if (segs.isEmpty) None
+      else Some(spark.read.parquet(segs: _*)
+        .select(col("doc_id"), col("band"), col("sig")))
+    val idxDf = idx.map { case (_, d) =>
+      spark.read.parquet(d)
+        .select(col("doc_id"), col("band").cast("int").as("band"),
+          col("sig").cast("string").as("sig"))
+    }
+    (segDf, idxDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        spark.range(0).select(col("id").as("doc_id"),
+          lit(0).as("band"), lit("").as("sig")).limit(0)
+    }
+  }
+
+  /** Fold the signature segments with batch id ≤ `through` (plus any
+    * older compacted index) into ONE partitioned index —
+    * [[graft.ops.IncrementalDedup.writeIndex]]'s (band, pfx) layout,
+    * the same compacted steady state the batch tick probes — and drop
+    * the covered segments. Run OFF the hot path, and only for batch
+    * ids the stream's checkpoint has committed: an at-least-once
+    * restart replays the latest batch, whose corpus must still resolve
+    * below it, so `through` must stay under any replayable id.
+    *
+    * Crash discipline, no renames: the new `index-v<through>` commits
+    * by `_SUCCESS` BEFORE any covered segment or older index is
+    * deleted; readers prefer the newest complete index and ignore the
+    * segments it covers, so a death on either side of the commit point
+    * leaves a readable, convergent state (worst case: redundant rows —
+    * harmless, candidates are DISTINCT pairs). Idempotent. */
+  def compactSegments(spark: SparkSession, tablePath: String,
+      through: Long): Option[String] = {
+    val covered = listBatchDirs(spark, s"$tablePath/sigs", through + 1)
+    val prior = bestIndex(spark, tablePath, through + 1)
+    if (covered.isEmpty && prior.isEmpty) return None
+    if (prior.exists(_._1 == through) && covered.isEmpty) return Some(prior.get._2)
+    val sigs = corpusSigsBelow(spark, tablePath, through + 1)
+    val idxDir = s"$tablePath/index-v$through"
+    graft.ops.IncrementalDedup.writeIndex(sigs, idxDir)
+    // the new index is complete — the covered tiers are now redundant
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    covered.foreach(d => fs.delete(new Path(d), true))
+    prior.filter(_._1 != through)
+      .foreach { case (_, d) => fs.delete(new Path(d), true) }
+    Some(idxDir)
+  }
 
   /** Read back the accepted corpus. */
   def accepted(spark: SparkSession, tablePath: String): DataFrame = {

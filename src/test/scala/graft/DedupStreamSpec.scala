@@ -71,6 +71,37 @@ class DedupStreamSpec extends SparkSpec {
     assert(acceptedIds(dir) == before, "replayed batch must converge")
   }
 
+  test("segment compaction: same accepted set before and after, covered tiers dropped") {
+    val dir = Files.createTempDirectory("graft-dedupstream3").toString
+    DedupStream.acceptBatch(spark, dir,
+      Seq(Doc(1L, tA), Doc(2L, tB), Doc(3L, tA)).toDF(), 0L)
+    DedupStream.acceptBatch(spark, dir,
+      Seq(Doc(10L, tA2), Doc(11L, tC)).toDF(), 1L)
+    assert(acceptedIds(dir) == Set(1L, 2L, 11L))
+    // compact the committed batches into the partitioned index tier
+    val idx = DedupStream.compactSegments(spark, dir, through = 1L)
+    assert(idx.isDefined)
+    assert(new java.io.File(s"$dir/index-v1/_SUCCESS").exists())
+    assert(!new java.io.File(s"$dir/sigs/batch-0").exists() &&
+      !new java.io.File(s"$dir/sigs/batch-1").exists(),
+      "covered segments must be dropped after the index commits")
+    // the next tick dedups against the compacted index exactly as it
+    // would have against the segments
+    DedupStream.acceptBatch(spark, dir,
+      Seq(Doc(20L, tC), Doc(21L, tD)).toDF(), 2L)
+    assert(acceptedIds(dir) == Set(1L, 2L, 11L, 21L),
+      "20 must still lose to corpus doc 11 through the compacted index")
+    // idempotent re-compaction, and a second level folds index + newer
+    // segments together
+    assert(DedupStream.compactSegments(spark, dir, 1L).isDefined)
+    DedupStream.compactSegments(spark, dir, 2L)
+    assert(new java.io.File(s"$dir/index-v2/_SUCCESS").exists())
+    assert(!new java.io.File(s"$dir/index-v1").exists(),
+      "older index dropped once superseded")
+    DedupStream.acceptBatch(spark, dir, Seq(Doc(30L, tB)).toDF(), 3L)
+    assert(acceptedIds(dir) == Set(1L, 2L, 11L, 21L))
+  }
+
   test("short docs (under 3 tokens) are never near-dup candidates") {
     val dir = Files.createTempDirectory("graft-dedupstream2").toString
     DedupStream.acceptBatch(spark, dir,
