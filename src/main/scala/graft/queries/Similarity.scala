@@ -616,13 +616,14 @@ object Similarity {
         least(col("query_id"), col("neighbor_id")).as("doc_a"),
         greatest(col("query_id"), col("neighbor_id")).as("doc_b"))
       .distinct()
-    // alternating-star, NOT min-label propagation: the k-NN graph's
-    // components can be chain-shaped with ids in adversarial order
-    // (measured at sf10: the propagation loop exhausted its 40-round
-    // cap with Σlabel still falling), and large-star/small-star is the
-    // O(log² n)-rounds-regardless-of-diameter algorithm for exactly
-    // that shape
-    val labels = graft.ops.Graph.altStarComponents(edges)
+    // size-gated driver union-find with the alternating-star fallback:
+    // the k-NN edge set is k·N rows — under the driver gate through the
+    // tested SFs, and past it the fallback is large-star/small-star,
+    // NOT min-label propagation (the k-NN graph's components can be
+    // chain-shaped with ids in adversarial order; measured at sf10 the
+    // propagation loop exhausted its 40-round cap, while alt-star is
+    // O(log² n) rounds regardless of diameter)
+    val labels = graft.ops.Graph.componentsSizeGated(edges)
     val e = vecs(spark, dir).select(col("vec_id"))
     e.join(labels, e("vec_id") === labels("id"), "left")
       .select(col("vec_id"),

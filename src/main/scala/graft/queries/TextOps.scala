@@ -1294,7 +1294,10 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   private def erGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
-    val labels = graft.ops.Graph.altStarComponents(erEdges(spark, dir))
+    // size-gated: verified ER edge sets are dup-mass-sized, far under
+    // the driver gate at any tested SF; past it the distributed
+    // alternating-star takes over automatically (identical labels)
+    val labels = graft.ops.Graph.componentsSizeGated(erEdges(spark, dir))
     val docs = T.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val m = docs.join(labels, docs("doc_id") === labels("id"), "left")
@@ -1354,7 +1357,7 @@ object TextOps {
       val cand = bandCandidates(
         bandSigMirror(spark, dir).filter(col("doc_id") % 20 =!= 0))
       val edges = erVerify(spark, dir, cand)
-      val labels = graft.ops.Graph.altStarComponents(edges)
+      val labels = graft.ops.Graph.componentsSizeGated(edges)
       T.documents(spark, dir).filter(col("doc_id") % 20 =!= 0)
         .select(col("doc_id"))
         .join(labels, col("doc_id") === col("id"), "left")
