@@ -791,6 +791,231 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // dedup_semantic_incremental — the semantic-dedup INGEST TICK: the
+  // embedding twin of dedup_incremental/dedup_stream_ingest and the
+  // incremental closure of dedup_semantic_knn. The already-accepted
+  // corpus (vec_id % 10 ≠ 3, ann_ivf_incremental's split contract) owns
+  // a FROZEN coarse quantizer at the k-NN join's linear-regime operating
+  // point C = ⌈√N_base⌉ (Lloyd on the 25% hash-sample of the base, seed
+  // = the base's sub-C ids — train once, freeze, never retrain per
+  // batch) plus a cell-partitioned base segment; an arriving delta
+  // (≡ 3 mod 10) is assigned to its nearest frozen cell map-side
+  // (O(delta·C) dots against broadcast centroids) and lands as its own
+  // cell-partitioned segment — the exact index lifecycle
+  // ann_ivf_incremental serves queries from, now serving the dedup tick.
+  //
+  // Tick rules mirror streaming/DedupStream (first-writer-wins):
+  //  1. a delta vector with ANY accepted-corpus neighbor at cosine ≥
+  //     0.45 (dedup_semantic_knn's threshold) inside its nprobe=2
+  //     frozen cells is a duplicate of the corpus — dup_of = the
+  //     minimum matching base vec_id; the corpus is NEVER self-joined;
+  //  2. among the rest, within-delta matches form a delta-sized graph;
+  //     min id survives its component (size-gated driver union-find —
+  //     corpus-rejected docs do not mediate batch merges, same as the
+  //     text stream's rule 2).
+  // Candidate volume is O(delta·√N): 2 probe cells per delta vector ×
+  // ~N/C = √N corpus rows per cell — the tick scales with the batch,
+  // not the corpus², and a SMALL batch's distinct probe-cell set prunes
+  // the cell-partitioned base scan before any vector is read. The
+  // oracle replays base-sampled training, frozen assignment, probing,
+  // verification, and both rules end-to-end.
+  private val semIncCMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Integer]()
+
+  private def semIncCellCount(spark: SparkSession, dir: String): Int =
+    semIncCMemo.computeIfAbsent((spark, dir), _ =>
+      math.ceil(math.sqrt(vecs(spark, dir)
+        .filter(col("vec_id") % 10 =!= 3).count().toDouble)).toInt)
+
+  private val semIncCentMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Frozen quantizer for the semantic-dedup tick: trained on the BASE
+    * corpus's 25% hash-sample at C = ⌈√N_base⌉, seeded by the base's
+    * sub-C ids — [[trainedCentroidsScaled]]'s training economics under
+    * [[frozenBaseCentroids]]'s freeze-on-base lifecycle. */
+  private def semIncCentroids(spark: SparkSession, dir: String): DataFrame =
+    semIncCentMemo.computeIfAbsent((spark, dir), _ => {
+      val c = semIncCellCount(spark, dir)
+      val fp = graft.ops.IncrementalDedup
+        .sourceFingerprint(spark, s"$dir/embeddings.parquet")
+      val tag = s"ivf_cent_seminc_${c}x${IvfIters}_${dir}_$fp"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success)) {
+        val base = vecs(spark, dir).filter(col("vec_id") % 10 =!= 3)
+        val samp = base.filter(
+          substring(md5(col("vec_id").cast("string")), 1, 2) < "40")
+        graft.ops.KMeans.train(
+          samp.select(col("vec_id"), col("v"), col("nrm")), c, IvfIters,
+          init = Some(base.filter(col("vec_id") < c)))
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path).localCheckpoint(true)
+    })
+
+  /** Cell-partitioned (base, delta) segment paths for the tick's index —
+    * the base segment is built once and never rewritten by a delta
+    * append (the [[ivfIncrementalSegments]] contract at the scaled C). */
+  private[graft] def semIncSegments(spark: SparkSession,
+      dir: String): (String, String) = {
+    val e = vecs(spark, dir)
+    val cent = semIncCentroids(spark, dir)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    def assign(part: DataFrame): DataFrame = part
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc")))
+          .as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val src = s"$dir/embeddings.parquet"
+    val base = graft.ops.PartitionedLayout.ensureDerived(
+      spark, src, s"emb_seminc_base_$dir", "cell") {
+      assign(e.filter(col("vec_id") % 10 =!= 3))
+    }
+    val delta = graft.ops.PartitionedLayout.ensureDerived(
+      spark, src, s"emb_seminc_delta_$dir", "cell") {
+      assign(e.filter(col("vec_id") % 10 === 3))
+    }
+    (base, delta)
+  }
+
+  /** The tick's verified match set (query_id = delta doc, nb_id = the
+    * corpus-or-delta neighbor at cosine ≥ 0.45 inside a probed cell) —
+    * exposed so the spec can pin NON-VACUOUSLY that a corpus-rejected
+    * delta doc's within-batch edges exist and still don't mediate. */
+  private[graft] def semIncVerifiedEdges(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = semIncCentroids(spark, dir)
+      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
+    val (baseMirror, deltaMirror) = semIncSegments(spark, dir)
+    // delta probes its nprobe=2 nearest frozen cells — the knnFrame slim
+    // aggregate (top-2 kept map-side; a window here would shuffle the
+    // delta·C scored rows WITH their vector payloads)
+    val probes = e.filter(col("vec_id") % 10 === 3)
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(slice(sort_array(collect_list(
+        struct(col("ccos"), (-col("cent_id")).as("nc"))), asc = false),
+        1, 2).as("cs"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(array((-col("cs")(0)("nc")).cast("int"),
+          (-element_at(col("cs"), 2)("nc")).cast("int"))).as("qcell"))
+      .filter(col("qcell").isNotNull) // C=1 corpus: no second probe cell
+    // the batch's distinct probe cells prune the partitioned base scan
+    // (broadcastable cell-id list → partition-dir pruning) — a small
+    // tick reads only the cells it probes, never the whole base segment
+    val probeCells = probes.select(col("qcell").as("pc")).distinct()
+    val corpus = spark.read.parquet(baseMirror)
+      .join(broadcast(probeCells), col("cell") === col("pc"), "left_semi")
+      .unionByName(spark.read.parquet(deltaMirror))
+    corpus.hint("shuffle_hash").join(probes,
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("query_id"), col("vec_id").as("nb_id"))
+  }
+
+  private[graft] def dedupSemanticIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val verified = semIncVerifiedEdges(spark, dir)
+      .localCheckpoint(true) // delta-sized; feeds both rules
+    // rule 1: first-writer-wins vs the accepted corpus
+    val dupc = verified.filter(col("nb_id") % 10 =!= 3)
+      .groupBy(col("query_id")).agg(min(col("nb_id")).as("dup_base"))
+    val delta = e.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+    val stillIn = delta.join(
+      dupc.select(col("query_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    // rule 2: min id survives its within-batch component
+    val inner = verified.filter(col("nb_id") % 10 === 3)
+      .select(least(col("query_id"), col("nb_id")).as("doc_a"),
+        greatest(col("query_id"), col("nb_id")).as("doc_b"))
+      .join(stillIn.select(col("vec_id").as("doc_a")), Seq("doc_a"))
+      .join(stillIn.select(col("vec_id").as("doc_b")), Seq("doc_b"))
+      .distinct()
+    val labels = graft.ops.Graph.componentsSizeGated(inner)
+    delta
+      .join(dupc.withColumnRenamed("query_id", "vec_id"), Seq("vec_id"), "left")
+      .join(labels.select(col("id").as("vec_id"), col("label")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        (coalesce(col("dup_base"), col("label"), col("vec_id"))
+          === col("vec_id")).cast("int").as("accepted"),
+        coalesce(col("dup_base"), col("label"), col("vec_id")).as("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C = ⌈√N_base⌉ as the oracle's scalar subquery (base corpus only). */
+  private val SemIncKExpr =
+    "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM nb)"
+
+  private val dedupSemanticIncrementalSql =
+    "WITH RECURSIVE" + (normCte +
+      "\n, nb AS (SELECT * FROM n WHERE vec_id % 10 <> 3)" +
+      """
+        |, sampb AS (
+        |  SELECT vec_id, v, nrm FROM nb
+        |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '40')""".stripMargin +
+      ivfTrainingCtes(SemIncKExpr, IvfIters, corpus = "sampb",
+        initCorpus = "nb") +
+      """
+        |, scored AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cent_id,
+        |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, b) -> a + b)
+        |      / (nrm * cn) AS ccos
+        |  FROM n, cent),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+        |  FROM scored),
+        |corpus AS (SELECT vec_id, v, nrm, cell FROM assigned WHERE crank = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell AS qcell
+        |  FROM assigned WHERE crank <= 2 AND vec_id % 10 = 3),
+        |ver AS (
+        |  SELECT DISTINCT query_id, corpus.vec_id AS nb_id
+        |  FROM corpus JOIN probes ON cell = qcell AND corpus.vec_id <> query_id
+        |  WHERE list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * qv[i]), (a, b) -> a + b)
+        |      / (nrm * qn) >= 0.45),
+        |dupc AS (
+        |  SELECT query_id, MIN(nb_id) AS dup_base
+        |  FROM ver WHERE nb_id % 10 <> 3 GROUP BY query_id),
+        |still AS (
+        |  SELECT vec_id FROM n WHERE vec_id % 10 = 3
+        |    AND vec_id NOT IN (SELECT query_id FROM dupc)),
+        |ie AS (
+        |  SELECT DISTINCT LEAST(query_id, nb_id) AS doc_a,
+        |    GREATEST(query_id, nb_id) AS doc_b
+        |  FROM ver WHERE nb_id % 10 = 3
+        |    AND query_id IN (SELECT vec_id FROM still)
+        |    AND nb_id IN (SELECT vec_id FROM still)),
+        |iedges AS (SELECT doc_a, doc_b FROM ie
+        |           UNION ALL SELECT doc_b, doc_a FROM ie),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM iedges
+        |  UNION
+        |  SELECT r.src, e.doc_b FROM reach r JOIN iedges e ON r.dst = e.doc_a),
+        |lab AS (SELECT src, MIN(dst) AS lab FROM reach GROUP BY src)
+        |SELECT d.vec_id,
+        |  CAST(CASE WHEN COALESCE(dupc.dup_base, lab.lab, d.vec_id) = d.vec_id
+        |       THEN 1 ELSE 0 END AS INT) AS accepted,
+        |  COALESCE(dupc.dup_base, lab.lab, d.vec_id) AS dup_of
+        |FROM (SELECT vec_id FROM n WHERE vec_id % 10 = 3) d
+        |LEFT JOIN dupc ON d.vec_id = dupc.query_id
+        |LEFT JOIN lab ON d.vec_id = lab.src
+        |ORDER BY d.vec_id""".stripMargin).stripPrefix("WITH")
+
+  // -------------------------------------------------------------------
   // ann_pq_topk — product quantization (Jégou et al., "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011): the MEMORY
   // economics of embedding serving at 100 TB. The 64-dim vector is cut
@@ -1512,6 +1737,8 @@ object Similarity {
     QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     QueryDef("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
     QueryDef("dedup_semantic_knn", dedupSemanticKnn, Some(dedupSemanticKnnSql)),
+    QueryDef("dedup_semantic_incremental", dedupSemanticIncremental,
+      Some(dedupSemanticIncrementalSql)),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
     QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql),
       ceiling = Some(("embeddings", 20000L,
