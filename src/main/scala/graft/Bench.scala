@@ -4,11 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: see Verify — local-cluster[n,c,m] runs the
+    // suite on real separate executor JVMs.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) // see Verify
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state warmup: pay one-time session costs (codegen/JIT spin-up,
     // parquet reader init, first-job scheduling) before any query is timed,

@@ -10,12 +10,23 @@ object Verify {
     // the driver always invokes with exactly two args = full dump)
     val nameFilter = if (args.length > 2) args(2) else ".*"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — e.g.
+    // local-cluster[4,8,8192] runs the same sweep on real separate
+    // executor JVMs (real netty shuffle, serialized task dispatch,
+    // TorrentBroadcast over the wire), the multi-executor evidence a
+    // local[n] run cannot give.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // separate executor JVMs launch from SPARK_HOME's jars only — the
+    // application classes ride extraClassPath (same host, the driver's
+    // classpath string is valid verbatim)
+    if (master.startsWith("local-cluster"))
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Pre-register the MV routes BEFORE the sweep (ADVICE r6): the sweep
