@@ -24,21 +24,50 @@ import org.apache.spark.sql.SparkSession
   */
 object Bucketing {
 
-  /** 8 buckets at test SF; at cluster scale this is sized so one bucket
-    * ≈ one task's comfortable input (e.g. 2000 buckets for a 1 TB fact
-    * at 512 MB target), and both sides of a co-located join MUST agree
-    * on the count. */
+  /** Floor bucket count (test SF); the real count is SIZED from the
+    * data — see [[bucketCountFor]]. Both sides of a co-located join
+    * MUST agree on the count, which is why every mirror in a testdata
+    * dir anchors on the same dominant fact. */
   val Buckets = 8
 
-  private def mirrorName(base: String, dir: String, spark: SparkSession): String =
-    s"${base}_bkt_${dir}_${IncrementalDedup.sourceFingerprint(spark, s"$dir/$base.parquet")}"
+  /** One bucket ≈ one writer/reader task's comfortable input. A FIXED
+    * count is the scale bug the sf30/40 GB-heap suite measured: 8
+    * buckets over a 4.6 GB fact put ~22M rows in each writer task and
+    * the untracked parquet-writer buffers + sort state OOM'd the heap
+    * (at 100 TB a fixed count is off by 1000×). */
+  val TargetBucketBytes: Long = 256L << 20
+
+  /** Deterministic size-derived bucket count for an anchor parquet:
+    * ceil(bytes / target) rounded up to a power of two (re-derivable at
+    * catalog re-register time from the same immutable source), floored
+    * at [[Buckets]], capped at 4096. A missing anchor (generic dirs)
+    * falls back to the floor. */
+  def bucketCountFor(spark: SparkSession, anchorPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(anchorPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    val raw = math.max(1L, (bytes + TargetBucketBytes - 1) / TargetBucketBytes)
+    var c = Buckets
+    while (c < raw && c < 4096) c <<= 1
+    c
+  }
+
+  private def mirrorName(base: String, dir: String, n: Int,
+      spark: SparkSession): String =
+    s"${base}_bkt${n}_${dir}_${IncrementalDedup.sourceFingerprint(spark, s"$dir/$base.parquet")}"
       .replaceAll("[^A-Za-z0-9_]", "_")
 
   /** Ensure a bucketed+sorted mirror of `$dir/$base.parquet` keyed on
-    * `key` exists in the session catalog; returns its table name. */
-  def ensure(spark: SparkSession, dir: String, base: String, key: String): String =
-    ensureTable(spark, mirrorName(base, dir, spark), key)(
+    * `key` exists in the session catalog; returns its table name. The
+    * bucket count anchors on the dir's LINEITEM (the dominant fact), so
+    * every mirror of the dir joins co-located with every other. The
+    * count rides in the table/dir name: a layout built under one sizing
+    * is never re-registered under another. */
+  def ensure(spark: SparkSession, dir: String, base: String, key: String): String = {
+    val n = bucketCountFor(spark, s"$dir/lineitem.parquet")
+    ensureTable(spark, mirrorName(base, dir, n, spark), key, n)(
       graft.T(spark, dir, base))
+  }
 
   /** Ensure an arbitrary frame exists as a bucketed+sorted EXTERNAL
     * catalog table named `t` (the name must already carry the source
@@ -56,7 +85,8 @@ object Bucketing {
     * This is the ingest-time economics at 100 TB: the bucketing shuffle
     * is paid once when the layout is FIRST materialized; every later
     * session re-attaches to the files. */
-  def ensureTable(spark: SparkSession, t: String, key: String)(
+  def ensureTable(spark: SparkSession, t: String, key: String,
+      buckets: Int = Buckets)(
       build: => org.apache.spark.sql.DataFrame): String = {
     if (!spark.catalog.tableExists(t)) {
       val path = s"${sys.props("java.io.tmpdir")}/graft-buckets/$t"
@@ -68,13 +98,13 @@ object Bucketing {
           .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
         spark.sql(
           s"CREATE TABLE `$t` ($cols) USING parquet " +
-            s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $Buckets BUCKETS " +
+            s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
             s"LOCATION '$path'")
       } else {
         build
-          .repartition(Buckets, org.apache.spark.sql.functions.col(key))
+          .repartition(buckets, org.apache.spark.sql.functions.col(key))
           .write.mode("overwrite")
-          .bucketBy(Buckets, key).sortBy(key)
+          .bucketBy(buckets, key).sortBy(key)
           .option("path", path)
           .saveAsTable(t)
       }

@@ -62,8 +62,10 @@ object LinkRank {
   private def edgesTable(spark: SparkSession, dir: String): String = {
     val fpO = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/orders.parquet")
     val fpL = graft.ops.IncrementalDedup.sourceFingerprint(spark, s"$dir/lineitem.parquet")
-    val t = s"linkrank_edges_${dir}_${fpO}_$fpL".replaceAll("[^A-Za-z0-9_]", "_")
-    graft.ops.Bucketing.ensureTable(spark, t, "src") {
+    // edge volume tracks the lineitem join — size buckets from it
+    val n = graft.ops.Bucketing.bucketCountFor(spark, s"$dir/lineitem.parquet")
+    val t = s"linkrank_edges_b${n}_${dir}_${fpO}_$fpL".replaceAll("[^A-Za-z0-9_]", "_")
+    graft.ops.Bucketing.ensureTable(spark, t, "src", n) {
       val pairs = T.orders(spark, dir)
         .join(T.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
         .select(

@@ -63,6 +63,7 @@ object ClusterProbe {
     var failed = 0
     var notMid = 0
     names.foreach { name =>
+      try {
       val fn = graft.SparkEntry.queries(name)
       def run(): (Array[String], Double) = {
         val s = System.nanoTime()
@@ -111,6 +112,14 @@ object ClusterProbe {
         attempt += 1
       }
       if (!midflight) notMid += 1
+      } catch { case e: Throwable =>
+        // a query that cannot run at this executor sizing (e.g. its
+        // baseline OOMs the undersized cluster) is an ERROR for this
+        // battery, not a silent stop — record and move on
+        failed += 1
+        println(s"[cluster] $name ERROR ${e.toString.take(200)}")
+        awaitFullWidth()
+      }
     }
     spark.stop()
     if (failed > 0) { println(s"[cluster] FAIL: $failed mismatches"); sys.exit(1) }
