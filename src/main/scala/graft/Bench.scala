@@ -11,8 +11,11 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster")) // see Verify
+    if (master.startsWith("local-cluster")) { // see Verify
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      b.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "4g"))
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state warmup: pay one-time session costs (codegen/JIT spin-up,

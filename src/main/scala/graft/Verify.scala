@@ -24,8 +24,13 @@ object Verify {
     // separate executor JVMs launch from SPARK_HOME's jars only — the
     // application classes ride extraClassPath (same host, the driver's
     // classpath string is valid verbatim)
-    if (master.startsWith("local-cluster"))
+    if (master.startsWith("local-cluster")) {
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      // the master string's mem field budgets the WORKER; the executor
+      // JVM heap is spark.executor.memory (default 1g)
+      b.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "4g"))
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -39,6 +39,12 @@ object ClusterProbe {
       // application classes must ride extraClassPath (same host, the
       // driver's own classpath string works verbatim)
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      // the local-cluster[n,c,mem] MEM is the WORKER's budget; the
+      // executor JVM heap is spark.executor.memory (default 1g!) —
+      // without this every executor runs -Xmx1024M no matter what the
+      // master string says (measured: the "16 GB" battery OOM'd in 1 GB)
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
       .config("spark.sql.shuffle.partitions", "24")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
