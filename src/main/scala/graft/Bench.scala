@@ -10,6 +10,13 @@ object Bench {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // start every shuffle wide and let AQE coalesce down to the
+      // target size: with a flat 32, an sf100 near-dup verify exchange
+      // put ~1.5 GB of array-payload rows in each task and paid 12×
+      // wall in spill round trips; 256 initial partitions spread the
+      // same exchange 8× thinner while small-SF shuffles coalesce
+      // straight back — the knob is a no-op where it isn't needed
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) { // see Verify
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))

@@ -19,6 +19,8 @@ object Verify {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // wide initial shuffles, AQE-coalesced — see Bench
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // separate executor JVMs launch from SPARK_HOME's jars only — the
