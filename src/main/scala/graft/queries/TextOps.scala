@@ -811,6 +811,55 @@ object TextOps {
     spark.read.parquet(path)
   }
 
+  /** Two-phase exact Jaccard ≥ 0.8 verify for a candidate-pair frame —
+    * the sf100 fix for the verify-payload spill wall. Phase 1 ships only
+    * (size, theorem-prefix of the dictionary ids) per side — ~10 int64s
+    * instead of the whole ~52-id set, ~4× less exchange weight — and
+    * prunes with three EXACT-SAFE bounds (no false negatives, so phase-2
+    * output is bit-identical to the one-phase join):
+    *   (a) size:   J ≤ min(|A|,|B|)/max ⇒ prune if 5·min < 4·max;
+    *   (b) prefix-filter theorem (AllPairs, Bayardo et al. WWW'07): J ≥ t
+    *       needs |A∩B| ≥ α = ⌈4(|A|+|B|)/9⌉; with (a), α ≥ ⌈0.8|X|⌉ on
+    *       BOTH sides, so prefixes of length |X| − ⌈0.8|X|⌉ + 1 under the
+    *       dense-id total order must intersect — empty ⇒ prune;
+    *   (c) positional (PPJoin-family, Xiao et al. WWW'08): every common
+    *       element outside cmn = pfxA ∩ pfxB exceeds max(cmn) — an element
+    *       of A below max(cmn) is inside BOTH prefixes (sorted arrays) and
+    *       would be in cmn — so |A∩B| ≤ |cmn| + min(|A|−kmax, |B|−mmax)
+    *       with kmax/mmax the 1-based positions of max(cmn); prune if < α.
+    * Random band/posting collisions (the ~10⁴:1 candidate:output ratio
+    * this corpus measures) die in phase 1; only near-threshold pairs reach
+    * the full-array join, so the wide exchange is output-sized, not
+    * candidate-sized. */
+  private[queries] def jaccardSlimVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val slim = sh.select(col("doc_id"), size(col("ids")).as("n"),
+      expr("slice(ids, 1, size(ids) - (4 * size(ids) + 4) div 5 + 1)").as("pfx"))
+    val surv = cand
+      .join(slim.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("pfx").as("pfa")).hint("shuffle_hash"), "doc_a")
+      .join(slim.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("pfx").as("pfb")).hint("shuffle_hash"), "doc_b")
+      .filter(lit(5) * least(col("na"), col("nb")) >=
+        lit(4) * greatest(col("na"), col("nb")))
+      .withColumn("cmn", array_intersect(col("pfa"), col("pfb")))
+      .filter(size(col("cmn")) >= 1)
+      .withColumn("mx", array_max(col("cmn")))
+      .withColumn("ub", size(col("cmn")) + least(
+        col("na") - array_position(col("pfa"), col("mx")),
+        col("nb") - array_position(col("pfb"), col("mx"))))
+      .filter(col("ub") >= expr("(4 * (na + nb) + 8) div 9"))
+      .select(col("doc_a"), col("doc_b"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("ids").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("ids").as("sb"))
+    surv.join(sa.hint("shuffle_hash"), "doc_a")
+      .join(sb.hint("shuffle_hash"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   private def nearMinhash(spark: SparkSession, dir: String): DataFrame = {
     // read off the SAME disk mirror dedup_near_jaccard uses, so both
     // queries share one build
@@ -819,17 +868,12 @@ object TextOps {
     // bucket-collect pair generation (see dedup_near_jaccard): one pass
     // over the signature table instead of a self-join evaluating it twice
     val cand = bandCandidates(bandSigMirror(spark, dir))
-    // dictionary-encoded verify with shuffle-hash hints — see
-    // dedup_near_jaccard for the rationale and the sf10 measurement
-    val sa = sh.select(col("doc_id").as("doc_a"), col("ids").as("sa"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("ids").as("sb"))
-    cand.join(sa.hint("shuffle_hash"), "doc_a")
-      .join(sb.hint("shuffle_hash"), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac", col("inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("inter")))
-      .filter(col("jac") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+    // slim pre-verify then output-sized full-array verify: at sf100 the
+    // one-phase dictionary verify shipped ~900 B of arrays per candidate
+    // and spilled past the memory envelope (12.6× wall per 3.33× data);
+    // jaccardSlimVerify's bounds kill the false-positive band collisions
+    // on a ~4×-lighter exchange before any full set is shuffled
+    jaccardSlimVerify(sh, cand)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1930,23 +1974,58 @@ object TextOps {
     // sort_array(collect_list) object aggregates per bucket — measured
     // 56.9 s at sf10 against 10.9 s for this join, same 14.6M
     // candidates (candidate volume itself scales linearly: 10.04× for
-    // 10× docs). Whole-stage-codegen'd join + distinct, no object
-    // aggregation, no array sorting — the 100 TB shape.
-    val pfxPosts = sh.withColumn("plen",
-        size(col("shingle_set")) - expr("(4 * size(shingle_set) + 4) div 5") + lit(1))
-      .select(col("doc_id").as("src_doc"), col("lang"),
-        explode(expr("slice(hs, 1, plen)")).as("s"))
-    val allPosts = sh.select(col("doc_id").as("within_doc"), col("lang"),
-      explode(col("hs")).as("s"))
-    val cand = pfxPosts.join(allPosts, Seq("lang", "s"))
+    // 10× docs). Whole-stage-codegen'd join, no object aggregation,
+    // no array sorting — the 100 TB shape.
+    //
+    // sf100 rework (the ENOSPC fix): the old plan verified EVERY distinct
+    // candidate with a full-array join — ~900 B of dictionary ids per
+    // pair × ~184M pairs outspilled the scratch volume. Now the posting
+    // join itself carries 1-based positions (k in A's md5 order, m in
+    // B's) over a LONGER source prefix L = max(plen, ⌈|A|/2⌉), and the
+    // per-pair aggregate prunes with two EXACT-SAFE upper bounds on
+    // |A∩B| before any array is shuffled:
+    //   (a) count: every common shingle at A-position ≤ L is one of the
+    //       cL matches (B side indexes everything), and at most |A|−L
+    //       commons sit beyond L ⇒ |A∩B| ≤ cL + |A| − L. With L ≈ |A|/2
+    //       a pair needs cL ≳ 0.3·|A| matches to survive — a random
+    //       single-shared-shingle collision (the dominant candidate
+    //       class) is pruned unconditionally, which plen alone could
+    //       never do (cL + |A| − plen ≥ ⌈0.8|A|⌉ holds for cL = 1).
+    //   (b) positional (PPJoin-family): commons beyond the matches
+    //       exceed the max-k match (md5 order is shared), so
+    //       |A∩B| ≤ cL + min(|A|−kmax, |B|−m(kmax)).
+    //   (c) size: |A∩B| ≤ |B|, so |B| < ⌈0.8|A|⌉ prunes.
+    // Candidate completeness is untouched: L ≥ plen keeps the one-sided
+    // prefix theorem's witness inside the indexed range. Only
+    // near-threshold pairs reach the full-array verify, so the wide
+    // exchange is output-sized, not candidate-sized.
+    val withLens = sh.withColumn("na", size(col("shingle_set")))
+      .withColumn("alpha", expr("(4 * na + 4) div 5"))
+      .withColumn("l", greatest(col("na") - col("alpha") + lit(1),
+        expr("(na + 1) div 2")))
+    val pfxPosts = withLens
+      .select(col("doc_id").as("src_doc"), col("lang"), col("na"),
+        col("alpha"), col("l"),
+        posexplode(expr("slice(hs, 1, l)")).as(Seq("k0", "s")))
+    val allPosts = withLens.select(col("doc_id").as("within_doc"), col("lang"),
+      col("na").as("nb"), posexplode(col("hs")).as(Seq("m0", "s")))
+    val surv = pfxPosts.join(allPosts, Seq("lang", "s"))
       .filter(col("src_doc") =!= col("within_doc"))
+      .groupBy(col("src_doc"), col("within_doc"))
+      .agg(count(lit(1)).as("cl"),
+        max(struct(col("k0"), col("m0"))).as("w"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"),
+        first(col("alpha")).as("alpha"), first(col("l")).as("l"))
+      .filter(col("nb") >= col("alpha") &&
+        col("cl") + col("na") - col("l") >= col("alpha") &&
+        col("cl") + least(col("na") - (col("w.k0") + lit(1)),
+          col("nb") - (col("w.m0") + lit(1))) >= col("alpha"))
       .select(col("src_doc"), col("within_doc"))
-      .distinct()
-    // dictionary-encoded verify with shuffle-hash hints — see
-    // dedup_near_jaccard for the rationale and the sf10 measurement
+    // dictionary-encoded full-array verify, survivors only — see
+    // dedup_near_jaccard for the shuffle_hash rationale
     val sa = sh.select(col("doc_id").as("src_doc"), col("ids").as("sa"))
     val sb = sh.select(col("doc_id").as("within_doc"), col("ids").as("sb"))
-    cand.join(sa.hint("shuffle_hash"), "src_doc")
+    surv.join(sa.hint("shuffle_hash"), "src_doc")
       .join(sb.hint("shuffle_hash"), "within_doc")
       .select(col("src_doc"), col("within_doc"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
