@@ -151,10 +151,18 @@ final class TopKHeapBuffer(
 
   private def spill(key: UnsafeRow, row: InternalRow): Unit = {
     if (spillOuts == null) {
+      // allocate under Spark's managed local dirs (ADVICE r11: tmpdir +
+      // deleteOnExit lands on the wrong volume on real clusters and
+      // leaks on kill -9); the task-completion listener covers the
+      // task-failure path, where drain() never runs
       spillFiles = Array.tabulate(FanOut) { i =>
-        val f = java.io.File.createTempFile(s"graft-topk-l$level-$i-", ".spill")
-        f.deleteOnExit(); f
+        org.apache.spark.sql.graftshim.GraftSqlShim
+          .managedSpillFile(s"graft-topk-l$level-$i-")
       }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          spillFiles.foreach(f => if (f.exists()) { f.delete(); () })
+        })
       spillOuts = spillFiles.map(f => new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16)))
     }
@@ -185,7 +193,11 @@ final class TopKHeapBuffer(
       }
     val all = if (spillFiles == null) mem else mem ++ {
       heaps.clear()
-      spillFiles.iterator.filter(_.length() > 0).flatMap { f =>
+      // zero-length fan-out files have nothing to regroup — delete them
+      // NOW (ADVICE r11: they used to linger until JVM exit)
+      spillFiles.iterator.filter { f =>
+        if (f.length() > 0) true else { f.delete(); false }
+      }.flatMap { f =>
         val sub = new TopKHeapBuffer(groupExprs, order, inputSchema, k,
           maxGroups, passThroughOnOverflow = false,
           passThroughMetric, spillMetric, level + 1)
@@ -219,6 +231,24 @@ final case class TopKPerGroupExec(
     child: SparkPlan,
     partial: Boolean = false,
     maxGroups: Int = 1 << 20) extends UnaryExecNode with BlockingOperatorWithCodegen {
+
+  // The FINAL is genuinely blocking (no row leaves before the input is
+  // exhausted), so its child loop can drop shouldStop() checks — the
+  // BlockingOperatorWithCodegen contract, kept as the mixin (its drain
+  // loop may then call limitNotReachedCond without tripping Spark's
+  // leaf-or-blocking assertion). The PARTIAL is NOT truly blocking:
+  // overflow pass-through rows are consumed mid-production, and without
+  // stop checks in the child loop every forwarded row piles up in the
+  // WholeStageCodegen BufferedRowIterator's currentRows until the
+  // partition ends — O(overflow) memory, the exact regression the map
+  // cap exists to prevent (ADVICE r11). Re-overriding needStopCheck =
+  // partial keeps the child loop re-entrant there: the produce loop's
+  // iterator state lives in mutable fields, so processNext() resumes
+  // where it returned, exactly like any streaming operator; the
+  // parent's limit checks are inherited back for the same reason.
+  override def needStopCheck: Boolean = partial
+  override def limitNotReachedChecks: Seq[String] =
+    if (partial) parent.limitNotReachedChecks else Nil
 
   override def output: Seq[Attribute] = child.output
 
@@ -301,9 +331,19 @@ final case class TopKPerGroupExec(
          |}
        """.stripMargin.trim)
     val outputRow = ctx.freshName("topkOutputRow")
+    // Partial only: the child loop carries shouldStop() checks (see
+    // needStopCheck), and its `return` exits addToBufferFunc — NOT
+    // processNext — so "input exhausted" and "yielded with buffered
+    // pass-through rows" both land here. shouldStop() disambiguates:
+    // buffered rows ⇒ return now (needToHeap stays true; the next
+    // processNext re-enters the child loop from its persisted iterator
+    // state); clean fall-through ⇒ the input is done, drain. The final
+    // never passes through and never buffers mid-consume, so its guard
+    // is vacuous.
     s"""
        |if ($needToHeap) {
        |  $addToBufferFunc();
+       |  if (shouldStop()) return;
        |  $drainedIter = $bufferVariable.drain();
        |  $needToHeap = false;
        |}
@@ -315,11 +355,19 @@ final case class TopKPerGroupExec(
      """.stripMargin.trim
   }
 
-  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    // copy ONCE into a local before handing the row term to the parent:
+    // consume() splices the term into every column access, so passing
+    // the .copy() expression re-allocated a fresh row per field read
+    // (ADVICE r11). The copy itself stays mandatory — the buffered
+    // currentRows path retains the row past the child's buffer reuse.
+    val passRow = ctx.freshName("topkPassRow")
     s"""
        |${row.code}
        |if (!$bufferVariable.insert((UnsafeRow) ${row.value})) {
-       |  ${consume(ctx, null, s"((UnsafeRow) ${row.value}).copy()")}
+       |  UnsafeRow $passRow = ((UnsafeRow) ${row.value}).copy();
+       |  ${consume(ctx, null, passRow)}
        |}
      """.stripMargin
+  }
 }

@@ -25,6 +25,22 @@ object GraftSqlShim {
     * which blows up the first task that ships a plan holding it. */
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 
+  /** Spill file under Spark's managed local dirs (DiskBlockManager):
+    * lands on the spark.local.dir volumes (not java.io.tmpdir — on a
+    * real cluster those are different disks), is tracked by the block
+    * manager's directory cleanup, and disappears with the executor's
+    * storage even after a kill -9 (deleteOnExit only fires on a clean
+    * JVM exit). Falls back to a tmpdir temp file when no SparkEnv is
+    * live (bare unit tests of the buffer class). */
+  def managedSpillFile(prefix: String): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) {
+      val f = java.io.File.createTempFile(prefix, ".spill")
+      f.deleteOnExit()
+      f
+    } else env.blockManager.diskBlockManager.createTempLocalBlock()._2
+  }
+
   /** Re-wrap a just-localCheckpointed DataFrame with its carried
     * statistics CAPPED at Long.MaxValue.
     *

@@ -79,6 +79,34 @@ class TopKOverflowSpec extends SparkSpec {
     assert(topk(1)._1 == topk(1 << 20)._1)
   }
 
+  test("partial's generated child loop keeps stop checks (bounded pass-through)") {
+    // ADVICE r11: with BlockingOperatorWithCodegen semantics on the
+    // PARTIAL, the child produce loop dropped shouldStop() — every
+    // overflow pass-through row buffered in currentRows for the whole
+    // partition (O(overflow) memory in the default codegen path). The
+    // fix re-enables needStopCheck for the partial, so its span carries
+    // a stop check in the child loop IN ADDITION to the drain loop's
+    // (pre-fix the span had exactly one), and materializes the
+    // pass-through copy into a single local (`topkPassRow`) instead of
+    // re-evaluating .copy() per parent field access.
+    spark.conf.set("graft.topk.maxGroupsPerPartition", "64")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = TopK.perGroup(wide.toDF(), Seq("grp"),
+        Seq(col("score").desc, col("id").asc), 2)
+      val gen = org.apache.spark.sql.execution.debug
+        .codegenString(df.queryExecution.executedPlan)
+      val partialSpan = gen.split("== Subtree").find(_.contains("topkPassRow"))
+      assert(partialSpan.isDefined,
+        "no codegen span contains the partial pass-through local")
+      assert("shouldStop\\(\\)".r.findAllIn(partialSpan.get).size >= 2,
+        "partial span must stop-check both the child loop and the drain loop")
+    } finally {
+      spark.conf.unset("graft.topk.maxGroupsPerPartition")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("window idiom equivalence under overflow") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("score").desc, col("id").asc)
