@@ -25,6 +25,42 @@ object Bench {
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --- spill accounting (VERDICT r11 #3): task-metric spill bytes,
+    // accumulated by a listener and read as per-query deltas (after a
+    // listener-bus flush — task-end events are async). A 100 TB operator
+    // needs its spill footprint measured like its heap: the sf100
+    // near-dup wall was diagnosed from wall-clock ratios when spill
+    // bytes would have named it in one read.
+    val spillDiskAcc = new java.util.concurrent.atomic.AtomicLong
+    val spillMemAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillDiskAcc.addAndGet(m.diskBytesSpilled)
+          spillMemAcc.addAndGet(m.memoryBytesSpilled)
+          ()
+        }
+      }
+    })
+    def spillSnapshot(): (Long, Long) = {
+      org.apache.spark.graftshim.GraftCoreShim
+        .flushListenerBus(spark.sparkContext, 10000)
+      (spillDiskAcc.get(), spillMemAcc.get())
+    }
+    // --- scratch-floor degradation (VERDICT r11 #3): a query whose
+    // shuffle would exhaust the scratch volume must degrade to a
+    // skip-with-reason like the row ceilings do, not die ENOSPC and
+    // take the run's artifacts with it (text_containment at sf100 did
+    // exactly that three times in r11). Checked before every warm/timed
+    // query; floor configurable, 2 GiB default.
+    val scratchDir = new java.io.File(spark.sparkContext.getConf
+      .getOption("spark.local.dir").map(_.split(",")(0))
+      .getOrElse(sys.props("java.io.tmpdir")))
+    val minFreeBytes = (sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "2")
+      .toDouble * (1L << 30)).toLong
+    def scratchShortfall(): Option[String] = Bench.scratchShortfall(scratchDir, minFreeBytes)
     // Steady-state warmup: pay one-time session costs (codegen/JIT spin-up,
     // parquet reader init, first-job scheduling) before any query is timed,
     // so the first map entry isn't charged ~5s of setup.
@@ -93,31 +129,56 @@ object Bench {
       } catch { case _: Throwable => -1L }
       s"heapMB=$heap rssMB=$rss"
     }
+    val dynamicSkips = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val w0 = System.nanoTime()
     selected.foreach { case (name, fn) =>
       val q0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      System.err.println(s"[bench] warm $name sec=${
-        "%.1f".formatLocal(java.util.Locale.ROOT,
-          (System.nanoTime() - q0) / 1e9)} ${memLine()}")
+      if (scratchShortfall().isEmpty) {
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        System.err.println(s"[bench] warm $name sec=${
+          "%.1f".formatLocal(java.util.Locale.ROOT,
+            (System.nanoTime() - q0) / 1e9)} ${memLine()}")
+      } else System.err.println(s"[bench] warm $name SKIP (scratch floor)")
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
+    val spills = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Option[String]) = {
+      val (d0, m0) = spillSnapshot()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
+          // an ENOSPC leaves the failed job's shuffle files behind —
+          // nudge the ContextCleaner so the next query starts with
+          // whatever scratch can be reclaimed
+          if (Option(e.toString).exists(_.contains("No space left")))
+            System.gc()
           Some(Option(e.toString).getOrElse("error")
             .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(300))
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val (d1, m1) = spillSnapshot()
+      // keep the worse of first-run/re-run spill: a re-timed win can
+      // legitimately spill less (warmer page cache), but the recorded
+      // footprint should reflect what the operator CAN do
+      val prev = spills.getOrElse(name, (0L, 0L))
+      spills(name) = (math.max(prev._1, d1 - d0), math.max(prev._2, m1 - m0))
       System.err.println(s"[bench] timed $name sec=${
         "%.1f".formatLocal(java.util.Locale.ROOT, sec)} ${memLine()}" +
+        (if (d1 - d0 > 0) s" spillDiskMB=${(d1 - d0) >> 20}" else "") +
         err.map(e => s" ERR=${e.take(80)}").getOrElse(""))
       (name, sec, err)
     }
-    val firstPass = selected.map { case (name, fn) => timeOnce(name, fn) }
+    val firstPass = selected.flatMap { case (name, fn) =>
+      scratchShortfall() match {
+        case Some(why) =>
+          System.err.println(s"[bench] SKIP $name — $why")
+          dynamicSkips(name) = why
+          None
+        case None => Some(timeOnce(name, fn))
+      }
+    }
     // De-noise (VERDICT r7 #5): this runs on a SHARED host where CPU
     // throttling can inflate a single query 2-30x non-uniformly (r7's
     // driver number carried a 32s minhash against a 2.9s 29-run median).
@@ -154,11 +215,17 @@ object Bench {
     val stamp = java.time.format.DateTimeFormatter.ISO_INSTANT
       .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val skippedJson = skipped.map { case (k, r) =>
+    val skippedJson = (skipped ++ dynamicSkips).map { case (k, r) =>
       "\"" + k + "\":\"" + r.replaceAll("[\\p{Cntrl}\\\\\"]", " ") + "\""
     }.mkString("{", ",", "}")
+    // per-query spill footprint (MB, disk+memory task-metric bytes),
+    // nonzero entries only — "fits the scratch" is measured, not hoped
+    val spillJson = spills.collect { case (k, (d, m)) if d > 0 || m > 0 =>
+      "\"" + k + "\":[" + (d >> 20) + "," + (m >> 20) + "]"
+    }.mkString("{", ",", "}")
+    val spillDiskTotalMb = spills.valuesIterator.map(_._1).sum >> 20
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"skipped":$skippedJson,"spill_mb":$spillJson,"spill_disk_total_mb":$spillDiskTotalMb,"sf":"$sfDir"}"""
     // BENCH_FULL.json = latest run; BENCH_FULL_HISTORY.jsonl accumulates
     // EVERY run (timestamped, append-only), so judge/builder reruns never
     // clobber the driver's record and per-query medians across runs are
@@ -189,7 +256,21 @@ object Bench {
       else omittedSec += v
     }
     val qs = picked.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_sec":${f3(warmupSec)},"queries":$qs,"other_sec":${f3(omittedSec)},"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_sec":${f3(warmupSec)},"queries":$qs,"other_sec":${f3(omittedSec)},"n_queries":${results.size},"n_errors":$nErr,"n_scratch_skips":${dynamicSkips.size},"spill_disk_total_mb":$spillDiskTotalMb,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
+  }
+
+  /** Scratch-floor probe: Some(reason) when the scratch volume's usable
+    * space is below the floor — the bench then degrades the next query
+    * to a recorded SKIP instead of letting its shuffle die ENOSPC and
+    * take the run's artifacts with it. Static so BenchDegradeSpec can
+    * pin both branches without filling a disk. */
+  def scratchShortfall(scratchDir: java.io.File, minFreeBytes: Long): Option[String] = {
+    val free = scratchDir.getUsableSpace
+    if (free < minFreeBytes)
+      Some(s"scratch ${scratchDir.getPath} free ${free >> 20} MB " +
+        s"below floor ${minFreeBytes >> 20} MB — skipped before ENOSPC " +
+        "(raise SPARK_GRAFT_MIN_FREE_GB=0 to force)")
+    else None
   }
 }
