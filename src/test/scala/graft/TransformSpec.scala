@@ -64,4 +64,17 @@ class TransformSpec extends SparkSpec {
     // reference (it never guesses US format).
     assert(ps(3).isEmpty)
   }
+
+  test("single-digit day/month parse like the reference's strptime (VERDICT r11 #6)") {
+    // strptime %d/%m/%Y, %b %d %Y and %Y-%m-%d all accept unpadded
+    // fields — "1/2/2020" is Feb 1st, "Mar 5 2020" parses, and so does
+    // "2020-1-2"; the old \d{2}/dd-strict spelling nulled all three.
+    val df = Seq("1/2/2020", "Mar 5 2020", "2020-1-2", "1/13/2020")
+      .toDF("d").select(Transform.parseDate($"d").as("p"))
+    val ps = df.collect().map(r => Option(r.getAs[java.sql.Date]("p")).map(_.toString))
+    assert(ps(0).contains("2020-02-01"))
+    assert(ps(1).contains("2020-03-05"))
+    assert(ps(2).contains("2020-01-02"))
+    assert(ps(3).isEmpty) // month 13 still invalid — leniency is padding-only
+  }
 }
