@@ -88,4 +88,57 @@ object CatalogStats {
     spark.catalog.refreshTable(tableName)
     stats
   }
+
+  /** [[publish]] plus an equi-height HISTOGRAM column statistic for
+    * `column`, derived from the [[HistStats]] per-file equi-depth
+    * sidecars (VERDICT r11 #5) — still metadata-only: no data pages are
+    * read beyond the sidecars' one-time per-file profile.
+    *
+    * Rows/NDV/min-max alone leave Spark's `FilterEstimation` on the
+    * uniform-span model: a long-tailed predicate like `v > hot_head`
+    * covers ~100% of the VALUE range while holding ~5% of the MASS, so
+    * the estimate misses by 20× and a broadcast-able filtered dim stays
+    * on the shuffle path. The merged piecewise-linear CDF already knows
+    * the real mass; its inverse read off at i/B quantiles IS Spark's
+    * equal-height `Histogram` (the exact shape ANALYZE … FOR COLUMNS
+    * computes with `spark.sql.statistics.histogram.enabled`, minus the
+    * full scan). Per-bin NDV is apportioned by value-range width (the
+    * sidecars don't carry per-range distincts); range estimates — the
+    * skew story — depend on the bin BOUNDS, which are exact at every
+    * file boundary. After this lands, a plain `spark.table` plan flips
+    * on real mass with no graft rule in the loop. */
+  def publishHistogram(spark: SparkSession, tableName: String,
+      tablePath: String, column: String, bins: Int = 32,
+      k: Int = 256): CatalogStatistics = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+    val base = publish(spark, tableName, tablePath, Seq(column), k)
+    val (xs, cum) = HistStats.mergedCdf(spark, tablePath, column)
+    val rowsD = cum.last
+    require(rowsD > 0, s"$tablePath.$column: empty CDF")
+    // piecewise-linear inverse of the merged CDF
+    def inv(target: Double): Double = {
+      if (target <= cum.head) return xs.head
+      if (target >= cum.last) return xs.last
+      var i = java.util.Arrays.binarySearch(cum, target)
+      if (i < 0) i = -i - 2
+      while (i + 1 < cum.length && cum(i + 1) <= target) i += 1
+      xs(i) + (xs(i + 1) - xs(i)) * (target - cum(i)) / (cum(i + 1) - cum(i))
+    }
+    val bounds = (0 to bins).map(i => inv(rowsD * i / bins)).toArray
+    val ndv = base.colStats(column).distinctCount
+      .map(_.toLong).getOrElse(bins.toLong)
+    val span = bounds.last - bounds.head
+    val histBins = (0 until bins).map { i =>
+      val (lo, hi) = (bounds(i), bounds(i + 1))
+      val w = if (span > 0) (hi - lo) / span else 1.0 / bins
+      HistogramBin(lo, hi, math.max(1L, math.round(ndv * w)))
+    }.toArray
+    val hist = Histogram(rowsD / bins, histBins)
+    val updated = base.copy(colStats = base.colStats +
+      (column -> base.colStats(column).copy(histogram = Some(hist))))
+    classic(spark).sessionState.catalog
+      .alterTableStats(TableIdentifier(tableName), Some(updated))
+    spark.catalog.refreshTable(tableName)
+    updated
+  }
 }
