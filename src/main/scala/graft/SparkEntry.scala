@@ -20,7 +20,8 @@ object SparkEntry {
       _root_.graft.queries.Tpch.defs ++
       _root_.graft.queries.LinkRank.defs ++
       _root_.graft.queries.Lake.defs ++
-      _root_.graft.queries.MatView.defs
+      _root_.graft.queries.MatView.defs ++
+      _root_.graft.queries.PipelineTick.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full reference pipeline (ingest→transform→validate→clean rows).

@@ -783,7 +783,7 @@ object TextOps {
     * list — quadratic only in the bucket length, sorted ids so i<j ⇒
     * doc_a < doc_b). Shared by dedup_near_minhash and er_golden_record —
     * the LINEAR-REGIME candidate generator both gates ride at scale. */
-  private[queries] def bandCandidates(mh: DataFrame): DataFrame = mh
+  private[graft] def bandCandidates(mh: DataFrame): DataFrame = mh
     .groupBy(col("band"), col("sig"))
     .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     .filter(size(col("ids")) >= 2)
@@ -1202,7 +1202,7 @@ object TextOps {
     * thresholded-DP levenshtein ≤ 12 over 40-char heads) — the match
     * rule shared by er_golden_record and er_incremental, applied ONLY
     * inside a (doc_a, doc_b) candidate frame. */
-  private def erVerify(spark: SparkSession, dir: String,
+  private[graft] def erVerify(spark: SparkSession, dir: String,
       cand: DataFrame): DataFrame = {
     val d = T.documents(spark, dir).select(col("doc_id"), col("lang"),
       substring(col("text"), 1, 40).as("head"), col("n_chars"))
