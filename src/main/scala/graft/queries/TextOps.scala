@@ -792,6 +792,54 @@ object TextOps {
     .select(col("p.doc_a"), col("p.doc_b"))
     .distinct()
 
+  /** Band buckets at or past the salting floor — the skew decision for
+    * [[bandCandidatesAuto]], driver-collected (bounded: at most
+    * |sigs|/hotMin keys can clear an absolute floor). One slim
+    * count-aggregate over the signature frame; the signature mirrors
+    * are disk-backed, so the extra scan is the same cheap re-read the
+    * containment index join already leans on. */
+  private[graft] def hotBandKeys(mh: DataFrame, hotMin: Long): Seq[String] =
+    mh.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= hotMin)
+      .select(concat_ws("#", col("band"), col("sig")).as("hk"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** [[bandCandidates]] with HOT-BUCKET FAN-OUT (VERDICT r11 #8): a
+    * band bucket whose posting list reaches `hotMin` would put its
+    * whole quadratic pair generation — and the collect_list holding the
+    * list — on ONE task; a boilerplate-heavy band key is the one place
+    * this corpus could develop that skew. Hot buckets route through a
+    * SALTED self-join instead: each side is replicated SaltFanOut ways
+    * on a deterministic doc-id salt, so every unordered pair meets in
+    * exactly one of SaltFanOut² partitions and per-task work drops to
+    * (m/s)². Cold buckets keep the bucket-collect path unchanged; with
+    * no hot bucket (this corpus's measured state) the candidate SET and
+    * the cold plan are identical to [[bandCandidates]] — SkewSaltSpec
+    * pins parity both ways and the flip on a constructed hot band. */
+  private[graft] def bandCandidatesAuto(mh: DataFrame,
+      hotMin: Long = 4096): DataFrame = {
+    val hot = hotBandKeys(mh, hotMin)
+    if (hot.isEmpty) bandCandidates(mh)
+    else {
+      val s = 8 // SaltFanOut: 64 partitions per hot bucket
+      val key = concat_ws("#", col("band"), col("sig"))
+      val coldPairs = bandCandidates(mh.filter(!key.isin(hot: _*)))
+      val h = mh.filter(key.isin(hot: _*))
+        .withColumn("p", pmod(col("doc_id"), lit(s)).cast("int"))
+      val lhs = h.select(col("band"), col("sig"), col("doc_id").as("doc_a"),
+          col("p").as("i"))
+        .withColumn("j", explode(lit((0 until s).toArray)))
+      val rhs = h.select(col("band"), col("sig"), col("doc_id").as("doc_b"),
+          col("p").as("j"))
+        .withColumn("i", explode(lit((0 until s).toArray)))
+      val hotPairs = lhs.join(rhs, Seq("band", "sig", "i", "j"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      coldPairs.unionByName(hotPairs).distinct()
+    }
+  }
+
   /** Fingerprint-memoized disk mirror of the 4-band MinHash signatures
     * (doc_id, band, sig) — the aggregate bandSigs computes, persisted
     * once so er_golden_record, dedup_near_minhash, and any future
@@ -867,7 +915,7 @@ object TextOps {
       .select(col("doc_id"), col("shingle_set"), col("ids"))
     // bucket-collect pair generation (see dedup_near_jaccard): one pass
     // over the signature table instead of a self-join evaluating it twice
-    val cand = bandCandidates(bandSigMirror(spark, dir))
+    val cand = bandCandidatesAuto(bandSigMirror(spark, dir))
     // slim pre-verify then output-sized full-array verify: at sf100 the
     // one-phase dictionary verify shipped ~900 B of arrays per candidate
     // and spilled past the memory envelope (12.6× wall per 3.33× data);
@@ -1226,7 +1274,7 @@ object TextOps {
     * by the thresholded-DP levenshtein — exposed for the plan spec,
     * which pins the band-signature aggregate as the edge source. */
   private[graft] def erEdges(spark: SparkSession, dir: String): DataFrame =
-    erVerify(spark, dir, bandCandidates(bandSigMirror(spark, dir)))
+    erVerify(spark, dir, bandCandidatesAuto(bandSigMirror(spark, dir)))
 
   // -------------------------------------------------------------------
   // dedup_stream_ingest — the STREAMING dedup-at-ingest tick
@@ -1398,7 +1446,7 @@ object TextOps {
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
-      val cand = bandCandidates(
+      val cand = bandCandidatesAuto(
         bandSigMirror(spark, dir).filter(col("doc_id") % 20 =!= 0))
       val edges = erVerify(spark, dir, cand)
       val labels = graft.ops.Graph.componentsSizeGated(edges)

@@ -102,7 +102,7 @@ object IngestTick {
     // components, rep = min member (singletons rep to themselves)
     val sigs0 = spark.read.parquet(s"$root/sigs/batch-0")
     val edges = graft.queries.TextOps.erVerify(spark, dir,
-      graft.queries.TextOps.bandCandidates(sigs0))
+      graft.queries.TextOps.bandCandidatesAuto(sigs0))
     val labels = graft.ops.Graph.componentsSizeGated(edges)
     spark.read.parquet(s"$root/docs/batch-0").select(col("doc_id"))
       .join(labels, col("doc_id") === col("id"), "left")
