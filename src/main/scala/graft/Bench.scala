@@ -130,11 +130,28 @@ object Bench {
       s"heapMB=$heap rssMB=$rss"
     }
     val dynamicSkips = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Retained-heap backstop for long multi-query suites: per-query
+    // transient localCheckpoint blocks are only unpersisted when the
+    // driver GC notices the dead RDD objects and the ASYNC
+    // ContextCleaner drains — in a 260-query sf100 warm pass the debt
+    // reached 25 GB of a 40 GB heap and the suite died OOM inside the
+    // 84th query. A full-GC nudge between queries (only past 40% heap
+    // use — cheap when idle) lets the cleaner reclaim dead blocks
+    // BEFORE the next query needs the room; it runs between queries,
+    // so timed numbers never include the pause.
+    def gcNudge(): Unit = {
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > rt.maxMemory * 2 / 5) {
+        System.gc()
+        Thread.sleep(200) // let the ContextCleaner drain its ref queue
+      }
+    }
     val w0 = System.nanoTime()
     selected.foreach { case (name, fn) =>
       val q0 = System.nanoTime()
       if (scratchShortfall().isEmpty) {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        gcNudge()
         System.err.println(s"[bench] warm $name sec=${
           "%.1f".formatLocal(java.util.Locale.ROOT,
             (System.nanoTime() - q0) / 1e9)} ${memLine()}")
@@ -158,6 +175,7 @@ object Bench {
             .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(300))
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      gcNudge() // reclaim the query's transient checkpoint blocks (untimed)
       val (d1, m1) = spillSnapshot()
       // keep the worse of first-run/re-run spill: a re-timed win can
       // legitimately spill less (warmer page cache), but the recorded
