@@ -715,23 +715,13 @@ object TextOps {
         "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    // Verify on the mirror's dictionary-encoded `ids` (a bijection of the
-    // shingle set — identical intersection sizes, see shingleMirror), with
-    // shuffle-hash hints: the candidate stream widened by per-doc arrays
-    // is exactly what a sort-merge join sorts twice; hashing the doc-side
-    // skips the sort. Measured at sf10 (6.3M candidates): 187 s SMJ over
-    // string arrays → 21 s hash join over int64 arrays, same output.
-    val sa = sh.select(col("doc_id").as("doc_a"), col("ids").as("sa"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("ids").as("sb"))
-    cand.join(sa.hint("shuffle_hash"), "doc_a")
-      .join(sb.hint("shuffle_hash"), "doc_b")
-      .filter(lit(5) * least(size(col("sa")), size(col("sb"))) >=
-        lit(4) * greatest(size(col("sa")), size(col("sb"))))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac", col("inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("inter")))
-      .filter(col("jac") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+    // Verify through the SAME slim two-phase helper as
+    // dedup_near_minhash (jaccardSlimVerify): the bounds phase ships
+    // only (size, theorem-prefix) per side — prefix-filtered candidates
+    // are ~25× fewer than band collisions, but at the fourth decade the
+    // one-phase array join is still the widest exchange in the plan,
+    // and the helper's pruning is exact-safe (bit-identical output).
+    jaccardSlimVerify(sh, cand)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
