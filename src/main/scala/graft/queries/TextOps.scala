@@ -869,10 +869,11 @@ object TextOps {
     * this corpus measures) die in phase 1; only near-threshold pairs reach
     * the full-array join, so the wide exchange is output-sized, not
     * candidate-sized. */
-  private[queries] def jaccardSlimVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val slim = sh.select(col("doc_id"), size(col("ids")).as("n"),
+  private[graft] def jaccardSlimSurvivors(slimIds: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val slim = slimIds.select(col("doc_id"), size(col("ids")).as("n"),
       expr("slice(ids, 1, size(ids) - (4 * size(ids) + 4) div 5 + 1)").as("pfx"))
-    val surv = cand
+    cand
       .join(slim.select(col("doc_id").as("doc_a"), col("n").as("na"),
         col("pfx").as("pfa")).hint("shuffle_hash"), "doc_a")
       .join(slim.select(col("doc_id").as("doc_b"), col("n").as("nb"),
@@ -887,6 +888,11 @@ object TextOps {
         col("nb") - array_position(col("pfb"), col("mx"))))
       .filter(col("ub") >= expr("(4 * (na + nb) + 8) div 9"))
       .select(col("doc_a"), col("doc_b"))
+  }
+
+  private[queries] def jaccardSlimVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val surv = jaccardSlimSurvivors(
+      sh.select(col("doc_id"), col("ids")), cand)
     val sa = sh.select(col("doc_id").as("doc_a"), col("ids").as("sa"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("ids").as("sb"))
     surv.join(sa.hint("shuffle_hash"), "doc_a")

@@ -108,9 +108,23 @@ object DedupStream {
     val sets = shingled(docs)
       .select(col("doc_id"), col("shingle_set"))
       .unionByName(corpusSets.select(col("doc_id"), col("shingle_set")))
+    // Slim bounds phase BEFORE any whole set moves (the r12 verify
+    // design rule — at sf100 the one-phase string-set join shipped
+    // ~3.4 KB per candidate and was this path's spill wall): candidate
+    // pruning over xxhash64-sorted encodings (no corpus dictionary in a
+    // streaming context; hash collisions can only RELAX the bounds —
+    // never a false prune — and the survivors' final verify below runs
+    // on the true string sets, so the output is collision-immune).
+    // (bounds are derived for t = 0.8 — any other threshold skips the
+    // pruning phase rather than risking a wrong prune)
+    val surv = if (jaccard != 0.8) cand else {
+      val enc = sets.select(col("doc_id"),
+        array_sort(expr("transform(shingle_set, s -> xxhash64(s))")).as("ids"))
+      graft.queries.TextOps.jaccardSlimSurvivors(enc, cand)
+    }
     val sa = sets.select(col("doc_id").as("doc_a"), col("shingle_set").as("xa"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("shingle_set").as("xb"))
-    val verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    val verified = surv.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
       .filter(col("inter") > 0)
       .withColumn("jac", col("inter").cast("double") /
