@@ -33,6 +33,7 @@ object Bench {
     // bytes would have named it in one read.
     val spillDiskAcc = new java.util.concurrent.atomic.AtomicLong
     val spillMemAcc = new java.util.concurrent.atomic.AtomicLong
+    val inputAcc = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -40,27 +41,42 @@ object Bench {
         if (m != null) {
           spillDiskAcc.addAndGet(m.diskBytesSpilled)
           spillMemAcc.addAndGet(m.memoryBytesSpilled)
+          inputAcc.addAndGet(m.inputMetrics.bytesRead)
           ()
         }
       }
     })
-    def spillSnapshot(): (Long, Long) = {
+    def spillSnapshot(): (Long, Long, Long) = {
       org.apache.spark.graftshim.GraftCoreShim
         .flushListenerBus(spark.sparkContext, 10000)
-      (spillDiskAcc.get(), spillMemAcc.get())
+      (spillDiskAcc.get(), spillMemAcc.get(), inputAcc.get())
     }
     // --- scratch-floor degradation (VERDICT r11 #3): a query whose
     // shuffle would exhaust the scratch volume must degrade to a
     // skip-with-reason like the row ceilings do, not die ENOSPC and
     // take the run's artifacts with it (text_containment at sf100 did
     // exactly that three times in r11). Checked before every warm/timed
-    // query; floor configurable, 2 GiB default.
-    val scratchDir = new java.io.File(spark.sparkContext.getConf
-      .getOption("spark.local.dir").map(_.split(",")(0))
-      .getOrElse(sys.props("java.io.tmpdir")))
-    val minFreeBytes = (sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "2")
-      .toDouble * (1L << 30)).toLong
-    def scratchShortfall(): Option[String] = Bench.scratchShortfall(scratchDir, minFreeBytes)
+    // query AND at the top of every one-time mirror build (r12: the
+    // join_bucketed sf100 mirror died mid-write INSIDE the query body —
+    // graft.ops.Scratch.guardBuild now throws a typed exception there,
+    // recorded below as a skip). Probes EVERY configured local dir
+    // (ADVICE r12), floor configurable, 2 GiB default, malformed env
+    // falls back to the default.
+    val scratchDirs = graft.ops.Scratch.localDirs(Some(spark))
+    val minFreeBytes = graft.ops.Scratch.floorBytes
+    def scratchShortfall(): Option[String] =
+      graft.ops.Scratch.shortfall(scratchDirs, minFreeBytes)
+    // --- dead-artifact GC (VERDICT r12 "finish the decade" #3): orphaned
+    // fingerprint-keyed mirrors are unreachable forever but eat the
+    // scratch volume the floor is protecting — sweep them BEFORE the warm
+    // pass so a long sweep starts with a computed disk budget, not last
+    // round's garbage. SPARK_GRAFT_JANITOR=0 disables.
+    if (!sys.env.get("SPARK_GRAFT_JANITOR").contains("0")) {
+      val keep = (graft.tools.Janitor.defaultKeepDirs :+ sfDir).distinct
+      val (reclaimed, gone) = graft.tools.Janitor.sweep(keep)
+      if (gone.nonEmpty) System.err.println(
+        s"[bench] janitor reclaimed ${reclaimed >> 20} MB in ${gone.size} dead artifact dirs")
+    }
     // Steady-state warmup: pay one-time session costs (codegen/JIT spin-up,
     // parquet reader init, first-job scheduling) before any query is timed,
     // so the first map entry isn't charged ~5s of setup.
@@ -150,7 +166,14 @@ object Bench {
     selected.foreach { case (name, fn) =>
       val q0 = System.nanoTime()
       if (scratchShortfall().isEmpty) {
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count() catch {
+          case e: graft.ops.Scratch.ScratchFloorException =>
+            // a refused mirror build is a recorded condition even in the
+            // warm pass — the timed pass will skip-with-reason, but the
+            // operator reading stderr should see WHICH build was refused
+            System.err.println(s"[bench] warm $name mirror-build refused: ${e.getMessage}")
+          case _: Throwable => ()
+        }
         gcNudge()
         System.err.println(s"[bench] warm $name sec=${
           "%.1f".formatLocal(java.util.Locale.ROOT,
@@ -159,29 +182,42 @@ object Bench {
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     val spills = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val inputBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Option[String]) = {
-      val (d0, m0) = spillSnapshot()
+      val (d0, m0, i0) = spillSnapshot()
       val t0 = System.nanoTime()
+      var floorSkip: Option[String] = None
       val err =
         try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          // an ENOSPC leaves the failed job's shuffle files behind —
-          // nudge the ContextCleaner so the next query starts with
-          // whatever scratch can be reclaimed
-          if (Option(e.toString).exists(_.contains("No space left")))
-            System.gc()
-          Some(Option(e.toString).getOrElse("error")
-            .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(300))
+        catch {
+          case e: graft.ops.Scratch.ScratchFloorException =>
+            // a refused one-time mirror build degrades to the same
+            // recorded skip the pre-query probe produces (VERDICT r12 #5)
+            floorSkip = Some(e.getMessage); None
+          case e: Throwable =>
+            // an ENOSPC leaves the failed job's shuffle files behind —
+            // nudge the ContextCleaner so the next query starts with
+            // whatever scratch can be reclaimed
+            if (Option(e.toString).exists(_.contains("No space left")))
+              System.gc()
+            Some(Option(e.toString).getOrElse("error")
+              .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(300))
         }
       val sec = (System.nanoTime() - t0) / 1e9
       gcNudge() // reclaim the query's transient checkpoint blocks (untimed)
-      val (d1, m1) = spillSnapshot()
+      val (d1, m1, i1) = spillSnapshot()
+      floorSkip.foreach { why =>
+        System.err.println(s"[bench] SKIP $name — $why")
+        dynamicSkips(name) = why
+      }
+      if (floorSkip.nonEmpty) return (name, sec, floorSkip)
       // keep the worse of first-run/re-run spill: a re-timed win can
       // legitimately spill less (warmer page cache), but the recorded
       // footprint should reflect what the operator CAN do
       val prev = spills.getOrElse(name, (0L, 0L))
       spills(name) = (math.max(prev._1, d1 - d0), math.max(prev._2, m1 - m0))
+      inputBytes(name) = math.max(inputBytes.getOrElse(name, 0L), i1 - i0)
       System.err.println(s"[bench] timed $name sec=${
         "%.1f".formatLocal(java.util.Locale.ROOT, sec)} ${memLine()}" +
         (if (d1 - d0 > 0) s" spillDiskMB=${(d1 - d0) >> 20}" else "") +
@@ -194,7 +230,9 @@ object Bench {
           System.err.println(s"[bench] SKIP $name — $why")
           dynamicSkips(name) = why
           None
-        case None => Some(timeOnce(name, fn))
+        case None =>
+          val r = timeOnce(name, fn)
+          if (dynamicSkips.contains(name)) None else Some(r)
       }
     }
     // De-noise (VERDICT r7 #5): this runs on a SHARED host where CPU
@@ -213,7 +251,10 @@ object Bench {
       if (err.isEmpty && t > math.max(3 * med, 1.0)) {
         val again = timeOnce(name, SparkEntry.queries(name))
         retimed += name
-        if (again._3.isEmpty && again._2 < t) again else r
+        // a retime that hit the scratch floor keeps the first timing
+        // (the query DID run — the floor only refused the re-run)
+        if (dynamicSkips.remove(name).isDefined) r
+        else if (again._3.isEmpty && again._2 < t) again else r
       } else r
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -242,8 +283,31 @@ object Bench {
       "\"" + k + "\":[" + (d >> 20) + "," + (m >> 20) + "]"
     }.mkString("{", ",", "}")
     val spillDiskTotalMb = spills.valuesIterator.map(_._1).sum >> 20
+    // spill-vs-input flag (VERDICT r12 #8): a query whose disk spill
+    // exceeds ~2x its own input bytes is re-materializing more than it
+    // reads — the "exchange wider than its input" smell that named the
+    // r11 near-dup wall. Flag it in the artifact so a scale sweep's
+    // walls are read off one list, not diagnosed from wall-clock ratios.
+    val spillFlagged = Bench.spillFlagged(
+      spills.map { case (k, (d, _)) => k -> d }.toMap, inputBytes.toMap)
+    val spillFlaggedJson = spillFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    spillFlagged.foreach(q => System.err.println(
+      s"[bench] SPILL-FLAG $q — disk spill ${(spills(q)._1) >> 20} MB > " +
+        s"2x input ${(inputBytes.getOrElse(q, 0L)) >> 20} MB"))
+    // per-artifact-root bytes: makes the NEXT sweep's disk budget a
+    // computed number (VERDICT r12 #5 — "emit mirror byte sizes")
+    val artifactMbJson = {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft-"))
+        .map(f => "\"" + f.getName + "\":" + (du(f) >> 20))
+        .sorted.mkString("{", ",", "}")
+    }
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"skipped":$skippedJson,"spill_mb":$spillJson,"spill_disk_total_mb":$spillDiskTotalMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"skipped":$skippedJson,"spill_mb":$spillJson,"spill_disk_total_mb":$spillDiskTotalMb,"spill_flagged":$spillFlaggedJson,"artifact_mb":$artifactMbJson,"sf":"$sfDir"}"""
     // BENCH_FULL.json = latest run; BENCH_FULL_HISTORY.jsonl accumulates
     // EVERY run (timestamped, append-only), so judge/builder reruns never
     // clobber the driver's record and per-query medians across runs are
@@ -281,14 +345,19 @@ object Bench {
   /** Scratch-floor probe: Some(reason) when the scratch volume's usable
     * space is below the floor — the bench then degrades the next query
     * to a recorded SKIP instead of letting its shuffle die ENOSPC and
-    * take the run's artifacts with it. Static so BenchDegradeSpec can
-    * pin both branches without filling a disk. */
-  def scratchShortfall(scratchDir: java.io.File, minFreeBytes: Long): Option[String] = {
-    val free = scratchDir.getUsableSpace
-    if (free < minFreeBytes)
-      Some(s"scratch ${scratchDir.getPath} free ${free >> 20} MB " +
-        s"below floor ${minFreeBytes >> 20} MB — skipped before ENOSPC " +
-        "(raise SPARK_GRAFT_MIN_FREE_GB=0 to force)")
-    else None
-  }
+    * take the run's artifacts with it. Delegates to the shared
+    * [[graft.ops.Scratch]] probe (which also guards mirror builds);
+    * static so BenchDegradeSpec can pin both branches without filling
+    * a disk. */
+  def scratchShortfall(scratchDir: java.io.File, minFreeBytes: Long): Option[String] =
+    graft.ops.Scratch.shortfall(Seq(scratchDir), minFreeBytes)
+
+  /** Queries whose recorded disk spill exceeds 2x their input bytes
+    * (and a 256 MB noise floor) — the exchange-wider-than-input smell.
+    * Pure maps-in, names-out so BenchSpec pins the rule. */
+  def spillFlagged(spillDisk: Map[String, Long],
+      input: Map[String, Long]): Seq[String] =
+    spillDisk.collect { case (q, d)
+      if d > (256L << 20) && d > 2 * input.getOrElse(q, 0L) => q
+    }.toSeq.sorted
 }

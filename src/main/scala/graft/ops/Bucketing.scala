@@ -101,6 +101,7 @@ object Bucketing {
             s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
             s"LOCATION '$path'")
       } else {
+        Scratch.guardBuild(spark, t) // refuse, don't die ENOSPC mid-write (r12)
         build
           .repartition(buckets, org.apache.spark.sql.functions.col(key))
           .write.mode("overwrite")

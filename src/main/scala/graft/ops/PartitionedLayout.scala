@@ -45,6 +45,7 @@ object PartitionedLayout {
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
+      Scratch.guardBuild(spark, dirTag) // refuse, don't die ENOSPC mid-write
       build.write.mode("overwrite").partitionBy(key).parquet(path)
     }
     path

@@ -27,4 +27,35 @@ class BenchDegradeSpec extends AnyFunSuite {
     // a real small floor on a live volume must also pass
     assert(Bench.scratchShortfall(tmp, 1L).isEmpty)
   }
+
+  test("multi-dir probe: the FULLEST configured dir decides (ADVICE r12)") {
+    // one healthy dir + one below-floor dir → shortfall, naming the bad one
+    val r = graft.ops.Scratch.shortfall(Seq(tmp, tmp), Long.MaxValue)
+    assert(r.isDefined)
+    assert(graft.ops.Scratch.shortfall(Seq(tmp), 0L).isEmpty)
+    // the override hint says SET (=0 lowers the floor), not RAISE
+    assert(r.get.contains("set SPARK_GRAFT_MIN_FREE_GB=0"))
+  }
+
+  test("floorBytes: malformed env falls back to the 2 GiB default") {
+    // the env var isn't set in the test JVM — the default branch is the
+    // Try fallback's output; a malformed value takes the same path
+    assert(graft.ops.Scratch.floorBytes == (2L << 30) ||
+      sys.env.contains("SPARK_GRAFT_MIN_FREE_GB"))
+  }
+
+  test("spillFlagged: >2x input AND >256MB noise floor, sorted") {
+    val gb = 1L << 30
+    val flagged = Bench.spillFlagged(
+      Map("wide" -> 5 * gb, "ok" -> gb, "tiny" -> (100L << 20), "noinput" -> gb),
+      Map("wide" -> gb, "ok" -> gb, "tiny" -> 1L))
+    // wide: 5x input → flagged; ok: 1x → not; tiny: 100MB < floor → not;
+    // noinput: no recorded input, 1GB spill → flagged
+    assert(flagged == Seq("noinput", "wide"))
+  }
+
+  test("a refused mirror build carries the artifact name in the typed exception") {
+    val e = new graft.ops.Scratch.ScratchFloorException("mirror build X refused: why")
+    assert(e.getMessage.contains("X"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dead-fingerprint GC (round 12's sf100 completion leg died with
+  * ~56 GB of unreachable mirrors on the scratch volume). The sweep's
+  * contract: an artifact child whose name embeds fingerprint tokens of
+  * which NONE matches a live source fingerprint is deleted; a child
+  * with a matching token, or with NO fingerprint-shaped token at all,
+  * is never touched; source-data roots are never scanned. */
+class JanitorSpec extends AnyFunSuite {
+
+  private def mkTmp(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("janitorspec").toFile
+    d.deleteOnExit(); d
+  }
+
+  private def write(dir: java.io.File, name: String, bytes: Int): java.io.File = {
+    val f = new java.io.File(dir, name)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, Array.fill[Byte](bytes)(7))
+    f
+  }
+
+  test("sweep deletes only dead-fingerprint children; no-token and live survive") {
+    val tmp = mkTmp()
+    // a fake source dir with one table of 2 files
+    val src = new java.io.File(tmp, "sfX"); src.mkdirs()
+    val tbl = new java.io.File(src, "orders.parquet"); tbl.mkdirs()
+    write(tbl, "part-0", 100); write(tbl, "_SUCCESS", 0)
+    val files = tbl.listFiles().filter(_.isFile)
+    val liveFp = s"${files.length}-${files.map(_.lastModified).max}-${files.map(_.length).sum}"
+    // artifact root with three children
+    val root = new java.io.File(tmp, "graft-mirrors"); root.mkdirs()
+    val liveChild = new java.io.File(root, s"mirror_a_$liveFp"); liveChild.mkdirs()
+    write(liveChild, "data", 10)
+    val deadChild = new java.io.File(root, "mirror_b_9-1786853280213-2892271724")
+    deadChild.mkdirs(); write(deadChild, "data", 10)
+    val noTokChild = new java.io.File(root, "state_no_fingerprint"); noTokChild.mkdirs()
+    write(noTokChild, "data", 10)
+    // a source-data root must never be scanned even with token-shaped names
+    val srcRoot = new java.io.File(tmp, "graft-sf100"); srcRoot.mkdirs()
+    val srcChild = new java.io.File(srcRoot, "x_1-178685326000-99"); srcChild.mkdirs()
+    write(srcChild, "data", 10)
+
+    val (reclaimed, gone) = graft.tools.Janitor.sweep(
+      Seq(src.getPath), dryRun = false, tmpDir = tmp.getPath)
+    assert(gone == Seq("graft-mirrors/mirror_b_9-1786853280213-2892271724"))
+    assert(reclaimed == 10L)
+    assert(liveChild.exists && noTokChild.exists && srcChild.exists)
+    assert(!deadChild.exists)
+  }
+
+  test("dry run reports without deleting; underscore-sanitized tokens match") {
+    val tmp = mkTmp()
+    val src = new java.io.File(tmp, "sfY"); src.mkdirs()
+    val tbl = new java.io.File(src, "lineitem.parquet"); tbl.mkdirs()
+    write(tbl, "part-0", 55)
+    val files = tbl.listFiles().filter(_.isFile)
+    val fpU = s"${files.length}_${files.map(_.lastModified).max}_${files.map(_.length).sum}"
+    val root = new java.io.File(tmp, "graft-buckets"); root.mkdirs()
+    val live = new java.io.File(root, s"lineitem_bkt8_$fpU"); live.mkdirs()
+    val dead = new java.io.File(root, "lineitem_bkt8_1_1786853280000_1"); dead.mkdirs()
+    write(dead, "d", 3)
+    val (reclaimable, gone) = graft.tools.Janitor.sweep(
+      Seq(src.getPath), dryRun = true, tmpDir = tmp.getPath)
+    assert(gone.size == 1 && reclaimable == 3L)
+    assert(dead.exists && live.exists) // dry run touched nothing
+  }
+}
