@@ -166,11 +166,17 @@ object Similarity {
     * lifecycle: train once per corpus build, serve from the index
     * forever. A regenerated corpus changes the fingerprint and
     * retrains. */
+  // memos hold the materialized PATH, never a localCheckpoint'ed frame
+  // (VERDICT r12 #9): a checkpointed-DataFrame memo pins executor blocks
+  // and the session for the JVM lifetime and is unrecoverable on
+  // executor loss (checkpoint blocks have no lineage). A parquet re-read
+  // of k centroid/codebook rows is scan-trivial and recomputable on any
+  // executor — the trained-index gates join the resilience battery.
   private val centMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), String]()
 
   private def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
-    centMemo.computeIfAbsent((spark, dir), _ => {
+    spark.read.parquet(centMemo.computeIfAbsent((spark, dir), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"ivf_cent_${IvfK}x${IvfIters}_${dir}_$fp"
@@ -184,10 +190,8 @@ object Similarity {
           e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters)
           .write.mode("overwrite").parquet(path)
       }
-      // k rows — eager-materialize once so every downstream broadcast
-      // reuses the same tiny frame instead of re-reading the sidecar
-      spark.read.parquet(path).localCheckpoint(true)
-    })
+      path
+    }))
 
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
@@ -232,10 +236,30 @@ object Similarity {
     * k-NN join trains at C = ⌈√N⌉ via a scalar subquery) as well as a
     * pinned literal. */
   private def ivfTrainingCtes(k: String, iters: Int, corpus: String = "n",
-      initCorpus: String = null): String = {
+      initCorpus: String = null, stridedSeed: Boolean = false): String = {
     val ic = Option(initCorpus).getOrElse(corpus)
     val sb = new StringBuilder
-    sb.append(
+    // Seed rule. Pinned-k gates keep the k lowest ids (k ≤ the corpus's
+    // duplicate-free id window). Data-derived k uses a STRIDED seed —
+    // ids ≡ 0 (mod ⌊N/k⌋) — because at C = ⌈√N⌉ the lowest-id window is
+    // pathological on replica-structured corpora: ScaleGen's rotation
+    // replicas make ids 0..C near-copies of ~C/n_replica base vectors,
+    // duplicate seeds collapse to duplicate centroids (Lloyd can never
+    // separate them: identical cells tie-break identically every round),
+    // and the effective cell count craters — measured at sf30: 192
+    // cells where C = 775, inflating the k-NN candidate volume
+    // Σ|cell|² by 4× (and ~16× at sf100 — THE superlinear wall VERDICT
+    // r12 #1 attributed to exchange payload). Strided ids sample the
+    // whole id range: ~k distinct base vectors, cells ≈ k, candidates
+    // back on the N²/C contract. The oracle replays the same stride
+    // from the same counts, so the changed quantizer is still
+    // hash-proven end-to-end.
+    if (stridedSeed) sb.append(
+      s""", kk AS (SELECT CAST(($k) AS BIGINT) AS k)
+         |, seedw AS (SELECT k, GREATEST(1, (SELECT COUNT(*) FROM $ic) // k) AS s FROM kk)
+         |, cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM $ic, seedw
+         |            WHERE vec_id % s = 0 AND vec_id < s * k)""".stripMargin)
+    else sb.append(
       s", cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM $ic WHERE vec_id < $k)")
     for (t <- 1 to iters) {
       val prev = s"cent${t - 1}"
@@ -281,8 +305,8 @@ object Similarity {
     * (pinned IvfK for the probe gates, ⌈√N⌉ for the k-NN join). */
   private def ivfSearchSql(probePred: String,
       kExpr: String = IvfK.toString, trainCorpus: String = "n",
-      preCtes: String = ""): String =
-    ivfSearchCtes(probePred, kExpr, trainCorpus, preCtes) +
+      preCtes: String = "", stridedSeed: Boolean = false): String =
+    ivfSearchCtes(probePred, kExpr, trainCorpus, preCtes, stridedSeed) +
       """
       |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank FROM (
       |  SELECT *, ROW_NUMBER() OVER (
@@ -295,9 +319,10 @@ object Similarity {
     * (the k-NN-graph dedup oracle) can keep building CTEs on top. */
   private def ivfSearchCtes(probePred: String,
       kExpr: String = IvfK.toString, trainCorpus: String = "n",
-      preCtes: String = ""): String =
+      preCtes: String = "", stridedSeed: Boolean = false): String =
     normCte + preCtes +
-      ivfTrainingCtes(kExpr, IvfIters, trainCorpus, initCorpus = "n") +
+      ivfTrainingCtes(kExpr, IvfIters, trainCorpus, initCorpus = "n",
+        stridedSeed = stridedSeed) +
       s"""
       |, scored AS (
       |  SELECT n.vec_id, n.v, n.nrm, cent_id,
@@ -337,7 +362,7 @@ object Similarity {
   // is hash-proven. Probe set 20-29 keeps this gate's answers
   // independent of ann_ivf_topk (0-9) and ann_ivf_bucketed (10-19).
   private def sampledCentroids(spark: SparkSession, dir: String): DataFrame =
-    centMemo.computeIfAbsent((spark, s"$dir#sampled"), _ => {
+    spark.read.parquet(centMemo.computeIfAbsent((spark, s"$dir#sampled"), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"ivf_cent_samp_${IvfK}x${IvfIters}_${dir}_$fp"
@@ -354,8 +379,8 @@ object Similarity {
           init = Some(e.filter(col("vec_id") < IvfK)))
           .write.mode("overwrite").parquet(path)
       }
-      spark.read.parquet(path).localCheckpoint(true)
-    })
+      path
+    }))
 
   private def annIvfSampled(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
@@ -487,12 +512,21 @@ object Similarity {
 
   /** C = ⌈√N⌉ for the k-NN join's coarse quantizer — one count per
     * (session, corpus), memoized. The Spark-side twin of [[SqrtKExpr]]. */
+  private val vecCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+
+  /** |corpus| — one count per (session, corpus), memoized; feeds both
+    * C = ⌈√N⌉ and the strided-seed stride ⌊N/C⌋. */
+  private def vecCount(spark: SparkSession, dir: String): Long =
+    vecCountMemo.computeIfAbsent((spark, dir), _ =>
+      vecs(spark, dir).count())
+
   private val scaledCMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Integer]()
 
   private def scaledCellCount(spark: SparkSession, dir: String): Int =
     scaledCMemo.computeIfAbsent((spark, dir), _ =>
-      math.ceil(math.sqrt(vecs(spark, dir).count().toDouble)).toInt)
+      math.ceil(math.sqrt(vecCount(spark, dir).toDouble)).toInt)
 
   /** Quantizer trained at C = ⌈√N⌉ — same deterministic Lloyd loop and
     * fingerprint-keyed sidecar lifecycle as [[trainedCentroids]], keyed
@@ -506,14 +540,16 @@ object Similarity {
     * search) is unchanged — only the Lloyd rounds ride the sample, and
     * the oracle replays sampling + training + search identically. */
   private val centScaledMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), String]()
 
   private def trainedCentroidsScaled(spark: SparkSession, dir: String): DataFrame =
-    centScaledMemo.computeIfAbsent((spark, dir), _ => {
+    spark.read.parquet(centScaledMemo.computeIfAbsent((spark, dir), _ => {
       val c = scaledCellCount(spark, dir)
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
-      val tag = s"ivf_cent_samp_${c}x${IvfIters}_${dir}_$fp"
+      // "st" = strided-seed quantizer generation — a NEW tag so a
+      // sidecar trained under the old lowest-C-ids seed is never served
+      val tag = s"ivf_cent_sampst_${c}x${IvfIters}_${dir}_$fp"
         .replaceAll("[^A-Za-z0-9._-]", "_")
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -522,13 +558,21 @@ object Similarity {
         val e = vecs(spark, dir)
         val samp = e.filter(
           substring(md5(col("vec_id").cast("string")), 1, 2) < "40")
+        // STRIDED seed — ids ≡ 0 (mod ⌊N/C⌋): C near-distinct base
+        // vectors across the whole id range. The lowest-C-ids window is
+        // pathological at data-derived C on replica-structured corpora
+        // (duplicate seeds → duplicate centroids → cell collapse:
+        // sf30 measured 192 live cells of C=775, 4× the contract's
+        // candidate volume). The oracle replays the same stride.
+        val s = math.max(1L, vecCount(spark, dir) / c)
         graft.ops.KMeans.train(
           samp.select(col("vec_id"), col("v"), col("nrm")), c, IvfIters,
-          init = Some(e.filter(col("vec_id") < c)))
+          init = Some(e.filter(
+            col("vec_id") % s === 0 && col("vec_id") < s * c)))
           .write.mode("overwrite").parquet(path)
       }
-      spark.read.parquet(path).localCheckpoint(true)
-    })
+      path
+    }))
 
   /** The k-NN join's ranked frame (shared with the k-NN-graph semantic
     * dedup, which consumes its edges instead of its ranking). Cell
@@ -548,30 +592,90 @@ object Similarity {
   private[graft] def knnFrameForProbe(spark: SparkSession, dir: String): DataFrame =
     knnFrame(spark, dir)
 
-  private def knnFrame(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+
+  /** Bucket count for the k-NN serving tables: ~50k vectors per bucket
+    * so the ZERO-EXCHANGE bucketed join still runs wide at scale
+    * (bucket count = join task count), pow2 for stable re-derivation,
+    * floor 8, cap 512. Derived from the same memoized corpus count as
+    * C = ⌈√N⌉ (N ≈ C²) — no extra count job. */
+  private def knnBuckets(spark: SparkSession, dir: String): Int = {
+    val c = scaledCellCount(spark, dir).toLong
+    var b = 8
+    while (b < c * c / 50000 && b < 512) b <<= 1
+    b
+  }
+
+  /** The k-NN join's serving layout — TWO co-bucketed catalog tables
+    * built once per corpus fingerprint: the corpus bucketed on its
+    * `cell` and the probe set (every vector exploded to its top-2 probe
+    * cells) bucketed on `qcell`, SAME bucket count. This is the round-12
+    * verify design rule taken to its limit for vectors: instead of
+    * slimming the ~520 B/row payload the candidate join ships through
+    * the cell-key exchange (VERDICT r12 #1 measured it at 11.7×/decade;
+    * geometric/ADC bounds cannot prune rotation-decorrelated embeddings
+    * — see SCALE.md round 13), the query-time exchange is REMOVED:
+    * both join inputs are read already living on their join key, so no
+    * vector byte crosses a shuffle at query time. The one-time bucketing
+    * shuffle is paid at index build — exactly where a deployed IVF
+    * index pays its layout cost — and every knn/semantic-dedup query
+    * reads co-located buckets (1 file per bucket, never the
+    * tasks×cells small-file fan the old dir-partitioned mirror paid).
+    *
+    * The assignment itself is computed SLIM: score rows carry only
+    * (vec_id, cent_id, ccos) into the top-2-per-vector window — the
+    * row_number≤k spelling the WindowTopKRewrite turns into the bounded
+    * partial heap — and the vectors join back once at the end. The old
+    * collect_list-of-all-C-structs aggregate buffered C·16 B per vector
+    * in the partial hash map (≈1.4 GB per task at sf100 — the measured
+    * 23-minute warm spill of r12). */
+  private def knnServingTables(spark: SparkSession, dir: String)
+      : (String, String) = {
     val c = scaledCellCount(spark, dir)
-    val cent = trainedCentroidsScaled(spark, dir)
-      .select(col("cent_id"), col("cv").as("qv"), col("cn"))
-    val mirror = graft.ops.PartitionedLayout.ensureDerived(
-      spark, s"$dir/embeddings.parquet", s"emb_ivfs${c}x${IvfIters}p2_$dir",
-      "cell") {
+    val b = knnBuckets(spark, dir)
+    val fp = graft.ops.IncrementalDedup
+      .sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    def nm(base: String) = // "st" = strided-seed quantizer generation
+      s"${base}_st_${c}x${IvfIters}_b${b}_${dir}_$fp".replaceAll("[^A-Za-z0-9_]", "_")
+    val corpusT = graft.ops.Bucketing.ensureTable(spark, nm("knn_corpus"),
+        "cell", b) {
+      val e = vecs(spark, dir)
+      val cent = trainedCentroidsScaled(spark, dir)
+        .select(col("cent_id"), col("cv").as("qv"), col("cn"))
       val scored = e.crossJoin(broadcast(cent))
-        .withColumn("ccos", expr(dotVQ) / (col("nrm") * col("cn")))
-      scored.groupBy(col("vec_id"))
-        .agg(slice(sort_array(collect_list(
-          struct(col("ccos"), (-col("cent_id")).as("nc"))), asc = false),
-          1, 2).as("cs"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          (-col("cs")(0)("nc")).cast("int").as("cell"),
-          (-element_at(col("cs"), 2)("nc")).cast("int").as("cell2"))
+        .select(col("vec_id"), col("cent_id"),
+          (expr(dotVQ) / (col("nrm") * col("cn"))).as("ccos"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val top2 = scored.withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") <= 2)
+      val cells = top2.groupBy(col("vec_id")).agg(
+        max(when(col("rk") === 1, col("cent_id"))).cast("int").as("cell"),
+        max(when(col("rk") === 2, col("cent_id"))).cast("int").as("cell2"))
+      e.join(cells, "vec_id")
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("cell2"))
     }
-    val corpus = spark.read.parquet(mirror)
-    val probes = corpus.select(col("vec_id").as("query_id"),
-        col("v").as("qv"), col("nrm").as("qn"),
-        explode(array(col("cell").cast("int"), col("cell2"))).as("qcell"))
-      .filter(col("qcell").isNotNull) // C=1 corpus: no second probe cell
+    val probeT = graft.ops.Bucketing.ensureTable(spark, nm("knn_probes"),
+        "qcell", b) {
+      spark.table(corpusT).select(col("vec_id").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qn"),
+          explode(array(col("cell"), col("cell2"))).as("qcell"))
+        .filter(col("qcell").isNotNull) // C=1 corpus: no second probe cell
+    }
+    (corpusT, probeT)
+  }
+
+  /** tools.KnnStageProbe's layout handle — not query surface. */
+  private[graft] def knnServingTablesForProbe(spark: SparkSession,
+      dir: String): (String, String) = knnServingTables(spark, dir)
+
+  private def knnFrame(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusT, probeT) = knnServingTables(spark, dir)
+    val corpus = spark.table(corpusT)
+    val probes = spark.table(probeT)
+    // bucketed-on-the-key scans both sides: the shuffle_hash join plans
+    // with NO exchange under it (PlanSpec pins it) — the candidate
+    // enumeration and the per-candidate exact cosine are the O(N^1.5)
+    // contract cost, and they run where the data already sits
     val cand = corpus.hint("shuffle_hash").join(probes,
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
@@ -588,7 +692,7 @@ object Similarity {
   // every vector is a probe: the shared search SQL with a TRUE pred,
   // trained at the same derived C = ⌈√N⌉ the Spark plan uses
   private val annKnnJoinSql = ivfSearchSql("TRUE", SqrtKExpr,
-    trainCorpus = "samp", preCtes = sampCte)
+    trainCorpus = "samp", preCtes = sampCte, stridedSeed = true)
 
   // -------------------------------------------------------------------
   // dedup_semantic_knn — semantic deduplication in the LINEAR regime:
@@ -635,7 +739,8 @@ object Similarity {
 
   private val dedupSemanticKnnSql =
     ("WITH RECURSIVE" + ivfSearchCtes("TRUE", SqrtKExpr,
-      trainCorpus = "samp", preCtes = sampCte).stripPrefix("WITH")) +
+      trainCorpus = "samp", preCtes = sampCte, stridedSeed = true)
+      .stripPrefix("WITH")) +
       """
       |, knn AS (
       |  SELECT query_id, neighbor_id, cosine FROM (
@@ -680,13 +785,13 @@ object Similarity {
   // answer vs. an oracle that saw the whole corpus through the same
   // frozen index.
   private val centIncMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), String]()
 
   /** Quantizer trained on the BASE corpus only (vec_id % 10 != 3),
     * frozen thereafter — same fingerprint-keyed sidecar lifecycle as
     * [[trainedCentroids]]. */
   private def frozenBaseCentroids(spark: SparkSession, dir: String): DataFrame =
-    centIncMemo.computeIfAbsent((spark, dir), _ => {
+    spark.read.parquet(centIncMemo.computeIfAbsent((spark, dir), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"ivf_cent_base_${IvfK}x${IvfIters}_${dir}_$fp"
@@ -700,8 +805,8 @@ object Similarity {
           base.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters)
           .write.mode("overwrite").parquet(path)
       }
-      spark.read.parquet(path).localCheckpoint(true)
-    })
+      path
+    }))
 
   /** Cell-partitioned segment paths for the incremental index: (base,
     * delta). Exposed to the spec so it can pin the base segment's
@@ -819,20 +924,26 @@ object Similarity {
   // the cell-partitioned base scan before any vector is read. The
   // oracle replays base-sampled training, frozen assignment, probing,
   // verification, and both rules end-to-end.
-  private val semIncCMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Integer]()
+  private val semIncNMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+
+  /** |base corpus| (vec_id % 10 ≠ 3) — memoized; feeds C and the seed
+    * stride. */
+  private def semIncBaseCount(spark: SparkSession, dir: String): Long =
+    semIncNMemo.computeIfAbsent((spark, dir), _ =>
+      vecs(spark, dir).filter(col("vec_id") % 10 =!= 3).count())
 
   private def semIncCellCount(spark: SparkSession, dir: String): Int =
-    semIncCMemo.computeIfAbsent((spark, dir), _ =>
-      math.ceil(math.sqrt(vecs(spark, dir)
-        .filter(col("vec_id") % 10 =!= 3).count().toDouble)).toInt)
+    math.ceil(math.sqrt(semIncBaseCount(spark, dir).toDouble)).toInt
 
   private val semIncCentMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
   /** Frozen quantizer for the semantic-dedup tick: trained on the BASE
-    * corpus's 25% hash-sample at C = ⌈√N_base⌉, seeded by the base's
-    * sub-C ids — [[trainedCentroidsScaled]]'s training economics under
+    * corpus's 25% hash-sample at C = ⌈√N_base⌉, STRIDED seed (base ids
+    * ≡ 0 mod ⌊N_base/C⌋ — the lowest-C-ids window collapses cells on
+    * replica-structured corpora, see [[trainedCentroidsScaled]]) —
+    * [[trainedCentroidsScaled]]'s training economics under
     * [[frozenBaseCentroids]]'s freeze-on-base lifecycle.
     *
     * The memo holds only the materialized PATH (ADVICE r11): the old
@@ -846,7 +957,8 @@ object Similarity {
       val c = semIncCellCount(spark, dir)
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
-      val tag = s"ivf_cent_seminc_${c}x${IvfIters}_${dir}_$fp"
+      // "st" = strided-seed generation (never serve an old-seed sidecar)
+      val tag = s"ivf_cent_semincst_${c}x${IvfIters}_${dir}_$fp"
         .replaceAll("[^A-Za-z0-9._-]", "_")
       val p = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
@@ -855,9 +967,11 @@ object Similarity {
         val base = vecs(spark, dir).filter(col("vec_id") % 10 =!= 3)
         val samp = base.filter(
           substring(md5(col("vec_id").cast("string")), 1, 2) < "40")
+        val s = math.max(1L, semIncBaseCount(spark, dir) / c)
         graft.ops.KMeans.train(
           samp.select(col("vec_id"), col("v"), col("nrm")), c, IvfIters,
-          init = Some(base.filter(col("vec_id") < c)))
+          init = Some(base.filter(
+            col("vec_id") % s === 0 && col("vec_id") < s * c)))
           .write.mode("overwrite").parquet(p)
       }
       p
@@ -883,12 +997,13 @@ object Similarity {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val src = s"$dir/embeddings.parquet"
+    // "st" tags: assignments follow the strided-seed quantizer
     val base = graft.ops.PartitionedLayout.ensureDerived(
-      spark, src, s"emb_seminc_base_$dir", "cell") {
+      spark, src, s"emb_semincst_base_$dir", "cell") {
       assign(e.filter(col("vec_id") % 10 =!= 3))
     }
     val delta = graft.ops.PartitionedLayout.ensureDerived(
-      spark, src, s"emb_seminc_delta_$dir", "cell") {
+      spark, src, s"emb_semincst_delta_$dir", "cell") {
       assign(e.filter(col("vec_id") % 10 === 3))
     }
     (base, delta)
@@ -937,8 +1052,14 @@ object Similarity {
   private[graft] def dedupSemanticIncremental(spark: SparkSession,
       dir: String): DataFrame = {
     val e = vecs(spark, dir)
+    // delta-sized; feeds both rules. persist (NOT localCheckpoint):
+    // a lost cache block recomputes through lineage on a replacement
+    // executor, where a lost checkpoint block fails the job — this is
+    // what lets the tick join the ClusterProbe kill battery (VERDICT
+    // r12 #9). The plan is static (no iterative lineage growth), so
+    // checkpoint truncation buys nothing here.
     val verified = semIncVerifiedEdges(spark, dir)
-      .localCheckpoint(true) // delta-sized; feeds both rules
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rule 1: first-writer-wins vs the accepted corpus
     val dupc = verified.filter(col("nb_id") % 10 =!= 3)
       .groupBy(col("query_id")).agg(min(col("nb_id")).as("dup_base"))
@@ -976,7 +1097,7 @@ object Similarity {
         |  SELECT vec_id, v, nrm FROM nb
         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '40')""".stripMargin +
       ivfTrainingCtes(SemIncKExpr, IvfIters, corpus = "sampb",
-        initCorpus = "nb") +
+        initCorpus = "nb", stridedSeed = true) +
       """
         |, scored AS (
         |  SELECT n.vec_id, n.v, n.nrm, cent_id,
@@ -1067,10 +1188,10 @@ object Similarity {
     * subvectors). Persisted as a fingerprint-keyed parquet sidecar like
     * the IVF centroids: train once per corpus build, serve forever. */
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), String]()
 
   private def trainedCodebooks(spark: SparkSession, dir: String): DataFrame =
-    pqMemo.computeIfAbsent((spark, dir), _ => {
+    spark.read.parquet(pqMemo.computeIfAbsent((spark, dir), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"pq_cent_${PqM}x${PqK}x${PqIters}_${dir}_$fp"
@@ -1102,8 +1223,8 @@ object Similarity {
         }
         cent.write.mode("overwrite").parquet(path)
       }
-      spark.read.parquet(path).localCheckpoint(true)
-    })
+      path
+    }))
 
   private def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
@@ -1250,11 +1371,11 @@ object Similarity {
     * IVFADC requires. Sidecar-persisted per corpus fingerprint like
     * every trained index component. */
   private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), String]()
 
   private def trainedResidualCodebooks(spark: SparkSession, dir: String)
       : DataFrame =
-    ivfPqMemo.computeIfAbsent((spark, dir), _ => {
+    spark.read.parquet(ivfPqMemo.computeIfAbsent((spark, dir), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = (s"ivfpq_cent_${IvfK}x${IvfIters}_" +
@@ -1287,8 +1408,8 @@ object Similarity {
         }
         cent.write.mode("overwrite").parquet(path)
       }
-      spark.read.parquet(path).localCheckpoint(true)
-    })
+      path
+    }))
 
   private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
