@@ -156,7 +156,27 @@ object LinkRank {
     val gate: DataFrame => DataFrame =
       if (nV <= gateMax) df => df.hint("broadcast") else df => df
     var ranks = deg.select(col("node"), col("deg"), lit(1.0 / nV).as("rank"))
-    for (_ <- 1 to rounds) ranks = prStep(e, deg, nV, gate)(ranks)
+    for (round <- 1 to rounds) {
+      ranks = prStep(e, deg, nV, gate)(ranks)
+      // Over the gate (the web-graph regime), materialize the |V|-row
+      // state BETWEEN rounds. Lazily chaining all rounds into one DAG
+      // lets the scheduler run stages from different rounds
+      // concurrently, and at sf100 (56 GB heap, 32-way tasks) the
+      // overlapping SMJ sorts + hash aggregates exhausted the unified
+      // pool mid-suite (UNABLE_TO_ACQUIRE_MEMORY, VERDICT r12 #4).
+      // Per-round materialization serializes the rounds — peak demand
+      // is ONE round's joins, invariant in the round count — and
+      // truncates the lineage the same way the convergence loop already
+      // does. The LAST round stays lazy: its input is already
+      // materialized (same memory bound) and the caller's plan keeps the
+      // round-step joins inspectable (PlanSpec pins SMJ + bucketed edge
+      // scan on it). The int64-unit contribution sum is
+      // order-independent, so the cut changes no value (PlanSpec pins
+      // gate-0 ≡ broadcast bit-for-bit). Under the gate the state is
+      // broadcast-sized; the one-job lazy plan is cheaper and the
+      // oracle-gated path stays untouched.
+      if (nV > gateMax && round < rounds) ranks = ranks.localCheckpoint()
+    }
     ranks
   }
 
