@@ -115,6 +115,21 @@ object CatalogStats {
     val (xs, cum) = HistStats.mergedCdf(spark, tablePath, column)
     val rowsD = cum.last
     require(rowsD > 0, s"$tablePath.$column: empty CDF")
+    // A stale sidecar must fail loudly, not silently mis-steer the CBO
+    // (ADVICE r12): the histogram's total mass comes from the sidecar
+    // profile while rowCount comes from the manifest — if they drifted
+    // apart (sidecar profiled an older version of the files), every
+    // selectivity computed off the histogram is scaled by the drift.
+    // Null handling gives a legitimate small gap, so the check is a 2%
+    // tolerance, and non-null counts aren't tracked separately here.
+    base.rowCount.foreach { rc =>
+      val manifestRows = rc.toDouble
+      require(manifestRows == 0 ||
+        math.abs(rowsD - manifestRows) <= 0.02 * manifestRows,
+        s"$tablePath.$column: sidecar CDF mass $rowsD disagrees with " +
+          s"manifest rowCount $manifestRows by >2% — stale sidecar? " +
+          "Re-profile before publishing a histogram off it")
+    }
     // piecewise-linear inverse of the merged CDF
     def inv(target: Double): Double = {
       if (target <= cum.head) return xs.head

@@ -812,10 +812,21 @@ object TextOps {
     val hot = hotBandKeys(mh, hotMin)
     if (hot.isEmpty) bandCandidates(mh)
     else {
+      // the hot set is bounded by |sigs|/hotMin, which at sf100+ can be
+      // tens of thousands of keys — as isin literals that bloats every
+      // plan and re-evaluates an In per signature row (ADVICE r12), so
+      // the split rides a BROADCAST semi/anti join against a hot-keys
+      // frame instead; the count is logged so a plan blow-up is visible
+      System.err.println(
+        s"[graft] bandCandidatesAuto: ${hot.size} hot band buckets (floor $hotMin) — salted fan-out")
       val s = 8 // SaltFanOut: 64 partitions per hot bucket
-      val key = concat_ws("#", col("band"), col("sig"))
-      val coldPairs = bandCandidates(mh.filter(!key.isin(hot: _*)))
-      val h = mh.filter(key.isin(hot: _*))
+      val spark = mh.sparkSession
+      import spark.implicits._
+      val hotDf = broadcast(hot.toDF("hk"))
+      val keyed = mh.withColumn("hk", concat_ws("#", col("band"), col("sig")))
+      val coldPairs = bandCandidates(
+        keyed.join(hotDf, Seq("hk"), "left_anti").drop("hk"))
+      val h = keyed.join(hotDf, Seq("hk"), "left_semi").drop("hk")
         .withColumn("p", pmod(col("doc_id"), lit(s)).cast("int"))
       val lhs = h.select(col("band"), col("sig"), col("doc_id").as("doc_a"),
           col("p").as("i"))

@@ -112,15 +112,34 @@ object DedupStream {
     // design rule — at sf100 the one-phase string-set join shipped
     // ~3.4 KB per candidate and was this path's spill wall): candidate
     // pruning over xxhash64-sorted encodings (no corpus dictionary in a
-    // streaming context; hash collisions can only RELAX the bounds —
-    // never a false prune — and the survivors' final verify below runs
-    // on the true string sets, so the output is collision-immune).
-    // (bounds are derived for t = 0.8 — any other threshold skips the
-    // pruning phase rather than risking a wrong prune)
+    // streaming context). A cross-doc collision only RELAXES the bounds,
+    // but a WITHIN-doc collision (two distinct shingles of one doc
+    // sharing a 64-bit hash) deflates array_intersect's overlap count
+    // and could — at exactly-threshold geometry — falsely prune
+    // (ADVICE r12), so any doc whose hashed encoding lost an element to
+    // a within-doc collision (size(ids) < set size after dedup) bypasses
+    // the slim phase entirely: its pairs go straight to the exact
+    // string-set verify. That makes the phase STRICTLY exact, not
+    // exact-up-to-2^-64. (bounds are derived for t = 0.8 — any other
+    // threshold skips the pruning phase rather than risking a wrong
+    // prune)
     val surv = if (jaccard != 0.8) cand else {
-      val enc = sets.select(col("doc_id"),
+      val enc0 = sets.select(col("doc_id"),
         array_sort(expr("transform(shingle_set, s -> xxhash64(s))")).as("ids"))
-      graft.queries.TextOps.jaccardSlimSurvivors(enc, cand)
+      val collided = enc0
+        .filter(size(col("ids")) =!= size(array_distinct(col("ids"))))
+        .select(col("doc_id")).localCheckpoint(true)
+      val candColl = cand
+        .join(collided.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .unionByName(cand.join(
+          collided.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+          .select(cand.columns.map(col).toSeq: _*))
+        .distinct()
+      val candClean = cand
+        .join(collided.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+        .join(collided.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+      graft.queries.TextOps.jaccardSlimSurvivors(enc0, candClean)
+        .unionByName(candColl.select(col("doc_a"), col("doc_b")))
     }
     val sa = sets.select(col("doc_id").as("doc_a"), col("shingle_set").as("xa"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("shingle_set").as("xb"))
