@@ -106,12 +106,24 @@ object MvAdvisor {
     * = the query doesn't aggregate this lattice), and a node's weight
     * is the summed medians in integer milliseconds — HRU frequencies
     * generalized to observed cost mass. Pure line parsing, no JSON
-    * library: the writer is [[graft.Bench]] whose format is pinned. */
+    * library: the writer is [[graft.Bench]] whose format is pinned.
+    *
+    * `sfFilter` restricts the history to runs whose `"sf"` tag equals
+    * the given dir (VERDICT r12 #7): view selection should be priced at
+    * the scale where the firehose scan term dominates — an sf0.1 log's
+    * sub-second medians weight the lattice by timer noise, while the
+    * sf100 medians weight it by what the queries actually cost at
+    * scale. None = every run (the historic behavior). */
   def workloadFromHistory(lines: Seq[String],
-      nodeOf: String => Option[String]): Map[String, Long] = {
+      nodeOf: String => Option[String],
+      sfFilter: Option[String] = None): Map[String, Long] = {
     val entry = """"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
-    lines.foreach { ln =>
+    val scoped = sfFilter match {
+      case Some(sf) => lines.filter(_.contains(s""""sf":"$sf""""))
+      case None => lines
+    }
+    scoped.foreach { ln =>
       val i = ln.indexOf("\"queries\":{")
       val j = if (i >= 0) ln.indexOf('}', i) else -1
       if (i >= 0 && j > i) {

@@ -116,6 +116,17 @@ class MvAdvisorSpec extends AnyFunSuite {
     // [0.2, 0.2, 0.4]); unmapped queries contribute nothing
     assert(w == Map("s" -> 1100L, "c" -> 200L), w.toString)
 
+    // sfFilter scopes the history to one scale's runs (VERDICT r12 #7):
+    // pricing the lattice at sf100 must ignore the sf-x lines entirely
+    val mixed = lines :+
+      """{"metric":"total","value":9,"queries":{"q_s":80.000,"q_c":2.000},"sf":"/tmp/graft-sf100"}"""
+    val at100 = MvAdvisor.workloadFromHistory(
+      mixed, nodeOf, sfFilter = Some("/tmp/graft-sf100"))
+    assert(at100 == Map("s" -> 80000L, "c" -> 2000L), at100.toString)
+    // and the unfiltered call still sees every run (median over the
+    // 4-run set [1.0, 1.1, 9.0, 80.0] lands on 9.0)
+    assert(MvAdvisor.workloadFromHistory(mixed, nodeOf)("s") == 9000L)
+
     // uniform weights pick ps (the cube test above); a c-heavy history
     // must flip the greedy toward the c branch
     val heavyC = MvAdvisor.workloadFromHistory(
