@@ -169,6 +169,63 @@ class MvAdvisorSpec extends AnyFunSuite {
       "history weights must be consumable by dropHints")
   }
 
+  test("sf100-scoped history prices the lattice at scale (VERDICT r12 #7)") {
+    // the production flow end-to-end AT SCALE: weights from the sf100
+    // runs only (sub-second sf0.1 medians are timer noise for view
+    // selection — the firehose scan term dominates only at scale), the
+    // weighted greedy's pick verified against an independent weighted
+    // brute force, and the DROP hints against the covered-mass rule
+    val f = new java.io.File("BENCH_FULL_HISTORY.jsonl")
+    assume(f.isFile, "no measured history on this checkout")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').toSeq
+    assume(lines.exists(_.contains("\"sf\":\"/tmp/graft-sf100\"")),
+      "no sf100 runs recorded yet")
+    val nodeOf: String => Option[String] = {
+      case "events_tumbling_hourly" => Some("s")
+      case "mv_rewrite_daily"       => Some("c")
+      case "mv_rewrite_monthly"     => Some("none")
+      case _                        => None
+    }
+    val w = MvAdvisor.workloadFromHistory(lines, nodeOf,
+      sfFilter = Some("/tmp/graft-sf100"))
+    assume(w.nonEmpty, "the sf100 legs skipped every mapped query")
+    w.foreach { case (n, ms) => assert(ms > 0L, s"$n -> $ms ms") }
+    val weight: View => Long = v => w.getOrElse(v.name, 0L)
+    val picks = MvAdvisor.greedy(cube, psc, 2, weight)
+    // weighted brute force, written independently of MvAdvisor.benefit
+    def bfW(v: View, s: Seq[View]): Long = {
+      var total = 0L
+      for (node <- cube) {
+        if (v.key.indices.forall(i => node.key(i) <= v.key(i))) {
+          var best = Long.MaxValue
+          for (u <- s)
+            if (u.key.indices.forall(i => node.key(i) <= u.key(i)))
+              best = math.min(best, u.rows)
+          if (best - v.rows > 0)
+            total += (best - v.rows) * weight(node)
+        }
+      }
+      total
+    }
+    var s = Seq(psc)
+    picks.foreach { case Pick(v, b, _) =>
+      val bestBf = cube.filterNot(s.contains).map(c => bfW(c, s)).max
+      assert(b == bfW(v, s) && b == bestBf,
+        s"scale-weighted pick ${v.name} ($b) is not the brute-force argmax ($bestBf)")
+      s :+= v
+    }
+    // drop rule: a view covering zero scale-workload mass is pure storage
+    val drops = MvAdvisor.dropHints(cube, weight).map(_.name).toSet
+    cube.foreach { v =>
+      val covered = cube.filter(n =>
+        v.key.indices.forall(i => n.key(i) <= v.key(i))).map(weight).sum
+      assert(drops.contains(v.name) == (covered == 0L),
+        s"${v.name}: covered=$covered drops=$drops")
+    }
+  }
+
   test("dropHints: zero covered workload marks a view as pure storage") {
     // workload lives only at node c: everything NOT covering c (and
     // not covered-by-weighted nodes) is a drop candidate
