@@ -12,16 +12,24 @@ package graft.tools
   * that no longer match ANY current source are unreachable forever (the
   * `ensure*` lookups can never produce their tag again), yet they sit
   * on the scratch volume. Round 12's sf100 completion leg died on
-  * exactly this: ~56 GB of orphaned mirrors (keyed to deleted sf1–sf30
-  * datasets and to a partial-listing fingerprint of the sf100 tables)
-  * left ~300 MB free and every query re-skipped.
+  * exactly this: tens of GB of artifacts keyed to deleted sf1–sf30
+  * datasets left ~300 MB free and every query re-skipped.
   *
   * The janitor makes the reclaim a computed, safe operation instead of
   * a manual `rm`: it fingerprints every table under the KEEP source
   * dirs, scans the `graft-*` artifact roots under java.io.tmpdir, and
   * deletes only children whose name embeds at least one
   * fingerprint-shaped token of which NONE matches a live fingerprint.
-  * A child with no fingerprint token is never touched (unknown ≠ dead).
+  * A child with no fingerprint token is never touched (unknown ≠ dead),
+  * a child touched in the last 15 minutes is never touched (it may be a
+  * running bench's mid-build mirror), and the live set is computed the
+  * way [[liveFingerprints]] documents — through Hadoop's
+  * checksum-hiding view of the source listing, because that is the view
+  * the embedded fingerprints were computed from. Do NOT run a
+  * standalone sweep while another graft JVM is mid-bench: a mirror it
+  * built more than 15 minutes ago but still reads is indistinguishable
+  * from settled state (the round-13 incident deleted a live edge mirror
+  * under a running suite — see SCALE.md).
   *
   * At 100 TB this is snapshot/index expiration against the live-catalog
   * root set — the same mark-and-sweep contract lakehouse table formats
@@ -46,19 +54,33 @@ object Janitor {
 
   /** Live fingerprints of every table directly under each keep dir —
     * same formula as sourceFingerprint (files directly under the path;
-    * max mtime ms; total bytes), Spark-free. */
+    * max mtime ms; total bytes), Spark-free.
+    *
+    * CRITICAL (learned the hard way, round 13): sourceFingerprint runs
+    * through Hadoop's LOCAL filesystem, which is a ChecksumFileSystem —
+    * its listStatus HIDES the `.name.crc` checksum siblings Spark's
+    * local writes leave next to every part file. A live-set built from
+    * a raw java.io listing counts those dotfiles, disagrees with every
+    * artifact's embedded fingerprint, and the sweep then reaps LIVE
+    * artifacts (this deleted a just-built 6 GB edge mirror mid-bench
+    * and failed three graph gates with FILE_NOT_EXIST). Both variants
+    * are emitted — hidden-files-excluded (the Hadoop view, the one that
+    * matters) and hidden-files-included — and a dir matching EITHER is
+    * live, so a future fingerprint-source change fails toward keeping. */
   def liveFingerprints(keepDirs: Seq[String]): Set[String] =
     keepDirs.flatMap { base =>
       val b = new java.io.File(base)
       val tables = if (b.isDirectory) b.listFiles().toSeq else Nil
       tables.flatMap { t =>
-        val files =
+        val all =
           if (t.isDirectory) Option(t.listFiles()).getOrElse(Array.empty).filter(_.isFile).toSeq
           else if (t.isFile) Seq(t) else Nil
-        if (files.isEmpty) None
-        else Some(norm(files.length.toString,
-          files.map(_.lastModified).max.toString,
-          files.map(_.length).sum.toString))
+        Seq(all.filterNot(_.getName.startsWith(".")), all).distinct.flatMap { files =>
+          if (files.isEmpty) None
+          else Some(norm(files.length.toString,
+            files.map(_.lastModified).max.toString,
+            files.map(_.length).sum.toString))
+        }
       }
     }.toSet
 
@@ -82,11 +104,18 @@ object Janitor {
         !NonArtifactRoots.contains(f.getName))
     var reclaimed = 0L
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    // age guard: a dir touched in the last 15 minutes may belong to a
+    // RUNNING bench's warm pass (its source could be mid-write, its
+    // fingerprint mid-derivation) — never reap it. The janitor's
+    // contract is garbage collection of settled state, not eviction.
+    val minAgeMs = 15L * 60 * 1000
+    val now = System.currentTimeMillis()
     roots.foreach { root =>
       Option(root.listFiles()).getOrElse(Array.empty).foreach { child =>
         val toks = FpToken.findAllMatchIn(child.getName)
           .map(m => norm(m.group(1), m.group(2), m.group(3))).toSeq
-        if (toks.nonEmpty && !toks.exists(live.contains)) {
+        if (toks.nonEmpty && !toks.exists(live.contains) &&
+            now - child.lastModified > minAgeMs) {
           reclaimed += sizeOf(child)
           deleted += s"${root.getName}/${child.getName}"
           if (!dryRun) rmTree(child)

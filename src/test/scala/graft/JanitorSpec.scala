@@ -22,6 +22,13 @@ class JanitorSpec extends AnyFunSuite {
     f
   }
 
+  /** the age guard never reaps a freshly-touched dir — test fixtures
+    * must look settled */
+  private def age(d: java.io.File): java.io.File = {
+    d.setLastModified(System.currentTimeMillis() - 24L * 3600 * 1000)
+    d
+  }
+
   test("sweep deletes only dead-fingerprint children; no-token and live survive") {
     val tmp = mkTmp()
     // a fake source dir with one table of 2 files
@@ -33,15 +40,15 @@ class JanitorSpec extends AnyFunSuite {
     // artifact root with three children
     val root = new java.io.File(tmp, "graft-mirrors"); root.mkdirs()
     val liveChild = new java.io.File(root, s"mirror_a_$liveFp"); liveChild.mkdirs()
-    write(liveChild, "data", 10)
+    write(liveChild, "data", 10); age(liveChild)
     val deadChild = new java.io.File(root, "mirror_b_9-1786853280213-2892271724")
-    deadChild.mkdirs(); write(deadChild, "data", 10)
+    deadChild.mkdirs(); write(deadChild, "data", 10); age(deadChild)
     val noTokChild = new java.io.File(root, "state_no_fingerprint"); noTokChild.mkdirs()
-    write(noTokChild, "data", 10)
+    write(noTokChild, "data", 10); age(noTokChild)
     // a source-data root must never be scanned even with token-shaped names
     val srcRoot = new java.io.File(tmp, "graft-sf100"); srcRoot.mkdirs()
     val srcChild = new java.io.File(srcRoot, "x_1-178685326000-99"); srcChild.mkdirs()
-    write(srcChild, "data", 10)
+    write(srcChild, "data", 10); age(srcChild)
 
     val (reclaimed, gone) = graft.tools.Janitor.sweep(
       Seq(src.getPath), dryRun = false, tmpDir = tmp.getPath)
@@ -59,12 +66,49 @@ class JanitorSpec extends AnyFunSuite {
     val files = tbl.listFiles().filter(_.isFile)
     val fpU = s"${files.length}_${files.map(_.lastModified).max}_${files.map(_.length).sum}"
     val root = new java.io.File(tmp, "graft-buckets"); root.mkdirs()
-    val live = new java.io.File(root, s"lineitem_bkt8_$fpU"); live.mkdirs()
+    val live = new java.io.File(root, s"lineitem_bkt8_$fpU"); live.mkdirs(); age(live)
     val dead = new java.io.File(root, "lineitem_bkt8_1_1786853280000_1"); dead.mkdirs()
-    write(dead, "d", 3)
+    write(dead, "d", 3); age(dead)
     val (reclaimable, gone) = graft.tools.Janitor.sweep(
       Seq(src.getPath), dryRun = true, tmpDir = tmp.getPath)
     assert(gone.size == 1 && reclaimable == 3L)
     assert(dead.exists && live.exists) // dry run touched nothing
+  }
+
+  test("Hadoop-hidden checksum files never poison the live set (round-13 incident)") {
+    // Spark's local writes leave .part-xxx.crc siblings that Hadoop's
+    // ChecksumFileSystem HIDES from listStatus — so sourceFingerprint
+    // (the fp embedded in artifact names) sees only the visible files.
+    // The live set must match that view: an artifact keyed to the
+    // visible-files fingerprint is LIVE even though a raw listing of
+    // the source counts twice as many files.
+    val tmp = mkTmp()
+    val src = new java.io.File(tmp, "sfZ"); src.mkdirs()
+    val tbl = new java.io.File(src, "orders.parquet"); tbl.mkdirs()
+    write(tbl, "part-0", 70); write(tbl, "_SUCCESS", 0)
+    write(tbl, ".part-0.crc", 12); write(tbl, "._SUCCESS.crc", 8)
+    val vis = tbl.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+    val hadoopFp =
+      s"${vis.length}-${vis.map(_.lastModified).max}-${vis.map(_.length).sum}"
+    val root = new java.io.File(tmp, "graft-mirrors"); root.mkdirs()
+    val liveChild = new java.io.File(root, s"orders_tt_$hadoopFp")
+    liveChild.mkdirs(); write(liveChild, "data", 5); age(liveChild)
+    val (_, gone) = graft.tools.Janitor.sweep(
+      Seq(src.getPath), dryRun = false, tmpDir = tmp.getPath)
+    assert(gone.isEmpty && liveChild.exists,
+      s"Hadoop-view artifact reaped: $gone")
+  }
+
+  test("age guard: a freshly-touched dir is never reaped even with a dead fingerprint") {
+    val tmp = mkTmp()
+    val src = new java.io.File(tmp, "sfW"); src.mkdirs()
+    val tbl = new java.io.File(src, "t.parquet"); tbl.mkdirs()
+    write(tbl, "part-0", 9)
+    val root = new java.io.File(tmp, "graft-mirrors"); root.mkdirs()
+    val fresh = new java.io.File(root, "building_1-1786853280000-1")
+    fresh.mkdirs(); write(fresh, "data", 3) // mtime = now: maybe mid-build
+    val (_, gone) = graft.tools.Janitor.sweep(
+      Seq(src.getPath), dryRun = false, tmpDir = tmp.getPath)
+    assert(gone.isEmpty && fresh.exists, s"mid-build dir reaped: $gone")
   }
 }
