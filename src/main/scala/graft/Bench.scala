@@ -17,6 +17,13 @@ object Bench {
       // same exchange 8× thinner while small-SF shuffles coalesce
       // straight back — the knob is a no-op where it isn't needed
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // shuffle files live until the ContextCleaner GCs their dead
+      // ShuffleDependency; the default 30min periodic GC let ~12 GB of
+      // dead shuffle dirs accumulate across a 200-query sf100 sweep and
+      // squeezed the scratch volume under the floor MID-RUN (leg A of
+      // the r13 sweep skipped its whole timed pass twice). 2 minutes
+      // bounds the dead-shuffle debt at a few queries' worth.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) { // see Verify
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -157,7 +164,13 @@ object Bench {
     // so timed numbers never include the pause.
     def gcNudge(): Unit = {
       val rt = Runtime.getRuntime
-      if (rt.totalMemory - rt.freeMemory > rt.maxMemory * 2 / 5) {
+      val heapPressed = rt.totalMemory - rt.freeMemory > rt.maxMemory * 2 / 5
+      // DISK debt needs the same nudge as heap debt: dead shuffle dirs
+      // only free after a GC lets the ContextCleaner see them, and a
+      // low-heap suite can still fill the scratch volume (r13 leg A)
+      val diskPressed = graft.ops.Scratch
+        .shortfall(scratchDirs, 2 * minFreeBytes).nonEmpty
+      if (heapPressed || diskPressed) {
         System.gc()
         Thread.sleep(200) // let the ContextCleaner drain its ref queue
       }
