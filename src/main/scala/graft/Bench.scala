@@ -185,7 +185,14 @@ object Bench {
             // warm pass — the timed pass will skip-with-reason, but the
             // operator reading stderr should see WHICH build was refused
             System.err.println(s"[bench] warm $name mirror-build refused: ${e.getMessage}")
-          case _: Throwable => ()
+          case e: Throwable =>
+            // warm failures stay non-fatal but must be VISIBLE: a
+            // silently-swallowed warm ENOSPC left pipeline_ingest_tick's
+            // bootstrap uncommitted at sf100 and the timed run repeated
+            // the whole base-sized build and died — misattributed to the
+            // timed pass until the log was read against the code (r13)
+            System.err.println(s"[bench] warm $name FAILED (non-fatal): ${
+              Option(e.toString).getOrElse("error").take(200)}")
         }
         gcNudge()
         System.err.println(s"[bench] warm $name sec=${
