@@ -41,6 +41,7 @@ object Bench {
     val spillDiskAcc = new java.util.concurrent.atomic.AtomicLong
     val spillMemAcc = new java.util.concurrent.atomic.AtomicLong
     val inputAcc = new java.util.concurrent.atomic.AtomicLong
+    val shuffleReadAcc = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -49,14 +50,16 @@ object Bench {
           spillDiskAcc.addAndGet(m.diskBytesSpilled)
           spillMemAcc.addAndGet(m.memoryBytesSpilled)
           inputAcc.addAndGet(m.inputMetrics.bytesRead)
+          shuffleReadAcc.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           ()
         }
       }
     })
-    def spillSnapshot(): (Long, Long, Long) = {
+    def spillSnapshot(): (Long, Long, Long, Long) = {
       org.apache.spark.graftshim.GraftCoreShim
         .flushListenerBus(spark.sparkContext, 10000)
-      (spillDiskAcc.get(), spillMemAcc.get(), inputAcc.get())
+      (spillDiskAcc.get(), spillMemAcc.get(), inputAcc.get(),
+        shuffleReadAcc.get())
     }
     // --- scratch-floor degradation (VERDICT r11 #3): a query whose
     // shuffle would exhaust the scratch volume must degrade to a
@@ -78,6 +81,11 @@ object Bench {
     // scratch volume the floor is protecting — sweep them BEFORE the warm
     // pass so a long sweep starts with a computed disk budget, not last
     // round's garbage. SPARK_GRAFT_JANITOR=0 disables.
+    // cross-process liveness first (ADVICE r13): this JVM's heartbeat
+    // makes any CONCURRENT sweep (another bench's, or a standalone
+    // janitor run) degrade to dry-run, and our own sweep below degrades
+    // likewise if another bench is mid-run — enforcement, not scaladoc
+    graft.tools.Janitor.touchHeartbeat()
     if (!sys.env.get("SPARK_GRAFT_JANITOR").contains("0")) {
       val keep = (graft.tools.Janitor.defaultKeepDirs :+ sfDir).distinct
       val (reclaimed, gone) = graft.tools.Janitor.sweep(keep)
@@ -174,8 +182,13 @@ object Bench {
         System.gc()
         Thread.sleep(200) // let the ContextCleaner drain its ref queue
       }
+      graft.tools.Janitor.touchHeartbeat() // between-queries liveness beat
     }
     val w0 = System.nanoTime()
+    // warm failures are non-fatal but RECORDED (VERDICT r13 #6): the
+    // artifact carries their count + names, so "the warm pass was clean"
+    // is an assertable number, not an absence of log lines
+    val warmFailed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       val q0 = System.nanoTime()
       if (scratchShortfall().isEmpty) {
@@ -191,6 +204,8 @@ object Bench {
             // bootstrap uncommitted at sf100 and the timed run repeated
             // the whole base-sized build and died — misattributed to the
             // timed pass until the log was read against the code (r13)
+            warmFailed(name) = Option(e.toString).getOrElse("error")
+              .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(200)
             System.err.println(s"[bench] warm $name FAILED (non-fatal): ${
               Option(e.toString).getOrElse("error").take(200)}")
         }
@@ -203,9 +218,10 @@ object Bench {
     val warmupSec = (System.nanoTime() - w0) / 1e9
     val spills = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val inputBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Option[String]) = {
-      val (d0, m0, i0) = spillSnapshot()
+      val (d0, m0, i0, s0) = spillSnapshot()
       val t0 = System.nanoTime()
       var floorSkip: Option[String] = None
       val err =
@@ -226,7 +242,7 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       gcNudge() // reclaim the query's transient checkpoint blocks (untimed)
-      val (d1, m1, i1) = spillSnapshot()
+      val (d1, m1, i1, s1) = spillSnapshot()
       floorSkip.foreach { why =>
         System.err.println(s"[bench] SKIP $name — $why")
         dynamicSkips(name) = why
@@ -238,6 +254,7 @@ object Bench {
       val prev = spills.getOrElse(name, (0L, 0L))
       spills(name) = (math.max(prev._1, d1 - d0), math.max(prev._2, m1 - m0))
       inputBytes(name) = math.max(inputBytes.getOrElse(name, 0L), i1 - i0)
+      shuffleBytes(name) = math.max(shuffleBytes.getOrElse(name, 0L), s1 - s0)
       System.err.println(s"[bench] timed $name sec=${
         "%.1f".formatLocal(java.util.Locale.ROOT, sec)} ${memLine()}" +
         (if (d1 - d0 > 0) s" spillDiskMB=${(d1 - d0) >> 20}" else "") +
@@ -309,25 +326,51 @@ object Bench {
     // r11 near-dup wall. Flag it in the artifact so a scale sweep's
     // walls are read off one list, not diagnosed from wall-clock ratios.
     val spillFlagged = Bench.spillFlagged(
-      spills.map { case (k, (d, _)) => k -> d }.toMap, inputBytes.toMap)
+      spills.map { case (k, (d, _)) => k -> d }.toMap, inputBytes.toMap,
+      shuffleBytes.toMap)
     val spillFlaggedJson = spillFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // flagged entries annotated with all three byte counts (ADVICE r13:
+    // a reader must be able to discount cached-input queries) — the
+    // denominator already includes shuffle-read, so a shuffle-fed query
+    // with ~0 file input no longer false-flags
+    val spillFlaggedDetailJson = spillFlagged.map { q =>
+      "\"" + q + "\":[" + (spills(q)._1 >> 20) + "," +
+        (inputBytes.getOrElse(q, 0L) >> 20) + "," +
+        (shuffleBytes.getOrElse(q, 0L) >> 20) + "]"
+    }.mkString("{", ",", "}")
     spillFlagged.foreach(q => System.err.println(
       s"[bench] SPILL-FLAG $q — disk spill ${(spills(q)._1) >> 20} MB > " +
-        s"2x input ${(inputBytes.getOrElse(q, 0L)) >> 20} MB"))
+        s"2x (input ${(inputBytes.getOrElse(q, 0L)) >> 20} MB + " +
+        s"shuffle-read ${(shuffleBytes.getOrElse(q, 0L)) >> 20} MB)"))
     // per-artifact-root bytes: makes the NEXT sweep's disk budget a
-    // computed number (VERDICT r12 #5 — "emit mirror byte sizes")
-    val artifactMbJson = {
+    // computed number (VERDICT r12 #5 — "emit mirror byte sizes").
+    // SOURCE data roots (graft-sf100 etc.) are not reclaimable artifacts
+    // (ADVICE r13) — they report under source_mb instead.
+    val (artifactMbJson, sourceMbJson) = {
       val tmp = new java.io.File(sys.props("java.io.tmpdir"))
       def du(f: java.io.File): Long =
         if (f.isFile) f.length
         else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
-      Option(tmp.listFiles()).getOrElse(Array.empty)
+      val roots = Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft-"))
-        .map(f => "\"" + f.getName + "\":" + (du(f) >> 20))
-        .sorted.mkString("{", ",", "}")
+      def json(fs: Array[java.io.File]) =
+        fs.map(f => "\"" + f.getName + "\":" + (du(f) >> 20))
+          .sorted.mkString("{", ",", "}")
+      val (src, art) = roots.partition(f =>
+        graft.tools.Janitor.isSourceRoot(f.getName))
+      (json(art), json(src))
     }
+    // one-time artifact builds paid THIS run (VERDICT r13 #5): a leg
+    // that reuses a prior leg's index shows no entry; one that rebuilds
+    // shows exactly what it paid and for what — the amortized cost is a
+    // named line, never an anonymous tax on an arbitrary victim query
+    val indexBuildJson = graft.ops.BuildLedger.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val warmErrsJson = warmFailed.map { case (k, m) =>
+      "\"" + k + "\":\"" + m + "\"" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"skipped":$skippedJson,"spill_mb":$spillJson,"spill_disk_total_mb":$spillDiskTotalMb,"spill_flagged":$spillFlaggedJson,"artifact_mb":$artifactMbJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"warm_errors":${warmFailed.size},"warm_failed":$warmErrsJson,"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"skipped":$skippedJson,"spill_mb":$spillJson,"spill_disk_total_mb":$spillDiskTotalMb,"spill_flagged":$spillFlaggedJson,"spill_flagged_detail":$spillFlaggedDetailJson,"index_build_sec":$indexBuildJson,"artifact_mb":$artifactMbJson,"source_mb":$sourceMbJson,"sf":"$sfDir"}"""
     // BENCH_FULL.json = latest run; BENCH_FULL_HISTORY.jsonl accumulates
     // EVERY run (timestamped, append-only), so judge/builder reruns never
     // clobber the driver's record and per-query medians across runs are
@@ -358,7 +401,13 @@ object Bench {
       else omittedSec += v
     }
     val qs = picked.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_sec":${f3(warmupSec)},"queries":$qs,"other_sec":${f3(omittedSec)},"n_queries":${results.size},"n_errors":$nErr,"n_scratch_skips":${dynamicSkips.size},"spill_disk_total_mb":$spillDiskTotalMb,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    // flagged names ride the compact line too (VERDICT r13 #7) so a
+    // round ledger reading ONLY the tail can't omit them; bounded to
+    // keep the line inside the harness's ~2000-char window
+    val flaggedTail = spillFlagged.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_sec":${f3(warmupSec)},"warm_errors":${warmFailed.size},"queries":$qs,"other_sec":${f3(omittedSec)},"n_queries":${results.size},"n_errors":$nErr,"n_scratch_skips":${dynamicSkips.size},"spill_disk_total_mb":$spillDiskTotalMb,"spill_flagged":$flaggedTail,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    graft.tools.Janitor.clearHeartbeat()
     spark.stop()
   }
 
@@ -372,12 +421,17 @@ object Bench {
   def scratchShortfall(scratchDir: java.io.File, minFreeBytes: Long): Option[String] =
     graft.ops.Scratch.shortfall(Seq(scratchDir), minFreeBytes)
 
-  /** Queries whose recorded disk spill exceeds 2x their input bytes
-    * (and a 256 MB noise floor) — the exchange-wider-than-input smell.
-    * Pure maps-in, names-out so BenchSpec pins the rule. */
+  /** Queries whose recorded disk spill exceeds 2x the bytes they
+    * actually consumed — file-scan input PLUS shuffle-read (ADVICE r13:
+    * input alone counts only file scans, so a query fed by memoized/
+    * cached frames or shuffle reads ~0 "input" and false-flags on any
+    * spill over the floor) — and a 256 MB noise floor. Pure maps-in,
+    * names-out so BenchDegradeSpec pins the rule. */
   def spillFlagged(spillDisk: Map[String, Long],
-      input: Map[String, Long]): Seq[String] =
+      input: Map[String, Long],
+      shuffleRead: Map[String, Long] = Map.empty): Seq[String] =
     spillDisk.collect { case (q, d)
-      if d > (256L << 20) && d > 2 * input.getOrElse(q, 0L) => q
+      if d > (256L << 20) &&
+        d > 2 * (input.getOrElse(q, 0L) + shuffleRead.getOrElse(q, 0L)) => q
     }.toSeq.sorted
 }

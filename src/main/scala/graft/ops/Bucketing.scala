@@ -102,12 +102,14 @@ object Bucketing {
             s"LOCATION '$path'")
       } else {
         Scratch.guardBuild(spark, t) // refuse, don't die ENOSPC mid-write (r12)
-        build
-          .repartition(buckets, org.apache.spark.sql.functions.col(key))
-          .write.mode("overwrite")
-          .bucketBy(buckets, key).sortBy(key)
-          .option("path", path)
-          .saveAsTable(t)
+        BuildLedger.timed(s"bucketed/$t") {
+          build
+            .repartition(buckets, org.apache.spark.sql.functions.col(key))
+            .write.mode("overwrite")
+            .bucketBy(buckets, key).sortBy(key)
+            .option("path", path)
+            .saveAsTable(t)
+        }
       }
     }
     t

@@ -120,15 +120,24 @@ object CatalogStats {
     // profile while rowCount comes from the manifest — if they drifted
     // apart (sidecar profiled an older version of the files), every
     // selectivity computed off the histogram is scaled by the drift.
-    // Null handling gives a legitimate small gap, so the check is a 2%
-    // tolerance, and non-null counts aren't tracked separately here.
+    // Direction matters (ADVICE r13): the CDF counts NON-NULL rows only,
+    // so mass BELOW the manifest rowCount is expected on any nullable
+    // column (the old symmetric 2% tolerance threw on legitimately
+    // >2%-null columns) — that direction only WARNS. Mass ABOVE the
+    // manifest rowCount is impossible without staleness (a profile
+    // can't see more rows than the table has) and still throws.
     base.rowCount.foreach { rc =>
       val manifestRows = rc.toDouble
-      require(manifestRows == 0 ||
-        math.abs(rowsD - manifestRows) <= 0.02 * manifestRows,
-        s"$tablePath.$column: sidecar CDF mass $rowsD disagrees with " +
-          s"manifest rowCount $manifestRows by >2% — stale sidecar? " +
-          "Re-profile before publishing a histogram off it")
+      require(rowsD <= manifestRows * 1.02,
+        s"$tablePath.$column: sidecar CDF mass $rowsD EXCEEDS manifest " +
+          s"rowCount $manifestRows — stale sidecar (profiled rows that " +
+          "no longer exist)? Re-profile before publishing a histogram")
+      if (manifestRows > 0 && rowsD < 0.98 * manifestRows)
+        System.err.println(
+          s"[graft] $tablePath.$column: sidecar CDF mass $rowsD under " +
+            s"manifest rowCount $manifestRows — nulls, or a stale " +
+            "sidecar profiled before the latest appends; histogram " +
+            "selectivities scale to the non-null mass")
     }
     // piecewise-linear inverse of the merged CDF
     def inv(target: Double): Double = {

@@ -46,7 +46,9 @@ object PartitionedLayout {
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
       Scratch.guardBuild(spark, dirTag) // refuse, don't die ENOSPC mid-write
-      build.write.mode("overwrite").partitionBy(key).parquet(path)
+      BuildLedger.timed(s"partitioned/$tag") {
+        build.write.mode("overwrite").partitionBy(key).parquet(path)
+      }
     }
     path
   }

@@ -184,7 +184,7 @@ object Similarity {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success)) {
+      if (!fs.exists(success)) graft.ops.BuildLedger.timed(tag) {
         val e = vecs(spark, dir)
         graft.ops.KMeans.train(
           e.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters)
@@ -370,7 +370,7 @@ object Similarity {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success)) {
+      if (!fs.exists(success)) graft.ops.BuildLedger.timed(tag) {
         val e = vecs(spark, dir)
         val samp = e.filter(
           substring(md5(col("vec_id").cast("string")), 1, 2) < "40")
@@ -554,7 +554,7 @@ object Similarity {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success)) {
+      if (!fs.exists(success)) graft.ops.BuildLedger.timed(tag) {
         val e = vecs(spark, dir)
         val samp = e.filter(
           substring(md5(col("vec_id").cast("string")), 1, 2) < "40")
@@ -799,7 +799,7 @@ object Similarity {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success)) {
+      if (!fs.exists(success)) graft.ops.BuildLedger.timed(tag) {
         val base = vecs(spark, dir).filter(col("vec_id") % 10 =!= 3)
         graft.ops.KMeans.train(
           base.select(col("vec_id"), col("v"), col("nrm")), IvfK, IvfIters)
@@ -963,7 +963,7 @@ object Similarity {
       val p = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success)) {
+      if (!fs.exists(success)) graft.ops.BuildLedger.timed(tag) {
         val base = vecs(spark, dir).filter(col("vec_id") % 10 =!= 3)
         val samp = base.filter(
           substring(md5(col("vec_id").cast("string")), 1, 2) < "40")
@@ -1199,7 +1199,7 @@ object Similarity {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success)) {
+      if (!fs.exists(success)) graft.ops.BuildLedger.timed(tag) {
         val sub = subvecs(vecs(spark, dir))
         var cent = sub.filter(col("vec_id") < PqK)
           .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
@@ -1384,7 +1384,7 @@ object Similarity {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success)) {
+      if (!fs.exists(success)) graft.ops.BuildLedger.timed(tag) {
         val sub = residSub(ivfResiduals(spark, dir), "vec_id")
         var cent = sub.filter(col("vec_id") < PqK)
           .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))

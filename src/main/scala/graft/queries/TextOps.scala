@@ -74,7 +74,7 @@ object TextOps {
     val path = s"${sys.props("java.io.tmpdir")}/graft-mirrors/shingles3_$fp"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) {
+    if (!fs.exists(success)) graft.ops.BuildLedger.timed("mirror/shingles3") {
       val base = withShingles(toks(spark, dir))
         .withColumn("hs", expr("array_md5_sorted(shingle_set)"))
         .select(col("doc_id"), col("lang"), col("shingle_set"), col("hs"))
@@ -104,9 +104,11 @@ object TextOps {
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success))
-      withShingles(toks(spark, dir))
-        .select(col("doc_id"), col("tokens"), col("shingles"))
-        .write.mode("overwrite").parquet(path)
+      graft.ops.BuildLedger.timed("mirror/toksh") {
+        withShingles(toks(spark, dir))
+          .select(col("doc_id"), col("tokens"), col("shingles"))
+          .write.mode("overwrite").parquet(path)
+      }
     spark.read.parquet(path)
   }
 
@@ -854,9 +856,11 @@ object TextOps {
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success))
-      bandSigs(shingleMirror(spark, dir)
-        .select(col("doc_id"), col("shingle_set")))
-        .write.mode("overwrite").parquet(path)
+      graft.ops.BuildLedger.timed("mirror/bandsigs") {
+        bandSigs(shingleMirror(spark, dir)
+          .select(col("doc_id"), col("shingle_set")))
+          .write.mode("overwrite").parquet(path)
+      }
     spark.read.parquet(path)
   }
 

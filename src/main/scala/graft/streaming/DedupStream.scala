@@ -101,49 +101,87 @@ object DedupStream {
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .join(batchIds, Seq("doc_id"), "left_anti").distinct()
     val docDirs = listBatchDirs(spark, s"$tablePath/docs", id)
-    val corpusSets =
-      if (docDirs.isEmpty) shingled(docs.limit(0))
-      else shingled(spark.read.parquet(docDirs: _*)
-        .join(corpusPartnerIds, "doc_id"))
-    val sets = shingled(docs)
+    val textsAll = docs.select(col("doc_id"), col("text"))
+      .unionByName(
+        if (docDirs.isEmpty) docs.limit(0).select(col("doc_id"), col("text"))
+        else spark.read.parquet(docDirs: _*)
+          .join(corpusPartnerIds, "doc_id")
+          .select(col("doc_id"), col("text")))
+    val sets = shingled(textsAll)
       .select(col("doc_id"), col("shingle_set"))
-      .unionByName(corpusSets.select(col("doc_id"), col("shingle_set")))
-    // Slim bounds phase BEFORE any whole set moves (the r12 verify
-    // design rule — at sf100 the one-phase string-set join shipped
-    // ~3.4 KB per candidate and was this path's spill wall): candidate
-    // pruning over xxhash64-sorted encodings (no corpus dictionary in a
-    // streaming context). A cross-doc collision only RELAXES the bounds,
-    // but a WITHIN-doc collision (two distinct shingles of one doc
-    // sharing a 64-bit hash) deflates array_intersect's overlap count
-    // and could — at exactly-threshold geometry — falsely prune
-    // (ADVICE r12), so any doc whose hashed encoding lost an element to
-    // a within-doc collision (size(ids) < set size after dedup) bypasses
-    // the slim phase entirely: its pairs go straight to the exact
-    // string-set verify. That makes the phase STRICTLY exact, not
-    // exact-up-to-2^-64. (bounds are derived for t = 0.8 — any other
-    // threshold skips the pruning phase rather than risking a wrong
-    // prune)
-    val surv = if (jaccard != 0.8) cand else {
-      val enc0 = sets.select(col("doc_id"),
-        array_sort(expr("transform(shingle_set, s -> xxhash64(s))")).as("ids"))
-      val collided = enc0
-        .filter(size(col("ids")) =!= size(array_distinct(col("ids"))))
-        .select(col("doc_id")).localCheckpoint(true)
-      val candColl = cand
-        .join(collided.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-        .unionByName(cand.join(
-          collided.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-          .select(cand.columns.map(col).toSeq: _*))
-        .distinct()
-      val candClean = cand
-        .join(collided.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
-        .join(collided.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
-      graft.queries.TextOps.jaccardSlimSurvivors(enc0, candClean)
-        .unionByName(candColl.select(col("doc_a"), col("doc_b")))
-    }
-    val sa = sets.select(col("doc_id").as("doc_a"), col("shingle_set").as("xa"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("shingle_set").as("xb"))
-    val verified = surv.join(sa, "doc_a").join(sb, "doc_b")
+    // Three-phase verify, every phase an EXACT-SAFE prune (no false
+    // negatives, so the output edge set is bit-identical to the
+    // one-phase string-set join it replaces):
+    //
+    //  1. slim bounds over xxhash64-sorted encodings — ships only
+    //     (size, theorem-prefix) per side (the r12 verify design rule;
+    //     bounds derived for t = 0.8, so other thresholds skip this
+    //     phase rather than risking a wrong prune);
+    //  2. hashed full-array verify — ships the int64 encodings (~8 B
+    //     per shingle vs ~40 B strings). For docs with injective
+    //     encodings, |h(A)∩h(B)| ≥ |A∩B| and the hashed union is ≤ the
+    //     string union, so jac_hash ≥ jac_string for EVERY threshold:
+    //     jac_hash < t is a certain reject, jac_hash ≥ t survives to
+    //     phase 3 (cross-doc collisions can only inflate jac_hash —
+    //     a survivor, never a lost pair);
+    //  3. exact string-set verify over the phase-2 SURVIVORS only,
+    //     with shingle sets recomputed for just the survivor-pair docs.
+    //
+    // Phase 3 is the only exchange that moves whole string sets, and it
+    // is now OUTPUT-sized — before r14 it joined the full batch's sets
+    // (~3.4 KB/doc), which at a 4.75M-doc batch-0 bootstrap (the
+    // pipeline_ingest_tick base, sf100) spilled 20.5 GB and died ENOSPC.
+    //
+    // A WITHIN-doc collision (two distinct shingles of one doc sharing
+    // a 64-bit hash) deflates array_intersect's overlap count and could
+    // — at exactly-threshold geometry — falsely prune (ADVICE r12), so
+    // any doc whose hashed encoding lost an element to a within-doc
+    // collision (size(ids) < set size after dedup) bypasses phases 1–2
+    // entirely: its pairs go straight to the exact string-set verify.
+    // That keeps the pipeline STRICTLY exact, not exact-up-to-2^-64.
+    // materialized once (eager checkpoint): enc0 feeds the collision
+    // probe, the slim bounds, and both sides of the hashed verify — at
+    // 8 B/shingle it is the cheapest representation to hold, and the
+    // alternative re-runs the shingle+hash pipeline four times
+    val enc0 = sets.select(col("doc_id"),
+      array_sort(expr("transform(shingle_set, s -> xxhash64(s))")).as("ids"))
+      .localCheckpoint(true)
+    val collided = enc0
+      .filter(size(col("ids")) =!= size(array_distinct(col("ids"))))
+      .select(col("doc_id")).localCheckpoint(true)
+    val candColl = cand
+      .join(collided.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .unionByName(cand.join(
+        collided.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select(cand.columns.map(col).toSeq: _*))
+      .distinct()
+    val candClean = cand
+      .join(collided.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(collided.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+    val surv1 =
+      if (jaccard == 0.8) graft.queries.TextOps.jaccardSlimSurvivors(enc0, candClean)
+      else candClean.select(col("doc_a"), col("doc_b"))
+    val ea = enc0.select(col("doc_id").as("doc_a"), col("ids").as("ia"))
+    val eb = enc0.select(col("doc_id").as("doc_b"), col("ids").as("ib"))
+    val surv2 = surv1
+      .join(ea.hint("shuffle_hash"), "doc_a")
+      .join(eb.hint("shuffle_hash"), "doc_b")
+      .withColumn("hin", size(array_intersect(col("ia"), col("ib"))))
+      .filter(col("hin") > 0)
+      .filter(col("hin").cast("double") /
+        (size(col("ia")) + size(col("ib")) - col("hin")) >= jaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val candFinal = surv2
+      .unionByName(candColl.select(col("doc_a"), col("doc_b")))
+      .localCheckpoint(true)
+    val finalIds = candFinal.select(col("doc_a").as("doc_id"))
+      .unionByName(candFinal.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val setsF = shingled(textsAll.join(finalIds, "doc_id"))
+      .select(col("doc_id"), col("shingle_set"))
+    val sa = setsF.select(col("doc_id").as("doc_a"), col("shingle_set").as("xa"))
+    val sb = setsF.select(col("doc_id").as("doc_b"), col("shingle_set").as("xb"))
+    val verified = candFinal.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
       .filter(col("inter") > 0)
       .withColumn("jac", col("inter").cast("double") /

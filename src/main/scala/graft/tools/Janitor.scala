@@ -25,11 +25,13 @@ package graft.tools
   * running bench's mid-build mirror), and the live set is computed the
   * way [[liveFingerprints]] documents — through Hadoop's
   * checksum-hiding view of the source listing, because that is the view
-  * the embedded fingerprints were computed from. Do NOT run a
-  * standalone sweep while another graft JVM is mid-bench: a mirror it
-  * built more than 15 minutes ago but still reads is indistinguishable
-  * from settled state (the round-13 incident deleted a live edge mirror
-  * under a running suite — see SCALE.md).
+  * the embedded fingerprints were computed from. Concurrent-run safety
+  * is ENFORCED, not documented (ADVICE r13): a mirror another running
+  * bench built more than 15 minutes ago but still reads is
+  * indistinguishable from settled state (the round-13 incident deleted
+  * a live edge mirror under a running suite — see SCALE.md), so every
+  * bench JVM maintains a heartbeat file and [[sweep]] degrades to
+  * dry-run whenever another pid's heartbeat reads live.
   *
   * At 100 TB this is snapshot/index expiration against the live-catalog
   * root set — the same mark-and-sweep contract lakehouse table formats
@@ -41,8 +43,64 @@ object Janitor {
     * dirs (graft-sf100 etc.) are NOT artifact roots — they are listed
     * as keep-sources instead and never swept. */
   private val RootPrefix = "graft-"
-  private val NonArtifactRoots = Set("graft-sf1", "graft-sf3", "graft-sf10",
-    "graft-sf30", "graft-sf100", "graft-sf300", "graft-sf1000")
+
+  /** A generated SOURCE-data root (graft-sf100 etc.) — never swept, and
+    * not an "artifact" for accounting either (ADVICE r13: Bench's
+    * artifact_mb was mislabeling 21 GB source datasets as reclaimable).
+    * Shared by the sweep filter, defaultKeepDirs, and Bench. */
+  def isSourceRoot(name: String): Boolean =
+    name.matches("graft-sf[0-9.]+")
+
+  /** Cross-process liveness (ADVICE r13): a sweep must never run
+    * destructively while ANOTHER graft bench JVM is mid-run — a mirror
+    * that JVM built >15 min ago but still reads, keyed to a since-
+    * regenerated source fingerprint, is indistinguishable from settled
+    * dead state (the r13 live-mirror incident class). Every bench
+    * touches `tmpdir/graft-bench-live/<pid>.hb` at start and between
+    * queries; [[sweep]] degrades to dry-run when any OTHER pid's
+    * heartbeat is live (its /proc entry exists, or it beat within the
+    * last 30 min — conservative on non-/proc hosts and pid recycling).
+    * Stale heartbeats (dead pid AND >30 min old) are garbage-collected
+    * in passing. */
+  val HeartbeatDirName = "graft-bench-live"
+  private val HeartbeatFreshMs = 30L * 60 * 1000
+
+  def touchHeartbeat(tmpDir: String = sys.props("java.io.tmpdir")): Unit = {
+    val d = new java.io.File(tmpDir, HeartbeatDirName)
+    d.mkdirs()
+    val f = new java.io.File(d, s"${ProcessHandle.current().pid()}.hb")
+    if (!f.exists()) java.nio.file.Files.write(f.toPath, Array.empty[Byte])
+    f.setLastModified(System.currentTimeMillis())
+    ()
+  }
+
+  def clearHeartbeat(tmpDir: String = sys.props("java.io.tmpdir")): Unit = {
+    val f = new java.io.File(new java.io.File(tmpDir, HeartbeatDirName),
+      s"${ProcessHandle.current().pid()}.hb")
+    if (f.exists()) f.delete()
+    ()
+  }
+
+  /** Other graft JVMs whose heartbeat reads as live (pid names). */
+  def otherLiveBenches(
+      tmpDir: String = sys.props("java.io.tmpdir")): Seq[String] = {
+    val self = ProcessHandle.current().pid().toString
+    val d = new java.io.File(tmpDir, HeartbeatDirName)
+    val now = System.currentTimeMillis()
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.endsWith(".hb"))
+      .flatMap { f =>
+        val pid = f.getName.stripSuffix(".hb")
+        if (pid == self) None
+        else {
+          val pidAlive = scala.util.Try(pid.toLong).toOption
+            .exists(p => ProcessHandle.of(p).isPresent)
+          val fresh = now - f.lastModified <= HeartbeatFreshMs
+          if (pidAlive || fresh) Some(pid)
+          else { f.delete(); None } // stale: dead pid, old beat
+        }
+      }
+  }
 
   /** fingerprint-shaped token: fileCount SEP mtimeMs SEP totalBytes,
     * where SEP is the raw '-' or the name-sanitized '_' and the mtime
@@ -63,10 +121,16 @@ object Janitor {
     * a raw java.io listing counts those dotfiles, disagrees with every
     * artifact's embedded fingerprint, and the sweep then reaps LIVE
     * artifacts (this deleted a just-built 6 GB edge mirror mid-bench
-    * and failed three graph gates with FILE_NOT_EXIST). Both variants
-    * are emitted — hidden-files-excluded (the Hadoop view, the one that
-    * matters) and hidden-files-included — and a dir matching EITHER is
-    * live, so a future fingerprint-source change fails toward keeping. */
+    * and failed three graph gates with FILE_NOT_EXIST). THREE variants
+    * are emitted and a dir matching ANY is live, so a fingerprint-
+    * source drift fails toward keeping:
+    *  - checksum-files-excluded: ChecksumFileSystem's EXACT view — it
+    *    hides only `.name.crc` siblings, NOT arbitrary dotfiles
+    *    (ADVICE r13: a .DS_Store-style dotfile in a source table is
+    *    counted by sourceFingerprint but was excluded from the old
+    *    "visible" variant, so the true fingerprint matched neither);
+    *  - all-dotfiles-excluded: the old conservative view, kept;
+    *  - all files included. */
   def liveFingerprints(keepDirs: Seq[String]): Set[String] =
     keepDirs.flatMap { base =>
       val b = new java.io.File(base)
@@ -75,7 +139,10 @@ object Janitor {
         val all =
           if (t.isDirectory) Option(t.listFiles()).getOrElse(Array.empty).filter(_.isFile).toSeq
           else if (t.isFile) Seq(t) else Nil
-        Seq(all.filterNot(_.getName.startsWith(".")), all).distinct.flatMap { files =>
+        Seq(
+          all.filterNot(f => f.getName.matches("^\\..*\\.crc$")),
+          all.filterNot(_.getName.startsWith(".")),
+          all).distinct.flatMap { files =>
           if (files.isEmpty) None
           else Some(norm(files.length.toString,
             files.map(_.lastModified).max.toString,
@@ -94,14 +161,24 @@ object Janitor {
   }
 
   /** One sweep. Returns (reclaimedBytes, deletedDirNames). `dryRun`
-    * reports without deleting. */
+    * reports without deleting. `respectHeartbeats` (default on)
+    * degrades a destructive sweep to DRY-RUN when another graft JVM's
+    * heartbeat reads live — the caller still sees what WOULD go, but
+    * nothing a concurrent run might read is deleted (ADVICE r13). */
   def sweep(keepDirs: Seq[String], dryRun: Boolean = false,
-      tmpDir: String = sys.props("java.io.tmpdir")): (Long, Seq[String]) = {
+      tmpDir: String = sys.props("java.io.tmpdir"),
+      respectHeartbeats: Boolean = true): (Long, Seq[String]) = {
+    val othersLive =
+      if (respectHeartbeats) otherLiveBenches(tmpDir) else Nil
+    if (othersLive.nonEmpty && !dryRun)
+      System.err.println(s"[janitor] sweep degraded to DRY-RUN — live " +
+        s"bench heartbeats from pid(s) ${othersLive.mkString(",")}")
+    val effDryRun = dryRun || othersLive.nonEmpty
     val live = liveFingerprints(keepDirs)
     val roots = Option(new java.io.File(tmpDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(RootPrefix) &&
-        !NonArtifactRoots.contains(f.getName))
+        !isSourceRoot(f.getName) && f.getName != HeartbeatDirName)
     var reclaimed = 0L
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     // age guard: a dir touched in the last 15 minutes may belong to a
@@ -118,7 +195,7 @@ object Janitor {
             now - child.lastModified > minAgeMs) {
           reclaimed += sizeOf(child)
           deleted += s"${root.getName}/${child.getName}"
-          if (!dryRun) rmTree(child)
+          if (!effDryRun) rmTree(child)
         }
       }
     }

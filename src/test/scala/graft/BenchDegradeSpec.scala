@@ -54,6 +54,17 @@ class BenchDegradeSpec extends AnyFunSuite {
     assert(flagged == Seq("noinput", "wide"))
   }
 
+  test("spillFlagged: shuffle-read bytes count toward the denominator (ADVICE r13)") {
+    val gb = 1L << 30
+    // a shuffle-fed query reads ~0 file input — its consumed volume is
+    // shuffle-read; counting only inputMetrics false-flagged it
+    val flagged = Bench.spillFlagged(
+      Map("shuffled" -> gb, "stillwide" -> (5 * gb)),
+      Map("shuffled" -> 0L, "stillwide" -> 0L),
+      Map("shuffled" -> gb, "stillwide" -> gb))
+    assert(flagged == Seq("stillwide"))
+  }
+
   test("a refused mirror build carries the artifact name in the typed exception") {
     val e = new graft.ops.Scratch.ScratchFloorException("mirror build X refused: why")
     assert(e.getMessage.contains("X"))

@@ -99,6 +99,65 @@ class JanitorSpec extends AnyFunSuite {
       s"Hadoop-view artifact reaped: $gone")
   }
 
+  test("non-crc dotfiles don't poison the live set (ChecksumFileSystem hides ONLY .name.crc)") {
+    // Hadoop's local FS hides only checksum siblings — a .DS_Store-style
+    // dotfile IS counted by sourceFingerprint. The live set must carry
+    // that exact view too (ADVICE r13: the old dotfiles-excluded/"all"
+    // pair matched neither when a non-crc dotfile coexisted with .crc
+    // files, and live artifacts were reaped).
+    val tmp = mkTmp()
+    val src = new java.io.File(tmp, "sfY"); src.mkdirs()
+    val tbl = new java.io.File(src, "t.parquet"); tbl.mkdirs()
+    write(tbl, "part-0", 70); write(tbl, "_SUCCESS", 0)
+    write(tbl, ".part-0.crc", 12) // hidden by ChecksumFileSystem
+    write(tbl, ".DS_Store", 33)   // NOT hidden — counted by the fp
+    val hadoopView = tbl.listFiles().filter(f =>
+      f.isFile && !f.getName.matches("^\\..*\\.crc$"))
+    val fp = s"${hadoopView.length}-${hadoopView.map(_.lastModified).max}-" +
+      s"${hadoopView.map(_.length).sum}"
+    val root = new java.io.File(tmp, "graft-mirrors"); root.mkdirs()
+    val liveChild = new java.io.File(root, s"t_mm_$fp")
+    liveChild.mkdirs(); write(liveChild, "data", 5); age(liveChild)
+    val (_, gone) = graft.tools.Janitor.sweep(
+      Seq(src.getPath), dryRun = false, tmpDir = tmp.getPath)
+    assert(gone.isEmpty && liveChild.exists,
+      s"ChecksumFileSystem-view artifact reaped: $gone")
+  }
+
+  test("a live foreign heartbeat degrades the sweep to dry-run; stale ones are GC'd") {
+    val tmp = mkTmp()
+    val src = new java.io.File(tmp, "sfV"); src.mkdirs()
+    val tbl = new java.io.File(src, "t.parquet"); tbl.mkdirs()
+    write(tbl, "part-0", 9)
+    val root = new java.io.File(tmp, "graft-mirrors"); root.mkdirs()
+    val dead = new java.io.File(root, "mirror_9-1786853280213-28922717")
+    dead.mkdirs(); write(dead, "data", 10); age(dead)
+    // a FRESH heartbeat from a (dead) foreign pid still reads live —
+    // freshness alone is enough (conservative against pid reuse races)
+    val hb = new java.io.File(tmp, graft.tools.Janitor.HeartbeatDirName)
+    hb.mkdirs()
+    val foreign = new java.io.File(hb, "999999999.hb")
+    write(hb, "999999999.hb", 0)
+    foreign.setLastModified(System.currentTimeMillis())
+    val (_, wouldGo) = graft.tools.Janitor.sweep(
+      Seq(src.getPath), dryRun = false, tmpDir = tmp.getPath)
+    assert(wouldGo.nonEmpty && dead.exists,
+      "sweep deleted despite a live foreign heartbeat")
+    // stale (dead pid AND old beat): GC'd in passing, sweep proceeds
+    foreign.setLastModified(System.currentTimeMillis() - 31L * 60 * 1000)
+    val (_, gone2) = graft.tools.Janitor.sweep(
+      Seq(src.getPath), dryRun = false, tmpDir = tmp.getPath)
+    assert(gone2.nonEmpty && !dead.exists && !foreign.exists)
+    // our OWN heartbeat never blocks our own sweep
+    graft.tools.Janitor.touchHeartbeat(tmp.getPath)
+    val dead2 = new java.io.File(root, "mirror_8-1786853280214-28922718")
+    dead2.mkdirs(); write(dead2, "data", 10); age(dead2)
+    val (_, gone3) = graft.tools.Janitor.sweep(
+      Seq(src.getPath), dryRun = false, tmpDir = tmp.getPath)
+    assert(gone3.nonEmpty && !dead2.exists)
+    graft.tools.Janitor.clearHeartbeat(tmp.getPath)
+  }
+
   test("age guard: a freshly-touched dir is never reaped even with a dead fingerprint") {
     val tmp = mkTmp()
     val src = new java.io.File(tmp, "sfW"); src.mkdirs()

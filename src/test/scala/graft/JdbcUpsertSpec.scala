@@ -55,6 +55,28 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(q1("SELECT customer_id FROM sales WHERE transaction_id = 't2'") == 99)
   }
 
+  test("connection fan-out is capped: a wide frame coalesces to maxConnections") {
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    // one connection per partition is the sink's structural invariant,
+    // so the cap on partitions IS the cap on concurrent connections
+    // (VERDICT r13 #4: a 256-partition sf100 stage vs Postgres's
+    // default max_connections=100)
+    val wide = spark.range(0, 200, 1, 64)
+      .selectExpr("CAST(id AS STRING) AS transaction_id",
+        "CAST(id AS INT) AS customer_id", "CAST(id AS DOUBLE) AS total_sale")
+    assert(wide.rdd.getNumPartitions == 64)
+    assert(JdbcUpsert.capConnections(wide, 4).rdd.getNumPartitions == 4)
+    // already-narrow frames are untouched (no useless repartition)
+    assert(JdbcUpsert.capConnections(wide.coalesce(2), 4)
+      .rdd.getNumPartitions == 2)
+    // and the capped path still lands every row through the real sink
+    JdbcUpsert.ensureTable(url, "sales_cap", schema, Seq("transaction_id"),
+      ifNotExistsSyntax = false)
+    JdbcUpsert.upsert(wide, url, "sales_cap", Seq("transaction_id"),
+      JdbcUpsert.AnsiMerge(), maxConnections = 4)
+    assert(q1("SELECT COUNT(*) FROM sales_cap") == 200)
+  }
+
   test("dead-letter append preserves every rejected row, duplicates included") {
     val dlSchema = StructType(Seq(
       StructField("transaction_id", StringType),
