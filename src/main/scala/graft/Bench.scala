@@ -189,6 +189,20 @@ object Bench {
     // artifact carries their count + names, so "the warm pass was clean"
     // is an assertable number, not an absence of log lines
     val warmFailed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // A stopped context mid-run means the JVM is dying (external kill —
+    // r14: the leg-B launcher session died and SIGTERM'd the bench, the
+    // shutdown hook raced the remaining 60 queries to 0.0s garbage rows)
+    // or the scheduler hit a fatal error. Either way every subsequent
+    // query is noise and a written artifact would masquerade as a real
+    // bench — abort loudly instead, naming the query that was in flight.
+    def abortIfContextDead(name: String): Unit =
+      if (spark.sparkContext.isStopped) {
+        System.err.println(s"[bench] FATAL: SparkContext stopped during " +
+          s"$name — aborting run, no artifact written (external kill or " +
+          "fatal scheduler error; see the first stack above this line)")
+        graft.tools.Janitor.clearHeartbeat()
+        sys.exit(3)
+      }
     selected.foreach { case (name, fn) =>
       val q0 = System.nanoTime()
       if (scratchShortfall().isEmpty) {
@@ -204,10 +218,11 @@ object Bench {
             // bootstrap uncommitted at sf100 and the timed run repeated
             // the whole base-sized build and died — misattributed to the
             // timed pass until the log was read against the code (r13)
-            warmFailed(name) = Option(e.toString).getOrElse("error")
-              .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(200)
+            abortIfContextDead(name)
+            warmFailed(name) = Bench.causeChain(e)
+              .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(300)
             System.err.println(s"[bench] warm $name FAILED (non-fatal): ${
-              Option(e.toString).getOrElse("error").take(200)}")
+              Bench.causeChain(e).take(500)}")
         }
         gcNudge()
         System.err.println(s"[bench] warm $name sec=${
@@ -237,7 +252,8 @@ object Bench {
             // whatever scratch can be reclaimed
             if (Option(e.toString).exists(_.contains("No space left")))
               System.gc()
-            Some(Option(e.toString).getOrElse("error")
+            abortIfContextDead(name)
+            Some(Bench.causeChain(e)
               .replaceAll("[\\p{Cntrl}\\\\\"]", " ").take(300))
         }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -353,8 +369,10 @@ object Bench {
         else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
       val roots = Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft-"))
+      // sub-MB roots (mostly spec litter) are noise, not budget — drop
       def json(fs: Array[java.io.File]) =
-        fs.map(f => "\"" + f.getName + "\":" + (du(f) >> 20))
+        fs.map(f => f.getName -> (du(f) >> 20)).filter(_._2 >= 1)
+          .map { case (n, mb) => "\"" + n + "\":" + mb }
           .sorted.mkString("{", ",", "}")
       val (src, art) = roots.partition(f =>
         graft.tools.Janitor.isSourceRoot(f.getName))
@@ -434,4 +452,24 @@ object Bench {
       if d > (256L << 20) &&
         d > 2 * (input.getOrElse(q, 0L) + shuffleRead.getOrElse(q, 0L)) => q
     }.toSeq.sorted
+
+  /** Top-level message plus the cause chain, " <- "-joined and
+    * cycle-bounded. Spark 4 wraps execution failures in an opaque
+    * [INTERNAL_ERROR] "The collect action failed" SparkException whose
+    * 200-char prefix names NO root cause (r14: leg B's death read as a
+    * Spark bug until the log was re-derived from the scheduler state) —
+    * the chain's tail is the diagnosis, so it must survive truncation. */
+  def causeChain(e: Throwable): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 6) {
+      val m = Option(cur.getMessage).getOrElse("").linesIterator
+        .take(1).mkString.take(160)
+      parts += s"${cur.getClass.getSimpleName}: $m"
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    parts.mkString(" <- ")
+  }
 }

@@ -1308,7 +1308,7 @@ object TextOps {
       s"${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
     val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_SD_READY")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    if (!fs.exists(marker)) graft.ops.BuildLedger.timed("streamdedup/build") {
       val docs = T.documents(spark, dir).select(col("doc_id"), col("text"))
       graft.streaming.DedupStream.acceptBatch(spark, root,
         docs.filter(col("doc_id") % 20 =!= 0), 0L)

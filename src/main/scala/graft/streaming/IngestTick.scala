@@ -96,19 +96,21 @@ object IngestTick {
   def ensureBootstrap(spark: SparkSession, dir: String, root: String): Unit = {
     graft.Ctx.prep(spark)
     if (headExists(spark, root, 0)) return
-    val n0 = DedupStream.acceptBatch(spark, root, baseDocs(spark, dir), 0L)
-    // base ER resolution over the ACCEPTED corpus: banded candidates
-    // off the batch-0 signature segment, the shared erVerify rule,
-    // components, rep = min member (singletons rep to themselves)
-    val sigs0 = spark.read.parquet(s"$root/sigs/batch-0")
-    val edges = graft.queries.TextOps.erVerify(spark, dir,
-      graft.queries.TextOps.bandCandidatesAuto(sigs0))
-    val labels = graft.ops.Graph.componentsSizeGated(edges)
-    spark.read.parquet(s"$root/docs/batch-0").select(col("doc_id"))
-      .join(labels, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep"))
-      .write.mode("overwrite").parquet(s"$root/er/base")
-    casHead(spark, root, 0, s"""{"tick":0,"accepted_base":$n0}""")
+    graft.ops.BuildLedger.timed("ingesttick/bootstrap") {
+      val n0 = DedupStream.acceptBatch(spark, root, baseDocs(spark, dir), 0L)
+      // base ER resolution over the ACCEPTED corpus: banded candidates
+      // off the batch-0 signature segment, the shared erVerify rule,
+      // components, rep = min member (singletons rep to themselves)
+      val sigs0 = spark.read.parquet(s"$root/sigs/batch-0")
+      val edges = graft.queries.TextOps.erVerify(spark, dir,
+        graft.queries.TextOps.bandCandidatesAuto(sigs0))
+      val labels = graft.ops.Graph.componentsSizeGated(edges)
+      spark.read.parquet(s"$root/docs/batch-0").select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep"))
+        .write.mode("overwrite").parquet(s"$root/er/base")
+      casHead(spark, root, 0, s"""{"tick":0,"accepted_base":$n0}""")
+    }
   }
 
   /** The tick. `dieAfter` injects a crash after the named stage's

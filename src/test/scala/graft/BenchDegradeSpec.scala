@@ -69,4 +69,29 @@ class BenchDegradeSpec extends AnyFunSuite {
     val e = new graft.ops.Scratch.ScratchFloorException("mirror build X refused: why")
     assert(e.getMessage.contains("X"))
   }
+
+  test("causeChain: the root cause survives the opaque INTERNAL_ERROR wrapper (r14)") {
+    // Spark 4 wraps execution failures as "[INTERNAL_ERROR] The collect
+    // action failed..." — the old e.toString.take(200) log line carried
+    // ONLY that wrapper; the chain must reach the root
+    val root = new java.io.IOException("No space left on device")
+    val mid = new RuntimeException("Exception thrown in awaitResult:", root)
+    val top = new RuntimeException(
+      "[INTERNAL_ERROR] The \"collect\" action failed. You hit a bug in " +
+        "Spark or the Spark plugins you use.", mid)
+    val c = Bench.causeChain(top)
+    assert(c.contains("INTERNAL_ERROR"))
+    assert(c.contains("No space left on device"))
+    assert(c.contains(" <- "))
+  }
+
+  test("causeChain: self-referential and deep chains terminate") {
+    val e = new RuntimeException("self")
+    // initCause(self) is illegal; simulate depth instead
+    var deep: Throwable = new RuntimeException("leaf")
+    (1 to 20).foreach(i => deep = new RuntimeException(s"level$i", deep))
+    val c = Bench.causeChain(deep)
+    assert(c.split(" <- ").length <= 6)
+    assert(Bench.causeChain(e).contains("self"))
+  }
 }
