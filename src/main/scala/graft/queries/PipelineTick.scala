@@ -242,6 +242,55 @@ object PipelineTick {
        |) ORDER BY stage, metric""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // stream_rate_offsets — Kafka-shaped offset-tracked micro-batch ingest
+  // ([[graft.streaming.RateIngest]]): an unbounded rate-micro-batch
+  // source (batch N = values [N·700, (N+1)·700) — content is a pure
+  // function of the offset range, the Kafka contract) drained through
+  // an idempotent per-offset ledger sink. The gate runs three batches
+  // through the REAL StreamingQuery (checkpointed offsets, foreachBatch
+  // commit-by-batchId) and emits the ledger; the oracle recomputes each
+  // batch's aggregates from the offset arithmetic plus the same pruned
+  // documents window. Redelivery idempotence and restart-from-
+  // checkpoint offset resume are RateIngestSpec's pins — SQL can't see
+  // process death.
+  private val RateRows = 700
+  private val RateBatches = 3
+
+  private def streamRateOffsets(spark: SparkSession, dir: String): DataFrame = {
+    Ctx.prep(spark)
+    import graft.ops.IncrementalDedup.sourceFingerprint
+    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
+    val root = s"${sys.props("java.io.tmpdir")}/graft-rateingest/r1_" +
+      s"${dir}_$fp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_RATE_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) graft.ops.BuildLedger.timed("rateingest/drain") {
+      graft.streaming.RateIngest.runBatches(
+        spark, dir, root, RateBatches, RateRows)
+      fs.create(marker, true).close()
+    }
+    graft.streaming.RateIngest.ledger(spark, root)
+      .filter(col("batch_id") < RateBatches) // extra in-flight batches may
+      .orderBy(col("batch_id"))              // commit before stop() lands
+  }
+
+  private val streamRateOffsetsSql =
+    s"""WITH b(batch_id) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))),
+       |w AS (SELECT batch_id, batch_id * $RateRows AS lo,
+       |             batch_id * $RateRows + ${RateRows - 1} AS hi FROM b)
+       |SELECT w.batch_id,
+       |  CAST($RateRows AS BIGINT) AS n_rows,
+       |  CAST((SELECT COUNT(*) FROM documents d
+       |        WHERE d.doc_id BETWEEN w.lo AND w.hi) AS BIGINT) AS n_matched,
+       |  CAST((w.lo + w.hi) * $RateRows / 2 AS BIGINT) AS sum_value,
+       |  CAST(COALESCE((SELECT SUM(len(string_split(d.text, ' ')))
+       |        FROM documents d
+       |        WHERE d.doc_id BETWEEN w.lo AND w.hi), 0) AS BIGINT) AS sum_tokens
+       |FROM w ORDER BY batch_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("pipeline_ingest_tick", ingestTick, Some(ingestTickSql)))
+    QueryDef("pipeline_ingest_tick", ingestTick, Some(ingestTickSql)),
+    QueryDef("stream_rate_offsets", streamRateOffsets,
+      Some(streamRateOffsetsSql)))
 }
