@@ -277,6 +277,23 @@ object Bench {
         err.map(e => s" ERR=${e.take(80)}").getOrElse(""))
       (name, sec, err)
     }
+    // Between warm and timed: if the warm pass's tail left the scratch
+    // volume under the floor, the deficit is usually DEAD shuffle dirs
+    // whose ShuffleDependency the ContextCleaner hasn't reclaimed yet
+    // (r14 leg B: a warm ENOSPC at 336 MB free skip-degraded all 57
+    // timed queries, and the space came back the moment the JVM exited).
+    // Give the cleaner a bounded window to catch up before the timed
+    // loop reads the floor as fate.
+    if (scratchShortfall().nonEmpty) {
+      val recoverDeadline = System.nanoTime() + 120L * 1000000000L
+      while (scratchShortfall().nonEmpty && System.nanoTime() < recoverDeadline) {
+        System.gc()
+        Thread.sleep(5000)
+      }
+      System.err.println(s"[bench] pre-timed scratch recovery: " +
+        scratchShortfall().map(s => s"still short ($s)")
+          .getOrElse("floor recovered"))
+    }
     val firstPass = selected.flatMap { case (name, fn) =>
       scratchShortfall() match {
         case Some(why) =>
