@@ -346,6 +346,74 @@ object Similarity {
   private val annIvfSql = ivfSearchSql("vec_id < 10")
 
   // -------------------------------------------------------------------
+  // ann_recall_ivf — RECALL INSTRUMENTATION as a first-class operator:
+  // an ANN index without a measured recall is a guess, and at 100 TB
+  // the ground-truth pass (exact top-k for a FIXED probe panel, O(P·N)
+  // map-side dots — linear in the corpus, constant in the panel) is
+  // exactly how production vector stores audit their indexes after
+  // every build. The gate scores ann_ivf_topk's nprobe=2 / C=8 answers
+  // against the exact top-3 of the same probe panel (ids 0-9, the
+  // gate's own probes) and emits per-query hit counts: the number the
+  // nprobe/C tradeoff is tuned against. Counts, not ratios — the
+  // oracle must land hash-exact, and hits/k as a double invites
+  // representation drift. The oracle replays BOTH paths: the IVF CTE
+  // chain (training included) and the brute-force window.
+  private def annRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    // exact ground truth: all N scored against the 10-probe broadcast,
+    // same ordering key as the index path (cosine desc, id asc)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val approx = annIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    probes.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).cast("long").as("hits_top3"),
+        lit(3L).cast("long").as("k"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annRecallIvfSql =
+    ivfSearchCtes("vec_id < 10") +
+      s"""
+      |, ivf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM cand)
+      |  WHERE rank <= 3),
+      |pp AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      |ex AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT pp.query_id, c.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+      |      PARTITION BY pp.query_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(c.v)+1), i -> c.v[i] * pp.qv[i]), (a, b) -> a + b)
+      |          / (c.nrm * pp.qn) DESC, c.vec_id) AS rank
+      |    FROM n c JOIN pp ON c.vec_id <> pp.query_id)
+      |  WHERE rank <= 3),
+      |h AS (
+      |  SELECT ex.query_id, COUNT(*) AS h
+      |  FROM ex JOIN ivf ON ex.query_id = ivf.query_id
+      |    AND ex.neighbor_id = ivf.neighbor_id
+      |  GROUP BY ex.query_id)
+      |SELECT pp.query_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits_top3,
+      |  CAST(3 AS BIGINT) AS k
+      |FROM pp LEFT JOIN h ON pp.query_id = h.query_id
+      |ORDER BY pp.query_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // ann_ivf_sampled — the quantizer trained on a HASH-SAMPLE, serving
   // the FULL corpus (VERDICT r9 #6): every other ann gate trains on all
   // N vectors, which at sf10 was the family's dominant cold-build cost
@@ -1859,6 +1927,7 @@ object Similarity {
     QueryDef("ann_cosine_topk", annTopk, Some(annTopkSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
+    QueryDef("ann_recall_ivf", annRecallIvf, Some(annRecallIvfSql)),
     QueryDef("ann_ivf_sampled", annIvfSampled, Some(annIvfSampledSql)),
     QueryDef("ann_ivf_bucketed", annIvfBucketed, Some(annIvfBucketedSql)),
     QueryDef("ann_ivf_incremental", annIvfIncremental,
