@@ -1294,6 +1294,71 @@ object Similarity {
       path
     }))
 
+  // ann_recall_pq — the recall audit for the compressed index: PQ's
+  // whole bargain is ~170× less memory for SOME recall loss, and the
+  // loss is only a number if the exact pass runs. Ground truth here is
+  // exact SQUARED L2 (the metric PQ approximates — not cosine, which
+  // is ann_recall_ivf's axis), spelled dot(v,v)+dot(q,q)-2·dot(v,q)
+  // through the same codegen'd vec_dot / list_reduce op order on both
+  // engines so the top-3 ordering (d2 asc, id asc) is replayable.
+  // Output shape matches ann_recall_ivf: per-query hit counts.
+  private def annRecallPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2",
+        expr("vec_dot(v, v)") + expr("vec_dot(qv, qv)") -
+          lit(2.0) * expr(dotVQ))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val approx = annPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    probes.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).cast("long").as("hits_top3"),
+        lit(3L).cast("long").as("k"))
+      .orderBy(col("query_id"))
+  }
+
+  private def annRecallPqSql: String = {
+    val dotvv = "list_reduce(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i]), (a, b) -> a + b)"
+    val dotqq = "list_reduce(list_transform(range(1, len(pp.qv)+1), i -> pp.qv[i] * pp.qv[i]), (a, b) -> a + b)"
+    val dotvq = "list_reduce(list_transform(range(1, len(c.v)+1), i -> c.v[i] * pp.qv[i]), (a, b) -> a + b)"
+    annPqCtes +
+      s"""
+      |, pq AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY u, neighbor_id) AS rank
+      |    FROM adist)
+      |  WHERE rank <= 3),
+      |pp AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id < 10),
+      |ex AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT pp.query_id, c.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+      |      PARTITION BY pp.query_id ORDER BY
+      |        $dotvv + $dotqq - 2 * $dotvq, c.vec_id) AS rank
+      |    FROM n c JOIN pp ON c.vec_id <> pp.query_id)
+      |  WHERE rank <= 3),
+      |h AS (
+      |  SELECT ex.query_id, COUNT(*) AS h
+      |  FROM ex JOIN pq ON ex.query_id = pq.query_id
+      |    AND ex.neighbor_id = pq.neighbor_id
+      |  GROUP BY ex.query_id)
+      |SELECT pp.query_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits_top3,
+      |  CAST(3 AS BIGINT) AS k
+      |FROM pp LEFT JOIN h ON pp.query_id = h.query_id
+      |ORDER BY pp.query_id""".stripMargin
+  }
+
   private def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val cent = trainedCodebooks(spark, dir)
@@ -1323,7 +1388,7 @@ object Similarity {
 
   /** The PQ trainer unrolled to CTEs — one block per Lloyd round over
     * the (vec_id, m, sv) subvector frame, then encode + ADC search. */
-  private def annPqSql: String = {
+  private def annPqCtes: String = {
     val dot = (a: String, b: String) =>
       s"list_reduce(list_transform(range(1, len(sv)+1), i -> $a[i] * $b[i]), (a, b) -> a + b)"
     val d2 = s"${dot("sv", "sv")} + ${dot("cv", "cv")} - 2 * ${dot("sv", "cv")}"
@@ -1371,16 +1436,19 @@ object Similarity {
       |  SELECT query_id, codes.vec_id AS neighbor_id, SUM(units) AS u
       |  FROM codes JOIN dt ON codes.m = dt.qm AND codes.code = dt.cent_id
       |  WHERE codes.vec_id <> query_id
-      |  GROUP BY query_id, codes.vec_id)
-      |SELECT query_id, neighbor_id,
-      |  CAST(u AS DOUBLE) / 1e12 AS adist, CAST(rank AS INT) AS rank FROM (
-      |  SELECT *, ROW_NUMBER() OVER (
-      |    PARTITION BY query_id ORDER BY u, neighbor_id) AS rank
-      |  FROM adist)
-      |WHERE rank <= 3
-      |ORDER BY query_id, rank""".stripMargin)
+      |  GROUP BY query_id, codes.vec_id)""".stripMargin)
     sb.toString
   }
+
+  private def annPqSqlFinal: String = annPqCtes +
+    """
+    |SELECT query_id, neighbor_id,
+    |  CAST(u AS DOUBLE) / 1e12 AS adist, CAST(rank AS INT) AS rank FROM (
+    |  SELECT *, ROW_NUMBER() OVER (
+    |    PARTITION BY query_id ORDER BY u, neighbor_id) AS rank
+    |  FROM adist)
+    |WHERE rank <= 3
+    |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
   // ann_ivfpq_topk — IVFADC (Jégou et al., TPAMI 2011 §IV): the two
@@ -1932,7 +2000,8 @@ object Similarity {
     QueryDef("ann_ivf_bucketed", annIvfBucketed, Some(annIvfBucketedSql)),
     QueryDef("ann_ivf_incremental", annIvfIncremental,
       Some(annIvfIncrementalSql)),
-    QueryDef("ann_pq_topk", annPq, Some(annPqSql)),
+    QueryDef("ann_pq_topk", annPq, Some(annPqSqlFinal)),
+    QueryDef("ann_recall_pq", annRecallPq, Some(annRecallPqSql)),
     QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     QueryDef("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
     QueryDef("dedup_semantic_knn", dedupSemanticKnn, Some(dedupSemanticKnnSql)),
