@@ -406,14 +406,19 @@ object Bench {
       "\"" + k + "\":\"" + m + "\"" }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","ts":"$stamp","warmup_sec":${f3(warmupSec)},"warm_errors":${warmFailed.size},"warm_failed":$warmErrsJson,"queries":$fullQs,"errors":$errs,"n_errors":$nErr,"retimed":$retimedJson,"skipped":$skippedJson,"spill_mb":$spillJson,"spill_disk_total_mb":$spillDiskTotalMb,"spill_flagged":$spillFlaggedJson,"spill_flagged_detail":$spillFlaggedDetailJson,"index_build_sec":$indexBuildJson,"artifact_mb":$artifactMbJson,"source_mb":$sourceMbJson,"sf":"$sfDir"}"""
-    // BENCH_FULL.json = latest run; BENCH_FULL_HISTORY.jsonl accumulates
-    // EVERY run (timestamped, append-only), so judge/builder reruns never
-    // clobber the driver's record and per-query medians across runs are
-    // computable after the fact. SPARK_GRAFT_TAG=r05 additionally writes
-    // a round-stamped BENCH_FULL_<tag>.json.
+    // BENCH_FULL.json = latest FULL-SUITE run; BENCH_FULL_HISTORY.jsonl
+    // accumulates EVERY run (timestamped, append-only), so judge/builder
+    // reruns never clobber the driver's record and per-query medians
+    // across runs are computable after the fact. SPARK_GRAFT_TAG=r05
+    // additionally writes a round-stamped BENCH_FULL_<tag>.json.
+    // A SPARK_GRAFT_ONLY-restricted leg writes ONLY the tagged/history
+    // artifacts: an sf100 family leg overwriting the canonical
+    // full-suite line with its partial-query subset cost three manual
+    // git restores in one r14 session before this guard.
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+      if (only.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_HISTORY.jsonl"),
         (fullLine + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
@@ -441,7 +446,10 @@ object Bench {
     // keep the line inside the harness's ~2000-char window
     val flaggedTail = spillFlagged.take(8).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_sec":${f3(warmupSec)},"warm_errors":${warmFailed.size},"queries":$qs,"other_sec":${f3(omittedSec)},"n_queries":${results.size},"n_errors":$nErr,"n_scratch_skips":${dynamicSkips.size},"spill_disk_total_mb":$spillDiskTotalMb,"spill_flagged":$flaggedTail,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    val fullRef = if (only.isEmpty) "BENCH_FULL.json"
+      else sys.env.get("SPARK_GRAFT_TAG").map(t => s"BENCH_FULL_$t.json")
+        .getOrElse("BENCH_FULL_HISTORY.jsonl")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_sec":${f3(warmupSec)},"warm_errors":${warmFailed.size},"queries":$qs,"other_sec":${f3(omittedSec)},"n_queries":${results.size},"n_errors":$nErr,"n_scratch_skips":${dynamicSkips.size},"spill_disk_total_mb":$spillDiskTotalMb,"spill_flagged":$flaggedTail,"sf":"$sfDir","full":"$fullRef"}""")
     graft.tools.Janitor.clearHeartbeat()
     spark.stop()
   }
