@@ -36,8 +36,50 @@ object Ctx {
 
 /** Parquet table loaders for the driver-generated star schema (TESTDATA.md). */
 object T {
+
+  /** Per-session memo of base-table DataFrames, keyed on (path, dir
+    * mtime, nanos-conf). Every `spark.read.parquet` pays ~90–120 ms of
+    * parquet schema inference (a one-task Spark job reading footers —
+    * measured by graft.tools.ReadProbe at sf0.1) and the suite's 267
+    * query builders each call T 1–4 times, so repeated inference was
+    * ~25–40% of the whole bench total. A catalog/metastore amortizes
+    * exactly this metadata; the memo is the sessionless equivalent.
+    * Plans only, never results: the cached object is an immutable
+    * analyzed read, and the mtime in the key drops the entry the
+    * moment the files under the path change (overwrite recreates the
+    * directory). Sessions are weak keys so stopped test sessions don't
+    * pin their plans. */
+  private val frameCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  /** Memoized parquet read of a LOCAL path (the bench/verify layout).
+    * Non-local URIs fall through to a plain read, uncached. */
+  def readCached(spark: SparkSession, path: String): DataFrame = {
+    val local = if (path.startsWith("file:")) path.stripPrefix("file:") else path
+    if (local.contains(":")) return spark.read.parquet(path) // hdfs://, s3://…
+    val f = new java.io.File(local)
+    val nanos = try spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+      catch { case _: Throwable => "false" }
+    val key = s"$local@${f.lastModified}:$nanos"
+    val m = {
+      var mm = frameCache.get(spark)
+      if (mm == null) frameCache.synchronized {
+        mm = frameCache.get(spark)
+        if (mm == null) {
+          mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+          frameCache.put(spark, mm)
+        }
+      }
+      mm
+    }
+    var df = m.get(key)
+    if (df == null) { df = spark.read.parquet(path); m.put(key, df) }
+    df
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readCached(spark, s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

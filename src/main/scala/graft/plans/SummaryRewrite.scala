@@ -482,8 +482,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
     def tryCandidate(sumGrain: String): Option[Picked] = {
       val (summaryPath, _) = routes.getOrElse(sumGrain, return None)
-      val sumRel = spark.read.parquet(summaryPath).queryExecution.analyzed
-        .collectFirst { case lr: LogicalRelation => lr }.getOrElse(return None)
+      // the read is memoized (schema inference is ~100 ms per call and
+      // this rule fires once per routed query); newInstance() re-mints
+      // the attribute ids so two routed subtrees in ONE plan can never
+      // share exprIds through the cache
+      val sumRel = graft.T.readCached(spark, summaryPath).queryExecution.analyzed
+        .collectFirst { case lr: LogicalRelation => lr.newInstance() }
+        .getOrElse(return None)
       val sumAttrs = (Seq(sumGrain) ++ schema.dims ++
         Seq("n", "sum_value_dec", "min_value", "max_value"))
         .map(n => sumRel.output.find(_.name == n))

@@ -301,7 +301,7 @@ object Curation {
   private def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val path = graft.ops.PartitionedLayout.ensure(spark, dir, "documents", "lang")
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
       .filter(col("lang").isin("en", "fr"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -456,7 +456,7 @@ object Curation {
       spark, s"$dir/lineitem.parquet", s"lineitem_month_$dir", "ship_month")(
       T.lineitem(spark, dir).withColumn("ship_month",
         date_format(col("l_shipdate"), "yyyy-MM")))
-    val fact = spark.read.parquet(factPath)
+    val fact = graft.T.readCached(spark, factPath)
     val dim = T.orders(spark, dir)
       .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1995-04-01")))

@@ -781,7 +781,7 @@ object Events {
   private def variantStored(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
     val path = variantMirror(spark, dir)
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
       .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),

@@ -115,7 +115,7 @@ object LinkRank {
           r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         } finally r.close()
       }.sum
-    (spark.read.parquet(path), nV)
+    (graft.T.readCached(spark, path), nV)
   }
 
   /** One damped power-iteration round over the bucketed edge mirror —
@@ -344,7 +344,7 @@ object LinkRank {
     if (!(reuse && fs.exists(done)))
       oriented.write.mode("overwrite").parquet(path.toString)
     fs.deleteOnExit(path)
-    val e = spark.read.parquet(path.toString)
+    val e = graft.T.readCached(spark, path.toString)
     val ab = e.select(col("s1").as("a"), col("s2").as("b"))
     val bc = e.select(col("s1").as("bb"), col("s2").as("c"))
     val ac = e.select(col("s1").as("aa"), col("s2").as("cc"))

@@ -311,7 +311,7 @@ object MatView {
   // alongside the hash-matched exact values.
   private def mvDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
     val sumPath = ensureSummary(spark, dir, "day")
-    val est = spark.read.parquet(sumPath)
+    val est = graft.T.readCached(spark, sumPath)
       .groupBy(col("day"))
       .agg(hll_sketch_estimate(hll_union_agg(col("uhll"))).as("est"))
     val exact = T.events(spark, dir)
@@ -536,7 +536,7 @@ object MatView {
   private def mvTrend7d(spark: SparkSession, dir: String): DataFrame = {
     val sumPath = ensureSummary(spark, dir, "day")
     Ctx.prep(spark)
-    spark.read.parquet(sumPath)
+    graft.T.readCached(spark, sumPath)
       .select(col("day"), col("event_type"), col("n"), col("sum_value_dec"))
       .selectExpr("day", "event_type",
         "CAST(sum(sum_value_dec) OVER (PARTITION BY event_type ORDER BY day " +

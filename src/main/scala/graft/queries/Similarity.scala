@@ -176,7 +176,7 @@ object Similarity {
     (SparkSession, String), String]()
 
   private def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(centMemo.computeIfAbsent((spark, dir), _ => {
+    graft.T.readCached(spark, centMemo.computeIfAbsent((spark, dir), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"ivf_cent_${IvfK}x${IvfIters}_${dir}_$fp"
@@ -430,7 +430,7 @@ object Similarity {
   // is hash-proven. Probe set 20-29 keeps this gate's answers
   // independent of ann_ivf_topk (0-9) and ann_ivf_bucketed (10-19).
   private def sampledCentroids(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(centMemo.computeIfAbsent((spark, s"$dir#sampled"), _ => {
+    graft.T.readCached(spark, centMemo.computeIfAbsent((spark, s"$dir#sampled"), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"ivf_cent_samp_${IvfK}x${IvfIters}_${dir}_$fp"
@@ -530,7 +530,7 @@ object Similarity {
     // partition-column values 0..k-1 are inferred as INT on read; keep
     // the JOIN on the raw partition column (so pruning sees it) and cast
     // only in the output projection
-    val corpus = spark.read.parquet(mirror)
+    val corpus = graft.T.readCached(spark, mirror)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
     val probes = scored.filter(col("vec_id") >= 10 && col("vec_id") < 20)
@@ -611,7 +611,7 @@ object Similarity {
     (SparkSession, String), String]()
 
   private def trainedCentroidsScaled(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(centScaledMemo.computeIfAbsent((spark, dir), _ => {
+    graft.T.readCached(spark, centScaledMemo.computeIfAbsent((spark, dir), _ => {
       val c = scaledCellCount(spark, dir)
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
@@ -859,7 +859,7 @@ object Similarity {
     * frozen thereafter — same fingerprint-keyed sidecar lifecycle as
     * [[trainedCentroids]]. */
   private def frozenBaseCentroids(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(centIncMemo.computeIfAbsent((spark, dir), _ => {
+    graft.T.readCached(spark, centIncMemo.computeIfAbsent((spark, dir), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"ivf_cent_base_${IvfK}x${IvfIters}_${dir}_$fp"
@@ -910,8 +910,8 @@ object Similarity {
     val cent = frozenBaseCentroids(spark, dir)
       .select(col("cent_id"), col("cv").as("qv"), col("cn"))
     val (baseMirror, deltaMirror) = ivfIncrementalSegments(spark, dir)
-    val corpus = spark.read.parquet(baseMirror)
-      .unionByName(spark.read.parquet(deltaMirror))
+    val corpus = graft.T.readCached(spark, baseMirror)
+      .unionByName(graft.T.readCached(spark, deltaMirror))
     // probes ride the same frozen quantizer (nprobe=2 nearest cells)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
@@ -1044,7 +1044,7 @@ object Similarity {
       }
       p
     })
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
   }
 
   /** Cell-partitioned (base, delta) segment paths for the tick's index —
@@ -1107,9 +1107,9 @@ object Similarity {
     // (broadcastable cell-id list → partition-dir pruning) — a small
     // tick reads only the cells it probes, never the whole base segment
     val probeCells = probes.select(col("qcell").as("pc")).distinct()
-    val corpus = spark.read.parquet(baseMirror)
+    val corpus = graft.T.readCached(spark, baseMirror)
       .join(broadcast(probeCells), col("cell") === col("pc"), "left_semi")
-      .unionByName(spark.read.parquet(deltaMirror))
+      .unionByName(graft.T.readCached(spark, deltaMirror))
     corpus.hint("shuffle_hash").join(probes,
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", expr(dotVQ) / (col("nrm") * col("qn")))
@@ -1259,7 +1259,7 @@ object Similarity {
     (SparkSession, String), String]()
 
   private def trainedCodebooks(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(pqMemo.computeIfAbsent((spark, dir), _ => {
+    graft.T.readCached(spark, pqMemo.computeIfAbsent((spark, dir), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = s"pq_cent_${PqM}x${PqK}x${PqIters}_${dir}_$fp"
@@ -1511,7 +1511,7 @@ object Similarity {
 
   private def trainedResidualCodebooks(spark: SparkSession, dir: String)
       : DataFrame =
-    spark.read.parquet(ivfPqMemo.computeIfAbsent((spark, dir), _ => {
+    graft.T.readCached(spark, ivfPqMemo.computeIfAbsent((spark, dir), _ => {
       val fp = graft.ops.IncrementalDedup
         .sourceFingerprint(spark, s"$dir/embeddings.parquet")
       val tag = (s"ivfpq_cent_${IvfK}x${IvfIters}_" +

@@ -91,7 +91,7 @@ object TextOps {
         .write.mode("overwrite").parquet(path)
       base.unpersist()
     }
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
   }
 
   /** Same memoization for the full (doc_id, tokens, shingles) projection
@@ -109,7 +109,7 @@ object TextOps {
           .select(col("doc_id"), col("tokens"), col("shingles"))
           .write.mode("overwrite").parquet(path)
       }
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
   }
 
   // -------------------------------------------------------------------
@@ -340,7 +340,7 @@ object TextOps {
       nbTeacherLabels(tok).write.mode("overwrite").parquet(path)
       tok.unpersist()
     }
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
   }
 
   private def nbClassify(spark: SparkSession, dir: String): DataFrame = {
@@ -861,7 +861,7 @@ object TextOps {
           .select(col("doc_id"), col("shingle_set")))
           .write.mode("overwrite").parquet(path)
       }
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
   }
 
   /** Two-phase exact Jaccard ≥ 0.8 verify for a candidate-pair frame —
@@ -1046,7 +1046,7 @@ object TextOps {
       nearSimhash(spark, dir).select(col("doc_a"), col("doc_b"))
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
   }
 
   private def nearSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1467,7 +1467,7 @@ object TextOps {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep"))
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.T.readCached(spark, path)
   }
 
   /** The tick's (entity_id, doc_id) membership frame — every entity the

@@ -25,15 +25,28 @@ object Views {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Sessions whose catalog already carries this dir's views: a repeat
+    * registration of the SAME dir is a no-op (the views are immutable
+    * plan aliases over immutable reads — re-creating them re-ran ten
+    * parquet schema inferences, ~1 s, on EVERY `Views.sql` call;
+    * measured by graft.tools.ReadProbe). A different dir re-registers
+    * and re-points the memo; weak session keys so stopped test
+    * sessions don't pin. */
+  private val registeredDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register every table as a temp view + all custom functions.
     * `events` routes through [[graft.T.events]] so SQL users get the
     * same ns→µs timestamp normalization the typed API applies. */
   def register(spark: SparkSession, dir: String): SparkSession = {
     Ctx.prep(spark)
-    graft.functions.VecExprs.register(spark)
-    tables.foreach { n =>
-      val df = if (n == "events") T.events(spark, dir) else T(spark, dir, n)
-      df.createOrReplaceTempView(n)
+    if (registeredDir.get(spark) != dir) {
+      graft.functions.VecExprs.register(spark)
+      tables.foreach { n =>
+        val df = if (n == "events") T.events(spark, dir) else T(spark, dir, n)
+        df.createOrReplaceTempView(n)
+      }
+      registeredDir.put(spark, dir)
     }
     spark
   }
