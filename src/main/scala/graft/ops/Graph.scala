@@ -133,6 +133,43 @@ object Graph {
     }
   }
 
+  /** Two-level decomposition shared by both distributed loops: the
+    * partition-local union–find contracts every co-located chain, and
+    * because every edge lives wholly inside one partition, two local
+    * trees can only belong to the same component through a SHARED NODE
+    * (one that appears in several partitions with differing local
+    * roots). The quotient graph the distributed loop must still solve
+    * is therefore exactly the BRIDGE set {(min-root, root)} of the
+    * multi-rooted nodes — typically orders of magnitude smaller than
+    * |E| (at sf0.1 the near-dup graph's 462 edges contract to zero
+    * bridges; the loop runs on nothing). Returns
+    * (mapping: id → mroot + all local roots, ckpt'd; bridges: quotient
+    * edge list, NOT ckpt'd).
+    * Label composition: component-min m* is its own local root in every
+    * partition that sees it (it is the min of any set containing it),
+    * so m* is a quotient vertex and the loop's min-label over the
+    * quotient IS the component min; nodes whose root class never
+    * bridges keep mroot, which in that case is the component min. */
+  private def contractToBridges(edges: DataFrame): (DataFrame, DataFrame) = {
+    val mapping = ckpt(localContract(edges)
+      .groupBy(col("id"))
+      .agg(min(col("label")).as("mroot"),
+        collect_set(col("label")).as("roots")))
+    val bridges = mapping
+      .select(col("mroot"), explode(col("roots")).as("r"))
+      .filter(col("r") =!= col("mroot"))
+      .select(col("r").as("doc_a"), col("mroot").as("doc_b"))
+    (mapping, bridges)
+  }
+
+  /** (node → component label) composed from the contraction mapping and
+    * the distributed loop's labels over the quotient graph. */
+  private def composeLabels(mapping: DataFrame, quotientLabels: DataFrame): DataFrame =
+    mapping.select(col("id"), col("mroot"))
+      .join(quotientLabels.select(col("id").as("qid"), col("label").as("qlabel")),
+        col("mroot") === col("qid"), "left")
+      .select(col("id"), coalesce(col("qlabel"), col("mroot")).as("label"))
+
   /** @param pairs undirected edges as two long columns (any names);
     *              vertices not present in any pair are absent from the
     *              output (they are their own singleton component).
@@ -141,18 +178,24 @@ object Graph {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
     val fwd = pairs.select(col(ca).as("doc_a"), col(cb).as("doc_b"))
-    val edges = ckpt(fwd
+    val full = ckpt(fwd
       .unionByName(fwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    val spark = edges.sparkSession
+    val spark = full.sparkSession
+    // Level 1: contract in-partition structure; the min-label loop then
+    // propagates over the BRIDGE quotient only (guide §2.3 — the loop
+    // shuffles the quotient, never the full edge set; before this the
+    // loop joined |E| rows per round to fix what is by construction
+    // only the cross-partition residue).
+    val (mapping, bridgesFwd) = contractToBridges(full)
+    val bridges = ckpt(bridgesFwd.unionByName(
+      bridgesFwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = loopWidth(spark, edges.count())
+    val loopParts = loopWidth(spark, bridges.count())
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
-      // Seed from the partition-local contraction: an id split across
-      // partitions gets multiple local roots — min merges them, and the
-      // global loop below resolves whatever crosses partitions.
-      var labels = ckpt(localContract(edges)
-        .groupBy(col("id")).agg(min(col("label")).as("label")))
+      var labels = ckpt(bridges.select(col("doc_a").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
+      val edges = bridges
       // Convergence witness: labels only ever DECREASE (every update is a
       // least(...) over candidates that include the current label), so the
       // exact-decimal Σlabel is strictly decreasing until fixpoint and a
@@ -206,7 +249,7 @@ object Graph {
           "the graph's cross-partition diameter defeats min-label " +
           "propagation; use altStarComponents (O(log² n) rounds " +
           "independent of diameter) for this graph shape")
-      labels
+      composeLabels(mapping, labels)
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
@@ -241,11 +284,15 @@ object Graph {
     val spark = pairs.sparkSession
     val raw = ckpt(
       pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b")))
-    val verts = raw.select(col("a").as("id"))
-      .unionByName(raw.select(col("b").as("id"))).distinct()
+    // Level 1 (same two-level shape as connectedComponents): contract
+    // co-located structure per partition; the alternating rounds then
+    // run on the BRIDGE quotient only. The O(log² n) round bound holds
+    // a fortiori (the quotient is a minor of the input graph), and the
+    // label contract is unchanged (see contractToBridges on why the
+    // component min survives contraction).
+    val (mapping, bridgesFwd) = contractToBridges(
+      raw.select(col("a").as("doc_a"), col("b").as("doc_b")))
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = loopWidth(spark, raw.count())
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
       def largeStar(e: DataFrame): DataFrame = {
         val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
@@ -265,7 +312,9 @@ object Graph {
           .filter(col("v") =!= col("m"))
           .select(col("v").as("a"), col("m").as("b")).distinct()
       }
-      var edges = ckpt(raw.filter(col("a") =!= col("b")).distinct())
+      var edges = ckpt(bridgesFwd
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .filter(col("a") =!= col("b")).distinct())
       // the count is tracked across rounds instead of re-counted: the
       // previous round's cardinality can't change under a checkpoint,
       // so re-running edges.count() every round was one pure-overhead job
@@ -274,6 +323,7 @@ object Graph {
       // one-sided except, short-circuited so except only runs on
       // count-stable rounds)
       var edgeCnt = edges.count()
+      spark.conf.set("spark.sql.shuffle.partitions", loopWidth(spark, edgeCnt))
       var converged = edgeCnt == 0
       var rounds = 0
       // O(log² n) bound ⇒ 64 rounds covers any graph that fits in a
@@ -296,15 +346,16 @@ object Graph {
         s"altStarComponents did not reach its star-forest fixpoint in " +
           s"$maxRounds alternating rounds — refusing to label an " +
           s"unconverged edge set (labels would be silently wrong)")
-      // Star state: (child, root) with root = component min; roots carry
-      // no outgoing edge, so they self-label. Vertices that only ever
-      // appeared in self-loop pairs fall through the left join to
-      // themselves — same singleton semantics as connectedComponents.
-      val lbl = edges.select(col("a").as("id"), col("b").as("lab"))
-        .unionByName(edges.select(col("b").as("id"), col("b").as("lab")))
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-      verts.join(lbl, Seq("id"), "left")
-        .select(col("id"), coalesce(col("lab"), col("id")).as("label"))
+      // Star state over the quotient: (child, root) with root = class
+      // min; roots carry no outgoing edge, so they self-label. Composed
+      // through the contraction mapping, a local root whose class never
+      // bridged falls through the left join to itself — same singleton
+      // semantics as before (vertices that only ever appeared in
+      // self-loop pairs are in the mapping and self-label).
+      val lbl = edges.select(col("a").as("id"), col("b").as("label"))
+        .unionByName(edges.select(col("b").as("id"), col("b").as("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      composeLabels(mapping, lbl)
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 }

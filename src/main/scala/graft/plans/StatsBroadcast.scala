@@ -64,21 +64,29 @@ object StatsBroadcast extends Rule[LogicalPlan] {
     * manifest lists, never a data file. Returns the total registered
     * rows (data + delete sidecar entries — each file bounds only reads
     * that name it, so over-inclusion is harmless). */
+  // version-keyed memo (r15): the per-file row map is a pure function
+  // of the manifest version; lake_cbo builders re-register per call and
+  // paid the manifest list read each time (see StatsJoinReorder's memos)
+  private val regMemo = new ConcurrentHashMap[(String, Int), Map[String, Long]]()
+
   def register(spark: SparkSession, tablePath: String,
       version: Int = -1): Long = {
     val v = if (version >= 0) version
       else graft.ops.Manifest.currentListVersion(spark, tablePath)
     require(v >= 0, s"no committed list versions at $tablePath")
-    val entries = graft.ops.Manifest.readAll(spark, tablePath, v)
-    val m = entries.map(e => rawKey(e.path) -> e.rows).toMap
+    val m = regMemo.computeIfAbsent((rawKey(tablePath), v), _ =>
+      graft.ops.Manifest.readAll(spark, tablePath, v)
+        .map(e => rawKey(e.path) -> e.rows).toMap)
     registry.put(rawKey(tablePath), m)
     m.values.sum
   }
 
-  def unregister(tablePath: String): Unit =
+  def unregister(tablePath: String): Unit = {
     registry.remove(rawKey(tablePath))
+    regMemo.keySet.removeIf(_._1 == rawKey(tablePath))
+  }
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); regMemo.clear() }
 
   private def maxRows: Long =
     conf.getConfString("graft.statsbroadcast.maxRows", "1000000").toLong

@@ -72,6 +72,18 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rawKey(p: String): String = new Path(p).toUri.getPath
 
+  /** Manifest-version-keyed memo of published estimates (r15): every
+    * lake_cbo builder re-registers the same sketches on every call, and
+    * each registration pays a collect() job (NDV merge), a manifest
+    * read, or a footer pass. The estimate for (table, column) is a pure
+    * function of the manifest VERSION, so it is computed once per
+    * version per session-independent registry — the readCached stance
+    * applied to the stats plane. A new commit mints a new version and
+    * recomputes; unregister/clear drop the memo with the registry so
+    * tests stay hermetic. */
+  private val ndvMemo =
+    new ConcurrentHashMap[(String, String, Int, Int), java.lang.Double]()
+
   /** Publish the KMV NDV estimate for `tablePath`.`column` to the
     * ordering estimator. Metadata-only after the sidecar exists:
     * [[graft.ops.NdvStats.ensure]] sketches only files it has never
@@ -79,15 +91,22 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     * estimate. */
   def registerNdv(spark: SparkSession, tablePath: String, column: String,
       k: Int = 256): Double = {
-    val ks = graft.ops.NdvStats.mergedSketch(spark, tablePath, column, k)
-      .collect()(0).getSeq[String](0)
-    // same estimator as lake_ndv_manifest: k-1 over the k-th smallest
-    // hash mapped into [0,1) via its first 60 bits; exact below k
-    val est =
+    val tk = rawKey(tablePath)
+    def compute(): Double = {
+      val ks = graft.ops.NdvStats.mergedSketch(spark, tablePath, column, k)
+        .collect()(0).getSeq[String](0)
+      // same estimator as lake_ndv_manifest: k-1 over the k-th smallest
+      // hash mapped into [0,1) via its first 60 bits; exact below k
       if (ks.size < k) ks.size.toDouble
       else (k - 1).toDouble * 1152921504606846976.0 /
         java.lang.Long.parseLong(ks.max.substring(0, 15), 16).toDouble
-    ndvReg.put((rawKey(tablePath), column), est)
+    }
+    val v = graft.ops.Manifest.currentListVersion(spark, tablePath)
+    val est =
+      if (v < 0) compute() // unversioned path — never memoized
+      else ndvMemo.computeIfAbsent((tk, column, v, k), _ => compute())
+        .doubleValue()
+    ndvReg.put((tk, column), est)
     est
   }
 
@@ -97,10 +116,16 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     spanReg.keySet.removeIf(_._1 == tk)
     histReg.keySet.removeIf(_._1 == tk)
     hotReg.keySet.removeIf(_._1 == tk)
+    ndvMemo.keySet.removeIf(_._1 == tk)
+    spanMemo.keySet.removeIf(_._1 == tk)
+    histMemo.keySet.removeIf(_._1 == tk)
+    hotMemo.keySet.removeIf(_._1 == tk)
   }
 
-  def clear(): Unit =
-    { ndvReg.clear(); spanReg.clear(); histReg.clear(); hotReg.clear() }
+  def clear(): Unit = {
+    ndvReg.clear(); spanReg.clear(); histReg.clear(); hotReg.clear()
+    ndvMemo.clear(); spanMemo.clear(); histMemo.clear(); hotMemo.clear()
+  }
 
   /** (raw table path, column name) -> global [lo, hi] value span. */
   private val spanReg = new ConcurrentHashMap[(String, String), (Long, Long)]()
@@ -112,19 +137,24 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     * use) — no data pages. Refuses (throws) when any file lacks
     * harvestable stats for the column: a sentinel full-domain span
     * would silently neutralize every range estimate. Returns the span. */
+  private val spanMemo =
+    new ConcurrentHashMap[(String, String, Int), (Long, Long)]()
+
   def registerSpan(spark: SparkSession, tablePath: String, column: String,
       version: Int = -1): (Long, Long) = {
     val v = if (version >= 0) version
       else graft.ops.Manifest.currentListVersion(spark, tablePath)
     require(v >= 0, s"no committed list versions at $tablePath")
-    val files = graft.ops.Manifest.readAll(spark, tablePath, v).map(_.path)
-    val stats = graft.ops.Manifest.collectStats(spark, files, column)
-    require(stats.nonEmpty, s"no files at $tablePath v$v")
-    require(stats.forall(e =>
-      !(e.minKey == Long.MinValue && e.maxKey == Long.MaxValue)),
-      s"$tablePath.$column: some files carry no footer stats — refusing " +
-        "to register a span that does not bound the data")
-    val span = (stats.map(_.minKey).min, stats.map(_.maxKey).max)
+    val span = spanMemo.computeIfAbsent((rawKey(tablePath), column, v), _ => {
+      val files = graft.ops.Manifest.readAll(spark, tablePath, v).map(_.path)
+      val stats = graft.ops.Manifest.collectStats(spark, files, column)
+      require(stats.nonEmpty, s"no files at $tablePath v$v")
+      require(stats.forall(e =>
+        !(e.minKey == Long.MinValue && e.maxKey == Long.MaxValue)),
+        s"$tablePath.$column: some files carry no footer stats — refusing " +
+          "to register a span that does not bound the data")
+      (stats.map(_.minKey).min, stats.map(_.maxKey).max)
+    })
     spanReg.put((rawKey(tablePath), column), span)
     span
   }
@@ -142,9 +172,16 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     * Metadata-only after the sidecar exists ([[graft.ops.HistStats
     * .ensure]] profiles only files it has never seen). Returns the
     * number of CDF support points. */
+  private val histMemo = new ConcurrentHashMap[(String, String, Int, Int),
+    (Array[Double], Array[Double])]()
+
   def registerHistogram(spark: SparkSession, tablePath: String,
       column: String, buckets: Int = 32): Int = {
-    val cdf = graft.ops.HistStats.mergedCdf(spark, tablePath, column, buckets)
+    val v = graft.ops.Manifest.currentListVersion(spark, tablePath)
+    val cdf =
+      if (v < 0) graft.ops.HistStats.mergedCdf(spark, tablePath, column, buckets)
+      else histMemo.computeIfAbsent((rawKey(tablePath), column, v, buckets),
+        _ => graft.ops.HistStats.mergedCdf(spark, tablePath, column, buckets))
     histReg.put((rawKey(tablePath), column), cdf)
     cdf._1.length
   }
@@ -161,20 +198,26 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     * GUARANTEED share (cnt − err) clears `minShare` register: the
     * no-false-positive rule, so a miss falls back to 1/ndv rather than
     * a sketch artifact. Returns the registered map. */
+  private val hotMemo =
+    new ConcurrentHashMap[(String, String, Int, Int, Double), Map[Long, Double]]()
+
   def registerHotShares(spark: SparkSession, tablePath: String,
       column: String, m: Int = 64,
       minShare: Double = 0.01): Map[Long, Double] = {
     val v = graft.ops.Manifest.currentListVersion(spark, tablePath)
     require(v >= 0, s"no committed list versions at $tablePath")
-    val totalRows = graft.ops.Manifest.readAll(spark, tablePath, v)
-      .filterNot(_.path.contains("/deletes/")).map(_.rows).sum.toDouble
-    require(totalRows > 0, s"$tablePath: zero-row manifest")
-    val shares = graft.ops.HotKeyStats
-      .mergedHot(spark, tablePath, column, m, v)
-      .filter { case (_, c, e) => (c - e).toDouble >= minShare * totalRows }
-      .flatMap { case (value, c, _) =>
-        scala.util.Try(value.toLong).toOption.map(_ -> c.toDouble / totalRows)
-      }.toMap
+    val shares = hotMemo.computeIfAbsent(
+      (rawKey(tablePath), column, v, m, minShare), _ => {
+        val totalRows = graft.ops.Manifest.readAll(spark, tablePath, v)
+          .filterNot(_.path.contains("/deletes/")).map(_.rows).sum.toDouble
+        require(totalRows > 0, s"$tablePath: zero-row manifest")
+        graft.ops.HotKeyStats
+          .mergedHot(spark, tablePath, column, m, v)
+          .filter { case (_, c, e) => (c - e).toDouble >= minShare * totalRows }
+          .flatMap { case (value, c, _) =>
+            scala.util.Try(value.toLong).toOption.map(_ -> c.toDouble / totalRows)
+          }.toMap
+      })
     hotReg.put((rawKey(tablePath), column), shares)
     shares
   }

@@ -1170,11 +1170,13 @@ object Curation {
     QueryDef("curate_shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
     QueryDef("curate_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("curate_split_hash", splitHash, Some(splitHashSql)),
-    QueryDef("curate_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
+    QueryDef("curate_split_leakfree", splitLeakfree,
+      Some(graft.sql.DuckCte.materialized(splitLeakfreeSql))),
     QueryDef("curate_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     QueryDef("scan_partition_pruned", partitionPruned, Some(partitionPrunedSql)),
     QueryDef("scan_dpp_join", dppJoin, Some(dppJoinSql)),
-    QueryDef("curate_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
+    QueryDef("curate_pipeline_e2e", pipelineE2e,
+      Some(graft.sql.DuckCte.materialized(pipelineE2eSql))),
     QueryDef("curate_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("curate_decontaminate_exact", decontaminateExact,
       Some(decontaminateExactSql)),

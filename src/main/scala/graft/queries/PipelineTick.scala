@@ -290,7 +290,8 @@ object PipelineTick {
        |FROM w ORDER BY batch_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("pipeline_ingest_tick", ingestTick, Some(ingestTickSql)),
+    QueryDef("pipeline_ingest_tick", ingestTick,
+      Some(graft.sql.DuckCte.materialized(ingestTickSql))),
     QueryDef("stream_rate_offsets", streamRateOffsets,
       Some(streamRateOffsetsSql)))
 }

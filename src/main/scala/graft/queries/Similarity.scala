@@ -2002,11 +2002,13 @@ object Similarity {
       Some(annIvfIncrementalSql)),
     QueryDef("ann_pq_topk", annPq, Some(annPqSqlFinal)),
     QueryDef("ann_recall_pq", annRecallPq, Some(annRecallPqSql)),
-    QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
+    QueryDef("ann_ivfpq_topk", annIvfPq,
+      Some(graft.sql.DuckCte.materialized(annIvfPqSql))),
     QueryDef("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
-    QueryDef("dedup_semantic_knn", dedupSemanticKnn, Some(dedupSemanticKnnSql)),
+    QueryDef("dedup_semantic_knn", dedupSemanticKnn,
+      Some(graft.sql.DuckCte.materialized(dedupSemanticKnnSql))),
     QueryDef("dedup_semantic_incremental", dedupSemanticIncremental,
-      Some(dedupSemanticIncrementalSql)),
+      Some(graft.sql.DuckCte.materialized(dedupSemanticIncrementalSql))),
     QueryDef("emb_label_stats", labelStats, Some(labelStatsSql)),
     QueryDef("emb_neardup_pairs", nearDup, Some(nearDupSql),
       ceiling = Some(("embeddings", 20000L,

@@ -361,7 +361,11 @@ object TextOps {
     val train = feat.filter(col("doc_id") % 5 =!= 0)
     val counts = train.groupBy(col("q").as("l"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val totals = train.groupBy(col("q").as("l")).agg(count(lit(1)).as("n_l"))
+    // per-label totals roll up from the (l, b) counts — Σ_b c ≡ the
+    // train token count per label (guide §1.2: the old spelling
+    // re-ran the whole explode+md5+label-join subtree a third time
+    // just to count it; counts is 2×4096 rows, the rollup is free)
+    val totals = counts.groupBy(col("l")).agg(sum(col("c")).as("n_l"))
     val priors = labels.filter(col("doc_id") % 5 =!= 0)
       .groupBy(col("q").as("l")).agg(count(lit(1)).as("d_l"))
       .withColumn("d_tot", sum(col("d_l")).over(wAll))
@@ -1096,11 +1100,19 @@ object TextOps {
       .select(explode(expr(
         "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), b -> struct(a.doc_id AS doc_a, a.simhash AS ha, b.doc_id AS doc_b, b.simhash AS hb))))")).as("p"))
       .select(col("p.doc_a"), col("p.ha"), col("p.doc_b"), col("p.hb"))
-      .distinct()
+    // hamming-filter BEFORE the cross-table dedup (guide §2.3 — shuffle
+    // fewer bytes): bit_count is a map-side codegen'd long op, while
+    // distinct is an exchange; filtering first means the dedup shuffle
+    // carries only true near-dup pairs (×20 tables ⇒ ≤20 copies each),
+    // never the random 30-bit collisions. Same result: the predicate is
+    // row-deterministic, so distinct∘filter ≡ filter∘distinct, and
+    // (doc_a, doc_b) determines (ha, hb) ⇒ hamming, so deduping on the
+    // 3 output columns equals deduping on the 4-column tuple.
     cand
       .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -2369,9 +2381,12 @@ object TextOps {
         "blocked edit-distance verify is Theta(N^2) within length bands " +
           "BY CONTRACT (sf3 measured 9.03x ~ 3^2); banded candidates + " +
           "dedup_near_minhash are the linear-regime path"))),
-    QueryDef("er_golden_record", erGoldenRecord, Some(erGoldenRecordSql)),
-    QueryDef("er_incremental", erIncremental, Some(erIncrementalSql)),
-    QueryDef("dedup_stream_ingest", streamDedupIngest, Some(streamDedupIngestSql)),
+    QueryDef("er_golden_record", erGoldenRecord,
+      Some(graft.sql.DuckCte.materialized(erGoldenRecordSql))),
+    QueryDef("er_incremental", erIncremental,
+      Some(graft.sql.DuckCte.materialized(erIncrementalSql))),
+    QueryDef("dedup_stream_ingest", streamDedupIngest,
+      Some(graft.sql.DuckCte.materialized(streamDedupIngestSql))),
     QueryDef("text_word_freq", wordFreq, Some(wordFreqSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
@@ -2389,7 +2404,9 @@ object TextOps {
     QueryDef("dedup_near_minhash", nearMinhash, Some(nearMinhashSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("dedup_near_simhash", nearSimhash, Some(nearSimhashSql)),
-    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
-    QueryDef("dedup_clusters_star", dedupClustersStar, Some(dedupClustersSql))
+    QueryDef("dedup_clusters", dedupClusters,
+      Some(graft.sql.DuckCte.materialized(dedupClustersSql))),
+    QueryDef("dedup_clusters_star", dedupClustersStar,
+      Some(graft.sql.DuckCte.materialized(dedupClustersSql)))
   )
 }

@@ -415,7 +415,13 @@ object Tpch {
     Ctx.prep(spark)
     val li = T.lineitem(spark, dir)
     val pv = li.groupBy(col("l_partkey").as("p_partkey")).agg(sum(vol).as("vdec"))
-    val tot = li.agg(sum(vol).as("tdec"))
+    // the global total rolls up from the per-part decimal sums instead
+    // of a second full lineitem scan (guide §1.2): DECIMAL addition is
+    // exact and order-independent, so Σ_parts(Σ_part vol) ≡ Σ vol
+    // bit-for-bit, and the rollup input is |parts| rows; the broadcast
+    // side now shares pv's shuffle via exchange reuse instead of
+    // re-scanning the fact table
+    val tot = pv.agg(sum(col("vdec")).as("tdec"))
     pv.crossJoin(broadcast(tot))
       .filter(col("vdec").cast("double") > col("tdec").cast("double") * lit(0.00075))
       .select(col("p_partkey"), col("vdec").cast("double").as("part_value"))

@@ -71,6 +71,25 @@ class GraphSpec extends SparkSpec {
       == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
 
+  test("two-level contraction: scattered cross-partition chains still label exactly") {
+    // r15: both loops contract per partition first and iterate only on
+    // the BRIDGE quotient. Force the bridge path: repartition the edge
+    // rows of long chains randomly over 8 partitions so almost every
+    // chain crosses partitions and the quotient is non-trivial.
+    val edges = ((0L until 119L).map(i => (i, i + 1)) ++          // chain 0..119
+      (200L until 260L).map(i => (i, i + 1)) ++                   // chain 200..260
+      Seq((300L, 301L), (400L, 400L))).toList                     // pair + self-loop
+    val df = edges.toDF("a", "b").repartition(8)
+    val want = (0L to 119L).map(_ -> 0L) ++
+      (200L to 260L).map(_ -> 200L) ++ Seq(300L -> 300L, 301L -> 300L, 400L -> 400L)
+    val gotStar = Graph.altStarComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotCc = Graph.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStar == want.toMap)
+    assert(gotCc == want.toMap)
+  }
+
   test("property: altstar ≡ min-propagation on random skewed graphs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genGraph: Gen[List[(Long, Long)]] = for {
