@@ -51,7 +51,31 @@ object T {
     * pin their plans. */
   private val frameCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+      java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]())
+
+  /** Staleness signature of a dataset path (r15, VERDICT r14 #6 /
+    * ADVICE r14): the old key was the TOP directory's lastModified
+    * alone, which misses (a) an in-place rewrite of an existing
+    * part-file (same name ⇒ dir entry list unchanged ⇒ dir mtime
+    * unchanged) and (b) any change inside nested partition subdirs.
+    * The signature now folds in a bounded recursive walk — file count
+    * and max mtime over every entry — so both cases mint a new key.
+    * Mirror dirs are at most a few hundred entries; the walk is
+    * microseconds against the ~100 ms schema inference it guards. */
+  private def stalenessSig(f: java.io.File): String = {
+    var n = 0
+    var maxM = f.lastModified
+    def walk(d: java.io.File, depth: Int): Unit = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.foreach { k =>
+        n += 1
+        if (k.lastModified > maxM) maxM = k.lastModified
+        if (k.isDirectory && depth < 6 && n < 100000) walk(k, depth + 1)
+      }
+    }
+    if (f.isDirectory) walk(f, 0)
+    s"${f.lastModified}:$n:$maxM"
+  }
 
   /** Memoized parquet read of a LOCAL path (the bench/verify layout).
     * Non-local URIs fall through to a plain read, uncached. */
@@ -61,23 +85,42 @@ object T {
     val f = new java.io.File(local)
     val nanos = try spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
       catch { case _: Throwable => "false" }
-    val key = s"$local@${f.lastModified}:$nanos"
+    val sig = s"${stalenessSig(f)}:$nanos"
     val m = {
       var mm = frameCache.get(spark)
       if (mm == null) frameCache.synchronized {
         mm = frameCache.get(spark)
         if (mm == null) {
-          mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+          mm = new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
           frameCache.put(spark, mm)
         }
       }
       mm
     }
-    var df = m.get(key)
-    if (df == null) { df = spark.read.parquet(path); m.put(key, df) }
-    df
+    // keyed by PATH with the signature in the value (ADVICE r14): an
+    // always-rewritten path replaces its entry instead of accumulating
+    // one dead analyzed plan per rewrite for the life of the session
+    val entry = m.get(local)
+    if (entry != null && entry._1 == sig) entry._2
+    else {
+      val df = spark.read.parquet(path)
+      m.put(local, (sig, df))
+      df
+    }
   }
 
+  /** Staleness signature of a dataset path, exposed for memos that must
+    * invalidate exactly when [[readCached]] does (Views.register). */
+  private[graft] def datasetSig(path: String): String =
+    stalenessSig(new java.io.File(path))
+
+  /** NOTE (ADVICE r14): repeated calls return the SAME analyzed
+    * DataFrame object, so a same-table self-join disambiguated as
+    * `df1("c") === df2("c")` hits Spark's ambiguous-self-join detection
+    * (two independent reads used to carry distinct exprIds). Rename or
+    * alias columns immediately (as q7's double nation read does), or
+    * re-mint instances via LogicalRelation.newInstance() the way
+    * SummaryRewrite does, when both sides must be the same table. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     readCached(spark, s"$dir/$name.parquet")
 

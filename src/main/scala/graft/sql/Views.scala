@@ -31,22 +31,30 @@ object Views {
     * parquet schema inferences, ~1 s, on EVERY `Views.sql` call;
     * measured by graft.tools.ReadProbe). A different dir re-registers
     * and re-points the memo; weak session keys so stopped test
-    * sessions don't pin. */
+    * sessions don't pin. The memo value folds in every table's
+    * [[graft.T.datasetSig]] (ADVICE r14: keying on the dir STRING alone
+    * served stale view plans after an in-session regeneration of the
+    * tables under the same dir) — the views now invalidate exactly when
+    * the underlying readCached entries do. */
   private val registeredDir = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
+
+  private def regKey(dir: String): String =
+    dir + "@" + tables.map(n => T.datasetSig(s"$dir/$n.parquet")).mkString("|")
 
   /** Register every table as a temp view + all custom functions.
     * `events` routes through [[graft.T.events]] so SQL users get the
     * same ns→µs timestamp normalization the typed API applies. */
   def register(spark: SparkSession, dir: String): SparkSession = {
     Ctx.prep(spark)
-    if (registeredDir.get(spark) != dir) {
+    val key = regKey(dir)
+    if (registeredDir.get(spark) != key) {
       graft.functions.VecExprs.register(spark)
       tables.foreach { n =>
         val df = if (n == "events") T.events(spark, dir) else T(spark, dir, n)
         df.createOrReplaceTempView(n)
       }
-      registeredDir.put(spark, dir)
+      registeredDir.put(spark, key)
     }
     spark
   }
