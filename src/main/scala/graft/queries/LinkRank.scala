@@ -452,9 +452,20 @@ object LinkRank {
       if (nC <= gateMax) df => df.hint("broadcast") else df => df
     var h = hubs0.select(col("node"), lit(1.0 / nC).as("h"))
     var a: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val (a2, h2) = hitsStep(e, gate)(h)
       a = a2; h = h2
+      // Materialize the |V|-row hub state BETWEEN rounds (not the last —
+      // its output feeds nothing): each half-step's L1 normalization
+      // (crossJoin over broadcast(tot)) references its own input twice,
+      // so a lazily chained round-N plan nests round N−1 four times —
+      // 2 rounds executed 11.3 s of task time for 1.5 s of wall at
+      // sf0.1 (AQE's stage reuse recovers shuffle stages but not the
+      // broadcast subtrees). One checkpoint per round bounds the
+      // re-execution at one round's tree — same cut powerState makes
+      // over the gate, and hitsConverged makes every round; arithmetic
+      // unchanged (int64-quantized sums, same IEEE division).
+      if (round < rounds) h = h.localCheckpoint(true)
     }
     a
   }

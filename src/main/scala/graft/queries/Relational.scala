@@ -1602,13 +1602,24 @@ object Relational {
   // also the upsert/last-write-wins primitive (row_number = 1).
   private def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     Ctx.prep(spark)
-    val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    // keep-first-per-key as a min_by AGGREGATE instead of a
+    // row_number window (guide §2.3 — aggregate before you shuffle):
+    // the window shipped every lineitem row to the exchange and sorted
+    // each partition; the aggregate partial-combines map-side, so the
+    // shuffle carries at most one row per (partkey, suppkey) per map
+    // task — on a dedup-shaped corpus that is the dup-factor reduction.
+    // Identical rows: (l_orderkey, l_linenumber) is unique within a
+    // group, so min_by over that struct IS "rn = 1" under the same
+    // total order.
     T.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
-        col("l_linenumber"), col("l_quantity"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min_by(
+        struct(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        struct(col("l_orderkey"), col("l_linenumber"))).as("m"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("m.l_orderkey").as("l_orderkey"),
+        col("m.l_linenumber").as("l_linenumber"),
+        col("m.l_quantity").as("l_quantity"))
       .orderBy(col("l_partkey"), col("l_suppkey"))
   }
 

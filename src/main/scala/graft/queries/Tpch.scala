@@ -374,12 +374,20 @@ object Tpch {
       .join(broadcast(T.region(spark, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val pairs = T.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
     val prt = T.part(spark, dir)
       .filter(col("p_size") === 15)
       .select(col("p_partkey"), col("p_name"))
-    val cand = prt.join(pairs, col("p_partkey") === col("l_partkey"))
+    // broadcast the ~2%-selective part filter BELOW the pair dedup
+    // (guide §2.3 — shuffle fewer bytes): the distinct exchange now
+    // carries only size-15 parts' (partkey, suppkey) pairs instead of
+    // every pair in lineitem. Identical rows: p_partkey is unique, so
+    // join-then-distinct ≡ distinct-then-join on the same columns.
+    val pairs = T.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(prt), col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .distinct()
+    val cand = pairs
       .join(eur, col("l_suppkey") === col("s_suppkey"))
     cand
       .withColumn("min_bal", min(col("s_acctbal")).over(Window.partitionBy(col("p_partkey"))))

@@ -172,8 +172,19 @@ class GraphSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     import graft.queries.LinkRank
     LinkRank.defs.foreach(d => d.build(spark, sf).count())
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"graph queries left persisted RDDs: $leaked")
+    // r15: hitsState localCheckpoints its between-round hub state, so a
+    // checkpoint block is live right after the action — the hygiene
+    // contract is that every block is RECLAIMABLE once the returned
+    // frame is unreachable (the ContextCleaner drops it after a GC),
+    // not that none ever exists. Same cleaner-drain nudge the bench's
+    // gcNudge applies between queries.
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (leaked().nonEmpty && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(leaked().isEmpty,
+      s"graph queries left unreclaimable persisted RDDs: ${leaked()}")
   }
 
   test("pagerank convergence mode: stops under cap, bit-equal to the fixed loop") {
