@@ -178,15 +178,15 @@ object Graph {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
     val fwd = pairs.select(col(ca).as("doc_a"), col(cb).as("doc_b"))
-    val full = ckpt(fwd
-      .unionByName(fwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    val spark = full.sparkSession
+    val spark = fwd.sparkSession
     // Level 1: contract in-partition structure; the min-label loop then
     // propagates over the BRIDGE quotient only (guide §2.3 — the loop
     // shuffles the quotient, never the full edge set; before this the
     // loop joined |E| rows per round to fix what is by construction
-    // only the cross-partition residue).
-    val (mapping, bridgesFwd) = contractToBridges(full)
+    // only the cross-partition residue). The union–find is
+    // direction-agnostic, so the edge list is consumed ONCE, one-way —
+    // the old symmetric 2|E| checkpoint is gone with the |E|-row loop.
+    val (mapping, bridgesFwd) = contractToBridges(fwd)
     val bridges = ckpt(bridgesFwd.unionByName(
       bridgesFwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -282,16 +282,16 @@ object Graph {
   def altStarComponents(pairs: DataFrame): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
     val spark = pairs.sparkSession
-    val raw = ckpt(
-      pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b")))
     // Level 1 (same two-level shape as connectedComponents): contract
     // co-located structure per partition; the alternating rounds then
     // run on the BRIDGE quotient only. The O(log² n) round bound holds
     // a fortiori (the quotient is a minor of the input graph), and the
     // label contract is unchanged (see contractToBridges on why the
-    // component min survives contraction).
+    // component min survives contraction). The edge list is consumed
+    // once by the contraction pass — no |E|-row checkpoint.
     val (mapping, bridgesFwd) = contractToBridges(
-      raw.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      pairs.select(col(ca).cast("long").as("doc_a"),
+        col(cb).cast("long").as("doc_b")))
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       def largeStar(e: DataFrame): DataFrame = {
